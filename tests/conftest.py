@@ -1,0 +1,19 @@
+"""Test configuration: CPU backend with a virtual 8-device mesh, float64 on.
+
+Mirrors the reference's validation strategy (SURVEY.md section 4): operator
+tests against analytic solutions run in float64; sharding tests use the
+virtual CPU mesh. The TPU-attached environment registers its backend at
+interpreter start, so the platform must be forced via jax.config (env vars
+are too late / overridden).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,53 @@
+"""Derivative application: dense operator matmuls along one array axis.
+
+On TPU a compact-FD derivative is a single MXU matmul with the precomputed
+dense operator (see tlab_tpu.fdm.plan). This replaces the reference's
+transpose -> banded matvec -> Thomas solve pipeline (src/operators/
+opr_partial.f90:31-150) with one fused contraction that XLA shards and
+schedules.
+
+Convention: fields are (nx, ny, nz); `axis` selects the contraction
+dimension. The operator matrix M has shape (m, n) and maps values on the n
+source nodes to m output nodes (m == n for derivatives, m == 2n for the
+fused [D1; D2] stack).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EINSUM = {
+    0: "ab,bjk->ajk",
+    1: "ab,ibk->iak",
+    2: "ab,ijb->ija",
+}
+
+
+def apply_along(M, u, axis: int):
+    """out = M @ u along `axis`, accumulating in f32 for low-precision inputs."""
+    pref = jnp.float32 if u.dtype in (jnp.bfloat16, jnp.float16) else u.dtype
+    return jnp.einsum(_EINSUM[axis], M, u, preferred_element_type=pref).astype(u.dtype)
+
+
+def der1(plan_d1, u, axis: int):
+    """First derivative along `axis`; plan_d1 = device matrix for the BC case."""
+    return apply_along(plan_d1, u, axis)
+
+
+def der2(plan_d2, u, axis: int):
+    """Second derivative along `axis`."""
+    return apply_along(plan_d2, u, axis)
+
+
+def der12(plan_d12, u, axis: int):
+    """Fused first+second derivative with the stacked (2n, n) operator.
+
+    One matmul computes both derivatives (a single pass over u through the
+    MXU), the hot pattern of the Burgers operator.
+    """
+    n = u.shape[axis]
+    out = apply_along(plan_d12, u, axis)
+    lo = [slice(None)] * u.ndim
+    hi = [slice(None)] * u.ndim
+    lo[axis] = slice(0, n)
+    hi[axis] = slice(n, 2 * n)
+    return out[tuple(lo)], out[tuple(hi)]
