@@ -1,0 +1,73 @@
+"""Dynamical-core validation: 2-D Taylor-Green decay with free-slip walls.
+
+The TG vortex  u =  sin(kx x) cos(ky y) e^{-nu (kx^2+ky^2) t}
+              v = -(kx/ky) cos(kx x) sin(ky y) e^{-nu (kx^2+ky^2) t}
+is an exact Navier-Stokes solution; with ky = pi/Ly it satisfies free-slip
+walls at y = 0, Ly. Equivalent of the reference's vburgers/vtgvortex valid
+programs, exercising the full RK + Burgers + pressure-projection loop.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tlab_tpu.constants import BC
+from tlab_tpu.dycore import incompressible as dyn
+from tlab_tpu.dycore.state import State
+from tlab_tpu.fdm.plan import build_fdm_plan
+from tlab_tpu.grid import uniform_grid
+from tlab_tpu.physics.params import NSParams
+
+
+def make_tg_setup(nx=64, ny=65, reynolds=100.0):
+    lx, ly = 2.0 * np.pi, np.pi
+    grid = uniform_grid(nx, ny, 1, lx, ly, 1.0)
+    fdm = build_fdm_plan(grid)
+    nsp = NSParams(reynolds=reynolds, schmidt=())
+    bcs = dyn.WallBCs.from_velocity_kind("freeslip", "freeslip", scalar_bcs=())
+    P = dyn.build_device_plans(fdm, nsp, bcs, dtype=jnp.float64)
+    X = grid.x.nodes[:, None, None]
+    Y = grid.y.nodes[None, :, None]
+    kx, ky = 1.0, 1.0
+    u = np.sin(kx * X) * np.cos(ky * Y) * np.ones((nx, ny, 1))
+    v = -(kx / ky) * np.cos(kx * X) * np.sin(ky * Y) * np.ones((nx, ny, 1))
+    state = State(u=jnp.asarray(u), v=jnp.asarray(v),
+                  w=jnp.zeros_like(jnp.asarray(u)),
+                  s=jnp.zeros((0, nx, ny, 1)))
+    return grid, nsp, P, state, (kx, ky)
+
+
+def test_taylor_green_decay():
+    grid, nsp, P, state, (kx, ky) = make_tg_setup()
+    dt = 2e-3
+    nsteps = 50
+    step = jax.jit(lambda st: dyn.rk_step(P, st, dt)[0])
+    for _ in range(nsteps):
+        state = step(state)
+    t = dt * nsteps
+    decay = np.exp(-nsp.visc * (kx ** 2 + ky ** 2) * t)
+    X = grid.x.nodes[:, None, None]
+    Y = grid.y.nodes[None, :, None]
+    u_exact = np.sin(kx * X) * np.cos(ky * Y) * decay
+    err = np.max(np.abs(np.asarray(state.u) - u_exact))
+    assert err < 2e-5, err
+
+
+def test_divergence_stays_small():
+    grid, nsp, P, state, _ = make_tg_setup()
+    dt = 2e-3
+    step = jax.jit(lambda st: dyn.rk_step(P, st, dt)[0])
+    for _ in range(10):
+        state = step(state)
+    dmin, dmax = dyn.dilatation_minmax(P, state)
+    # truncation-level residual: the divergence (D1-based) and the Poisson
+    # operator (D2-based) differ at O(h^5); the reference's Case01 log shows
+    # the same behavior at the 1e-2..1e-3 level on its coarser grid
+    assert max(abs(float(dmin)), abs(float(dmax))) < 1e-4
+
+
+def test_cfl_helpers():
+    grid, nsp, P, state, _ = make_tg_setup()
+    cmax = float(dyn.cfl_advective_max(P, state))
+    assert cmax > 0
+    dt = dyn.next_dt(P, cmax, cfla=1.2, cfld=0.3)
+    assert 0 < dt < 1.0

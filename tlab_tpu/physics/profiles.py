@@ -1,0 +1,57 @@
+"""Analytic mean-profile families for initial/background conditions.
+
+Equivalent of the reference's Profiles module (src/utils/profiles.f90:169-254):
+f(y) = mean + delta*amplify(xi) + slope terms,  xi = (y - ymean)/thick.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Profile:
+    type: str = "none"           # none|tanh|erf|linear|bickley|gaussian|parabolic|ekmanu|ekmanv
+    mean: float = 0.0
+    delta: float = 0.0
+    thick: float = 1.0
+    ymean: float = 0.0           # absolute reference height
+    lslope: float = 0.0
+    uslope: float = 0.0
+    diam: float = 0.0
+
+    def __call__(self, y: np.ndarray) -> np.ndarray:
+        yrel = y - self.ymean
+        if self.type == "none":
+            amplify = np.zeros_like(yrel)
+        elif self.thick == 0.0:
+            amplify = 0.5 * np.sign(yrel)
+        else:
+            xi = yrel / self.thick
+            if self.type == "tanh":
+                amplify = 0.5 * np.tanh(-0.5 * xi)
+            elif self.type == "erf":
+                from scipy.special import erf
+                amplify = 0.5 * erf(-0.5 * xi)
+            elif self.type == "linear":
+                amplify = -xi
+            elif self.type == "bickley":
+                amplify = 1.0 / np.cosh(0.5 * xi) ** 2
+            elif self.type == "gaussian":
+                amplify = np.exp(-0.5 * xi ** 2)
+            elif self.type == "gaussiansurface":
+                # surface-peaked gaussian shell used by the IC generator
+                amplify = np.exp(-0.5 * xi ** 2)
+            elif self.type == "parabolic":
+                amplify = (1.0 + 0.5 * xi) * (1.0 - 0.5 * xi)
+            elif self.type == "ekmanu":
+                amplify = 1.0 - np.exp(-xi) * np.cos(xi)
+            elif self.type == "ekmanv":
+                amplify = -np.exp(-xi) * np.sin(xi)
+            else:
+                raise ValueError(f"unknown profile type {self.type!r}")
+        f = (self.mean + self.delta * amplify
+             + self.lslope * yrel * 0.5 * (1.0 - np.sign(yrel))
+             + self.uslope * yrel * 0.5 * (1.0 + np.sign(yrel)))
+        return f
