@@ -1,0 +1,71 @@
+"""Headline benchmark: grid-points/s/chip per RK substep on the 3-D shear layer.
+
+Prints ONE JSON line. Baseline: the reference's JUWELS strong-scaling table
+(BASELINE.md) gives 0.49-0.8 M grid-points/s per 48-core CPU node per RK
+substep (fp64, full physics-off shear layer, RK4-5). vs_baseline compares a
+single TPU chip against 0.8 M pts/s/node (the reference's best per-node
+figure, 1536^3 @ 8 nodes).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.dycore.state import State
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.physics.params import NSParams
+
+    nx, ny, nz = 512, 256, 256
+    dtype = jnp.float32
+    n_sub = 5                                   # RK4, 5 substeps
+
+    grid = uniform_grid(nx, ny, nz, 2.0 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    nsp = NSParams(reynolds=5000.0, schmidt=(1.0,))
+    bcs = dyn.WallBCs.from_velocity_kind(
+        "freeslip", "freeslip", scalar_bcs=(("neumann", "neumann"),))
+    P = dyn.build_device_plans(fdm, nsp, bcs, dtype=dtype)
+
+    key = jax.random.PRNGKey(0)
+    ku, kv, kw = jax.random.split(key, 3)
+    y1d = jnp.asarray(grid.y.nodes, dtype)[None, :, None]
+    prof = 0.5 * jnp.tanh(-0.5 * (y1d - 0.5) / 0.05)
+
+    def noise(k):
+        return 0.01 * jax.random.normal(k, (nx, ny, nz), dtype)
+
+    state = State(u=prof + noise(ku), v=noise(kv), w=noise(kw),
+                  s=(0.5 - prof)[None] * jnp.ones((1, nx, ny, nz), dtype))
+
+    step = jax.jit(lambda st: dyn.rk_step(P, st, 5e-4)[0])
+    state = step(state)                          # compile + warmup
+    jax.block_until_ready(state)
+
+    n_steps = 5
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state = step(state)
+    jax.block_until_ready(state)
+    dt_wall = (time.perf_counter() - t0) / n_steps
+
+    npts = nx * ny * nz
+    pts_per_s_per_substep = npts / (dt_wall / n_sub)
+    baseline = 0.8e6                             # pts/s/node/substep (ref best)
+    print(json.dumps({
+        "metric": "grid-points/s/chip per RK substep (512x256x256 shear layer, fp32, RK4-5)",
+        "value": round(pts_per_s_per_substep, 1),
+        "unit": "points/s/chip/substep",
+        "vs_baseline": round(pts_per_s_per_substep / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""tlab.ini-compatible configuration.
+
+Case-insensitive [Section] Key=Value files, consumed by every tool, with a
+.bak echo of every read (provenance + schema doc), mirroring the reference's
+ScanFile_* machinery (src/base/io_ascii.f90:11-92).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Optional
+
+from tlab_tpu.physics.profiles import Profile
+
+
+class Ini:
+    """Minimal case-insensitive INI reader with read-echo provenance."""
+
+    def __init__(self, path: Optional[str] = None, text: Optional[str] = None):
+        self.path = path
+        self.data: dict = {}
+        self._echo: list = []
+        if text is None and path is not None:
+            with open(path) as fh:
+                text = fh.read()
+        if text:
+            self._parse(text)
+
+    def _parse(self, text: str) -> None:
+        section = ""
+        for raw in text.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            m = re.match(r"\[(.+)\]\s*$", line)
+            if m:
+                section = m.group(1).strip().lower()
+                self.data.setdefault(section, {})
+                continue
+            if "=" in line:
+                key, val = line.split("=", 1)
+                self.data.setdefault(section, {})[key.strip().lower()] = val.strip()
+
+    # -- typed getters ------------------------------------------------------
+    def get(self, section: str, key: str, default: str = "") -> str:
+        val = self.data.get(section.lower(), {}).get(key.lower(), default)
+        self._echo.append((section, key, val))
+        return val
+
+    def get_int(self, section, key, default=0) -> int:
+        v = self.get(section, key, str(default))
+        return int(float(v)) if v != "" else default
+
+    def get_float(self, section, key, default=0.0) -> float:
+        v = self.get(section, key, str(default))
+        return float(v) if v != "" else default
+
+    def get_bool(self, section, key, default=False) -> bool:
+        v = self.get(section, key, "yes" if default else "no").lower()
+        return v in ("yes", "true", "on", "1")
+
+    def get_floats(self, section, key, default=()) -> tuple:
+        v = self.get(section, key, "")
+        if not v:
+            return tuple(default)
+        return tuple(float(tok) for tok in re.split(r"[,\s]+", v) if tok)
+
+    def write_bak(self, path: Optional[str] = None) -> None:
+        """Echo every read key=value (the reference's tlab.ini.bak)."""
+        path = path or ((self.path or "tlab.ini") + ".bak")
+        with open(path, "w") as fh:
+            last = None
+            for section, key, val in self._echo:
+                if section != last:
+                    fh.write(f"[{section}]\n")
+                    last = section
+                fh.write(f"{key}={val}\n")
+
+
+# ---------------------------------------------------------------------------
+# Typed case setup
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class CaseSetup:
+    # [Main]
+    flow_type: str                 # temporal | spatial
+    calculate_flow: bool
+    calculate_scalar: bool
+    equations: str
+    term_advection: str
+    space_order1: str
+    space_order2: str
+    elliptic_order: str            # '' => same schemes as derivatives
+    time_order: str
+    time_step: float               # negative => adaptive
+    time_cfl: float
+    time_cfl_diffusive: float
+    # [Iteration]
+    it_start: int
+    it_end: int
+    it_restart: int
+    it_stats: int
+    it_log: int
+    # [Parameters]
+    reynolds: float
+    schmidt: tuple
+    prandtl: float
+    froude: float
+    rossby: float
+    # [Grid]
+    imax: int
+    jmax: int
+    kmax: int
+    periodic: tuple
+    uniform: tuple
+    # profiles & bcs
+    vel_profiles: tuple            # (Profile, Profile, Profile)
+    scal_profiles: tuple
+    velocity_bc: tuple             # (jmin_kind, jmax_kind): noslip|freeslip
+    scalar_bc: tuple               # per scalar ((jmin, jmax) types)
+    # [IniFields]
+    ini_velocity: str
+    ini_scalar: str
+    force_dilatation: bool
+    normalize_k: float
+    profile_ini_k: Profile
+    broadband: dict
+    grid_segments: dict            # per direction list of segment dicts
+    ini: Ini
+
+
+def _read_profile(ini: Ini, section: str, tag: str, yscale: float) -> Profile:
+    ptype = ini.get(section, f"Profile{tag}", "none").lower()
+    # normalize naming: 'None' -> none
+    mean = ini.get_float(section, tag if section == "flow" else f"Mean{tag}", 0.0)
+    # reference uses bare key (e.g. VelocityX) for the mean value
+    mean = ini.get_float(section, f"Mean{tag}", mean)
+    if section == "flow":
+        mean = ini.get_float(section, tag, mean)
+    delta = ini.get_float(section, f"Delta{tag}", 0.0)
+    thick = ini.get_float(section, f"Thick{tag}", 1.0)
+    ycoor = ini.get_float(section, f"YCoor{tag}",
+                          ini.get_float(section, f"YMeanRelative{tag}", 0.5))
+    return Profile(type=ptype, mean=mean, delta=delta, thick=thick,
+                   ymean=ycoor * yscale)
+
+
+def _read_grid_segments(ini: Ini, dirname: str) -> list:
+    sec = f"inigrido{dirname}"
+    nseg = ini.get_int(sec, "segments", 1)
+    segs = []
+    for i in range(1, nseg + 1):
+        segs.append({
+            "n": ini.get_int(sec, f"points_{i}", 1),
+            "scale": ini.get_float(sec, f"scales_{i}", 1.0),
+            "opts": ini.get(sec, f"opts_{i}", "uniform").lower(),
+            "params": ini.get_floats(sec, f"vals_{i}", ()),
+        })
+    return segs
+
+
+def load_case(path_or_ini) -> CaseSetup:
+    ini = path_or_ini if isinstance(path_or_ini, Ini) else Ini(path_or_ini)
+
+    so = ini.get("Main", "SpaceOrder", "CompactJacobian6")
+    so1 = ini.get("Main", "SpaceOrder1", so)
+    so2 = ini.get("Main", "SpaceOrder2", "CompactJacobian6Hyper")
+
+    schmidt = ini.get_floats("Parameters", "Schmidt", (1.0,))
+
+    jscale = 1.0
+    segs = {d: _read_grid_segments(ini, d) for d in ("x", "y", "z")}
+    jscale = sum(s["scale"] for s in segs["y"]) or 1.0
+
+    n_scal = len(schmidt)
+    vel_tags = ("VelocityX", "VelocityY", "VelocityZ")
+    vel_profiles = tuple(_read_profile(ini, "flow", t, jscale) for t in vel_tags)
+    scal_profiles = tuple(_read_profile(ini, "scalar", f"Scalar{i+1}", jscale)
+                          for i in range(n_scal))
+
+    scalar_bc = tuple(
+        (ini.get("BoundaryConditions", f"Scalar{i+1}Jmin", "none").lower(),
+         ini.get("BoundaryConditions", f"Scalar{i+1}Jmax", "none").lower())
+        for i in range(n_scal))
+
+    bb = {
+        "distribution": ini.get("Broadband", "Distribution", "none").lower(),
+        "spectrum": ini.get("Broadband", "Spectrum", "quadratic").lower(),
+        "f0": ini.get_float("Broadband", "f0", 1.0),
+        "sigma": ini.get_float("Broadband", "Sigma", 1.0),
+        "seed": ini.get_int("Broadband", "Seed", 7),
+    }
+
+    return CaseSetup(
+        flow_type=ini.get("Main", "Type", "temporal").lower(),
+        calculate_flow=ini.get_bool("Main", "CalculateFlow", True),
+        calculate_scalar=ini.get_bool("Main", "CalculateScalar", True),
+        equations=ini.get("Main", "Equations", "incompressible").lower(),
+        term_advection=ini.get("Main", "TermAdvection", "convective").lower(),
+        space_order1=so1,
+        space_order2=so2,
+        elliptic_order=ini.get("Main", "EllipticOrder", "").lower(),
+        time_order=ini.get("Main", "TimeOrder", "RungeKuttaExplicit4"),
+        time_step=ini.get_float("Main", "TimeStep", -1.0),
+        time_cfl=ini.get_float("Main", "TimeCFL", 1.2),
+        time_cfl_diffusive=ini.get_float(
+            "Main", "TimeDiffusiveCFL",
+            0.25 * ini.get_float("Main", "TimeCFL", 1.2)),
+        it_start=ini.get_int("Iteration", "Start", 0),
+        it_end=ini.get_int("Iteration", "End", 0),
+        it_restart=ini.get_int("Iteration", "Restart", 50),
+        it_stats=ini.get_int("Iteration", "Statistics", 50),
+        it_log=ini.get_int("Iteration", "IteraLog", 10),
+        reynolds=ini.get_float("Parameters", "Reynolds", 100.0),
+        schmidt=schmidt,
+        prandtl=ini.get_float("Parameters", "Prandtl", 1.0),
+        froude=ini.get_float("Parameters", "Froude", 1.0),
+        rossby=ini.get_float("Parameters", "Rossby", 1.0),
+        imax=ini.get_int("Grid", "Imax", 1),
+        jmax=ini.get_int("Grid", "Jmax", 1),
+        kmax=ini.get_int("Grid", "Kmax", 1),
+        periodic=(ini.get_bool("Grid", "XPeriodic", True),
+                  ini.get_bool("Grid", "YPeriodic", False),
+                  ini.get_bool("Grid", "ZPeriodic", True)),
+        uniform=(ini.get_bool("Grid", "XUniform", True),
+                 ini.get_bool("Grid", "YUniform", True),
+                 ini.get_bool("Grid", "ZUniform", True)),
+        vel_profiles=vel_profiles,
+        scal_profiles=scal_profiles,
+        velocity_bc=(ini.get("BoundaryConditions", "VelocityJmin", "freeslip").lower(),
+                     ini.get("BoundaryConditions", "VelocityJmax", "freeslip").lower()),
+        scalar_bc=scalar_bc,
+        ini_velocity=ini.get("IniFields", "Velocity", "None").lower(),
+        ini_scalar=ini.get("IniFields", "Scalar", "None").lower(),
+        force_dilatation=ini.get_bool("IniFields", "ForceDilatation", True),
+        normalize_k=ini.get_float("IniFields", "NormalizeK", -1.0),
+        profile_ini_k=_read_profile(ini, "inifields", "IniK", jscale),
+        broadband=bb,
+        grid_segments=segs,
+        ini=ini,
+    )

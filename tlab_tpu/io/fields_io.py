@@ -1,0 +1,72 @@
+"""Restart/field file I/O in the reference's on-disk format.
+
+Layout (cf. reference src/base/io_fields.f90:534-596, stream access, no
+record markers): header of 5 int32 (offset, nx, ny, nz, nt) followed by
+float64 params (count = (offset - 20)/8; params[0] = rtime, params[1] = visc
+for flow fields), then the full 3-D field with x innermost, z outermost.
+
+Our in-memory convention is C-ordered (nx, ny, nz); on disk that is the
+transpose (nz, ny, nx) written contiguously.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_HDR = struct.Struct("<5i")
+
+
+def write_field(path: str, arr: np.ndarray, itime: int = 0,
+                params=(0.0, 0.0), dtype="<f8") -> None:
+    arr = np.asarray(arr)
+    nx, ny, nz = arr.shape
+    params = np.asarray(params, dtype="<f8")
+    offset = _HDR.size + params.nbytes
+    with open(path, "wb") as fh:
+        fh.write(_HDR.pack(offset, nx, ny, nz, itime))
+        fh.write(params.tobytes())
+        fh.write(np.ascontiguousarray(arr.transpose(2, 1, 0)).astype(dtype).tobytes())
+
+
+def read_field(path: str, dtype="<f8"):
+    """Returns (arr (nx, ny, nz) float64, params array, itime)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    offset, nx, ny, nz, nt = _HDR.unpack_from(data, 0)
+    nparams = (offset - _HDR.size) // 8
+    params = np.frombuffer(data, dtype="<f8", count=nparams, offset=_HDR.size)
+    itemsize = np.dtype(dtype).itemsize
+    n = nx * ny * nz
+    expected = offset + n * itemsize
+    if len(data) < expected and itemsize == 8:
+        dtype = "<f4"  # single-precision restart file
+        itemsize = 4
+    raw = np.frombuffer(data, dtype=dtype, count=n, offset=offset)
+    arr = raw.reshape(nz, ny, nx).transpose(2, 1, 0).astype(np.float64)
+    return arr, params, nt
+
+
+def write_state(prefix_flow: str, prefix_scal: str, itime: int, state,
+                rtime: float, visc: float) -> None:
+    """Checkpoint: flow.<it>.1..3 = u,v,w; scal.<it>.1..N."""
+    params = (rtime, visc)
+    for i, comp in enumerate((state.u, state.v, state.w)):
+        write_field(f"{prefix_flow}.{itime}.{i + 1}", np.asarray(comp),
+                    itime, params)
+    for i in range(state.s.shape[0]):
+        write_field(f"{prefix_scal}.{itime}.{i + 1}", np.asarray(state.s[i]),
+                    itime, params)
+
+
+def read_state(prefix_flow: str, prefix_scal: str, itime: int, n_scalars: int):
+    """Returns (u, v, w, s, rtime, visc)."""
+    u, params, _ = read_field(f"{prefix_flow}.{itime}.1")
+    v, _, _ = read_field(f"{prefix_flow}.{itime}.2")
+    w, _, _ = read_field(f"{prefix_flow}.{itime}.3")
+    s = [read_field(f"{prefix_scal}.{itime}.{i + 1}")[0]
+         for i in range(n_scalars)]
+    s = np.stack(s) if s else np.zeros((0,) + u.shape)
+    rtime = params[0] if len(params) > 0 else 0.0
+    visc = params[1] if len(params) > 1 else 0.0
+    return u, v, w, s, rtime, visc

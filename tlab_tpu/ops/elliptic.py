@@ -32,6 +32,7 @@ import dataclasses
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tlab_tpu.constants import BC
@@ -235,6 +236,38 @@ def device_elliptic_plan(plan: EllipticPlan, dtype=jnp.float32) -> dict:
     return d
 
 
+def _constrain(x, plan_dev, key):
+    """Apply an optional sharding constraint (GSPMD auto-parallel path).
+
+    plan_dev["shardings"], when present, provides NamedShardings that steer
+    GSPMD through a legal pencil-like dataflow: x-FFT needs x local, z-FFT
+    needs z local, the modal solve needs y local. The explicit shard_map
+    pencil engine (tlab_tpu.parallel) bypasses this entirely.
+    """
+    sh = plan_dev.get("shardings")
+    if sh is None or key not in sh:
+        return x
+    return jax.lax.with_sharding_constraint(x, sh[key])
+
+
+def _forward_fft(plan_dev, f):
+    f = _constrain(f, plan_dev, "fft_x")
+    f_hat = jnp.fft.rfft(f, axis=0)
+    if f.shape[2] > 1:
+        f_hat = _constrain(f_hat, plan_dev, "fft_z")
+        f_hat = jnp.fft.fft(f_hat, axis=2)
+    return _constrain(f_hat, plan_dev, "modal")
+
+
+def _backward_fft(plan_dev, u_hat, nx, nz):
+    if nz > 1:
+        u_hat = _constrain(u_hat, plan_dev, "fft_z")
+        u_hat = jnp.fft.ifft(u_hat, axis=2)
+    u_hat = _constrain(u_hat, plan_dev, "fft_x")
+    p = jnp.fft.irfft(u_hat, n=nx, axis=0)
+    return _constrain(p, plan_dev, "default")
+
+
 def poisson(plan_dev: dict, f, bcs_b=None, bcs_t=None, d1y=None):
     """Solve Lap p = f with the plan's BCs; returns (p[, dpdy]).
 
@@ -244,23 +277,12 @@ def poisson(plan_dev: dict, f, bcs_b=None, bcs_t=None, d1y=None):
     dpdy computed as in the reference's direct method
     (opr_elliptic.f90:446-448).
     """
-    nx = f.shape[0]
-    if bcs_b is not None:
-        f = f.at[:, 0, :].set(bcs_b)
-    else:
-        f = f.at[:, 0, :].set(0.0)
-    if bcs_t is not None:
-        f = f.at[:, -1, :].set(bcs_t)
-    else:
-        f = f.at[:, -1, :].set(0.0)
-
-    f_hat = jnp.fft.rfft(f, axis=0)
-    if f.shape[2] > 1:
-        f_hat = jnp.fft.fft(f_hat, axis=2)
+    nx, _, nz = f.shape
+    f = f.at[:, 0, :].set(0.0 if bcs_b is None else bcs_b)
+    f = f.at[:, -1, :].set(0.0 if bcs_t is None else bcs_t)
+    f_hat = _forward_fft(plan_dev, f)
     u_hat = solve_modal(plan_dev, f_hat)
-    if f.shape[2] > 1:
-        u_hat = jnp.fft.ifft(u_hat, axis=2)
-    p = jnp.fft.irfft(u_hat, n=nx, axis=0).astype(f.dtype)
+    p = _backward_fft(plan_dev, u_hat, nx, nz).astype(f.dtype)
     if d1y is not None:
         from tlab_tpu.ops.derivative import der1
         return p, der1(d1y, p, 1)
@@ -269,16 +291,12 @@ def poisson(plan_dev: dict, f, bcs_b=None, bcs_t=None, d1y=None):
 
 def helmholtz(plan_dev: dict, f, alpha, bcs_b=None, bcs_t=None):
     """Solve Lap a + alpha a = f; modal system u'' - (lambda - alpha) u = f."""
-    nx = f.shape[0]
+    nx, _, nz = f.shape
     f = f.at[:, 0, :].set(0.0 if bcs_b is None else bcs_b)
     f = f.at[:, -1, :].set(0.0 if bcs_t is None else bcs_t)
-    f_hat = jnp.fft.rfft(f, axis=0)
-    if f.shape[2] > 1:
-        f_hat = jnp.fft.fft(f_hat, axis=2)
+    f_hat = _forward_fft(plan_dev, f)
     u_hat = solve_modal(plan_dev, f_hat, alpha=alpha)
-    if f.shape[2] > 1:
-        u_hat = jnp.fft.ifft(u_hat, axis=2)
-    return jnp.fft.irfft(u_hat, n=nx, axis=0).astype(f.dtype)
+    return _backward_fft(plan_dev, u_hat, nx, nz).astype(f.dtype)
 
 
 # ---------------------------------------------------------------------------

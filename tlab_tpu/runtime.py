@@ -1,0 +1,107 @@
+"""Simulation context: assembles grid, plans, and device operators from a
+CaseSetup (the library-level equivalent of the reference's initialization
+prefix shared by dns.x and every pre/post-processing tool,
+cf. dns_main.f90:69-139).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tlab_tpu.config import CaseSetup, load_case
+from tlab_tpu.constants import BC
+from tlab_tpu.dycore import incompressible as dyn
+from tlab_tpu.dycore.state import State
+from tlab_tpu.dycore.timemarch import get_scheme
+from tlab_tpu.fdm.plan import FdmPlan, build_fdm_plan
+from tlab_tpu.grid import Grid, build_axis_from_segments
+from tlab_tpu.ops import elliptic
+from tlab_tpu.physics.params import NSParams
+
+
+def grid_from_case(case: CaseSetup) -> Grid:
+    axes = []
+    for i, d in enumerate("xyz"):
+        segs = case.grid_segments[d]
+        if segs and segs[0]["n"] > 1:
+            axes.append(build_axis_from_segments(segs, case.periodic[i]))
+        else:
+            from tlab_tpu.grid import make_axis
+            axes.append(make_axis(np.zeros(1), False))
+    return Grid(*axes)
+
+
+@dataclasses.dataclass
+class Simulation:
+    case: CaseSetup
+    grid: Grid
+    fdm: FdmPlan
+    nsp: NSParams
+    P: dict                      # dycore device plans
+    ell_plans: dict              # BC -> device elliptic plan (for ICs etc.)
+    dtype: object
+
+    @classmethod
+    def from_case(cls, case_or_path, dtype=None, grid: Optional[Grid] = None,
+                  mesh=None) -> "Simulation":
+        case = case_or_path if isinstance(case_or_path, CaseSetup) \
+            else load_case(case_or_path)
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        if grid is None:
+            grid = grid_from_case(case)
+        fdm = build_fdm_plan(grid, case.space_order1, case.space_order2)
+        nsp = NSParams(reynolds=case.reynolds, schmidt=tuple(case.schmidt),
+                       prandtl=case.prandtl, froude=case.froude,
+                       rossby=case.rossby)
+        scal_bcs = tuple(
+            (b if b in ("dirichlet", "neumann") else "dirichlet",
+             t if t in ("dirichlet", "neumann") else "dirichlet")
+            for b, t in case.scalar_bc)
+        bcs = dyn.WallBCs.from_velocity_kind(case.velocity_bc[0],
+                                             case.velocity_bc[1],
+                                             scalar_bcs=scal_bcs)
+        ell_nn = elliptic.build_elliptic_plan(fdm, ibc=BC.NN)
+        ell_dd = elliptic.build_elliptic_plan(fdm, ibc=BC.DD)
+        ell_plans = {BC.NN: elliptic.device_elliptic_plan(ell_nn, dtype),
+                     BC.DD: elliptic.device_elliptic_plan(ell_dd, dtype)}
+        P = dyn.build_device_plans(fdm, nsp, bcs,
+                                   rk_name=case.time_order, dtype=dtype)
+        if mesh is not None:
+            from tlab_tpu.parallel import gspmd_shardings
+            sh = gspmd_shardings(mesh)
+            P["ell"]["shardings"] = sh
+            for pl in ell_plans.values():
+                pl["shardings"] = sh
+        return cls(case=case, grid=grid, fdm=fdm, nsp=nsp, P=P,
+                   ell_plans=ell_plans, dtype=dtype)
+
+    # -- convenience ops ----------------------------------------------------
+    def zero_state(self) -> State:
+        nx, ny, nz = self.grid.shape
+        z = jnp.zeros((nx, ny, nz), self.dtype)
+        return State(u=z, v=z, w=z,
+                     s=jnp.zeros((self.nsp.n_scalars, nx, ny, nz), self.dtype))
+
+    def curl(self, u, v, w):
+        dy_w = dyn._d1(self.P, "y", 1, w)
+        dz_v = dyn._d1(self.P, "z", 2, v)
+        dz_u = dyn._d1(self.P, "z", 2, u)
+        dx_w = dyn._d1(self.P, "x", 0, w)
+        dx_v = dyn._d1(self.P, "x", 0, v)
+        dy_u = dyn._d1(self.P, "y", 1, u)
+        return dy_w - dz_v, dz_u - dx_w, dx_v - dy_u
+
+    def solenoidal(self, u, v, w):
+        """Remove dilatation: u += grad(phi), lap(phi) = -div(u)
+        (cf. reference FI_SOLENOIDAL, fi_vectorcalculus.f90:72-106)."""
+        div = dyn.divergence(self.P, u, v, w)
+        phi = elliptic.poisson(self.ell_plans[BC.NN], -div)
+        u = u + dyn._d1(self.P, "x", 0, phi)
+        v = v + dyn._d1(self.P, "y", 1, phi)
+        w = w + dyn._d1(self.P, "z", 2, phi)
+        return u, v, w

@@ -1,0 +1,153 @@
+"""Initial-condition generation: inigrid/inirand/iniflow/iniscal equivalents.
+
+Functionally mirrors the reference preprocessing tools
+(src/tools/initialize/{grid,rand,flow,scal}): random fields shaped to a
+target isotropic PSD, velocity construction from broadband vorticity via
+Poisson solves, solenoidal projection, TKE normalization, mean profiles.
+RNG differs from the reference (PCG64 vs Numerical Recipes ran0), so fields
+are statistically, not bitwise, equivalent.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tlab_tpu.constants import BC
+from tlab_tpu.dycore import incompressible as dyn
+from tlab_tpu.dycore.state import State
+from tlab_tpu.ops import elliptic
+from tlab_tpu.runtime import Simulation
+
+
+# ---------------------------------------------------------------------------
+# inirand: spectrally shaped random fields
+# ---------------------------------------------------------------------------
+
+def _spectral_shape(kind: str, f, f0: float, sigma: float):
+    """Target 1-D spectrum E(f) (reference distributions.f90:38-50)."""
+    if kind == "uniform":
+        return np.ones_like(f)
+    if kind == "quartic":
+        return f ** 4 * np.exp(-2.0 * (f / f0) ** 2)
+    if kind == "quadratic":
+        return f ** 2 * np.exp(-2.0 * f / f0)
+    if kind == "gaussian":
+        return np.exp(-0.5 * ((f - f0) / sigma) ** 2) / (sigma * np.sqrt(2 * np.pi))
+    raise ValueError(kind)
+
+
+def random_field(sim: Simulation, rng: np.random.Generator) -> np.ndarray:
+    """One random field with the case's [Broadband] spectrum.
+
+    Gaussian noise in real space, FFT over all directions, amplitude rescaled
+    to the target isotropic PSD keeping phases (reference
+    OPR_Fourier_SetPSD, opr_fourier.f90:660-746).
+    """
+    case = sim.case
+    nx, ny, nz = sim.grid.shape
+    bb = case.broadband
+    noise = rng.standard_normal((nx, ny, nz))
+    u_hat = np.fft.rfftn(noise, axes=(2, 1, 0))      # rfft over x (axis 0)
+
+    fi = np.fft.rfftfreq(nx, d=1.0)[None, None, :] * nx / sim.grid.x.scale
+    fj = (np.fft.fftfreq(ny, d=1.0) * ny / sim.grid.y.scale)[None, :, None] \
+        if ny > 1 else np.zeros((1, 1, 1))
+    fk = (np.fft.fftfreq(nz, d=1.0) * nz / sim.grid.z.scale)[None, None, :].transpose(2, 1, 0) \
+        if nz > 1 else np.zeros((1, 1, 1))
+    f = np.sqrt(fi ** 2 + fj ** 2 + fk ** 2)
+
+    pow_dst = _spectral_shape(bb["spectrum"], f, bb["f0"], bb["sigma"])
+    two_d = (ny == 1) or (nz == 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pow_dst = np.where(f == 0.0, 0.0,
+                           pow_dst / (np.pi * f) if two_d
+                           else pow_dst / (2 * np.pi * f ** 2))
+    amp = np.sqrt(np.maximum(pow_dst, 0.0))
+    mag = np.abs(u_hat)
+    scale = np.where(mag > 0, amp / np.where(mag > 0, mag, 1.0), 0.0)
+    u_hat = u_hat * scale
+    out = np.fft.irfftn(u_hat, s=(nz, ny, nx), axes=(2, 1, 0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# iniflow
+# ---------------------------------------------------------------------------
+
+def _flow_shape(sim: Simulation):
+    """Envelope profiles (f, -f') along y (reference FLOW_SHAPE)."""
+    y = sim.grid.y.nodes
+    prof = sim.case.profile_ini_k
+    f = prof(y)
+    import numpy as np
+    df = sim.fdm.y.d1[BC.DD] @ f
+    return f, -df
+
+
+def velocity_broadband_vorticity(sim: Simulation, rng: np.random.Generator):
+    """Velocity from broadband vorticity: lap(u) = -curl(omega)
+    (reference VELOCITY_BROADBAND, flow_local.f90:302-340)."""
+    nx, ny, nz = sim.grid.shape
+    u = random_field(sim, rng)
+    v = random_field(sim, rng)
+    w = random_field(sim, rng) if nz > 1 else np.zeros((nx, ny, nz))
+
+    # remove horizontal mean per level
+    for a in (u, v, w):
+        a -= a.mean(axis=(0, 2), keepdims=True)
+
+    fshape, dfshape = _flow_shape(sim)
+    uj, vj, wj = jnp.asarray(u), jnp.asarray(v), jnp.asarray(w)
+    ox, oy, oz = sim.curl(uj, vj, wj)
+    env_t = jnp.asarray(dfshape)[None, :, None]
+    env_n = jnp.asarray(fshape)[None, :, None]
+    ox = -ox * env_t
+    oy = -oy * env_n
+    oz = -oz * env_t
+    rx, ry, rz = sim.curl(ox, oy, oz)
+
+    # free-slip walls -> NN for tangential, DD for normal component
+    wall = BC.NN if sim.case.velocity_bc[0] == "freeslip" else BC.DD
+    uj = elliptic.poisson(sim.ell_plans[wall], rx)
+    vj = elliptic.poisson(sim.ell_plans[BC.DD], ry)
+    wj = elliptic.poisson(sim.ell_plans[wall], rz) if nz > 1 else jnp.zeros_like(uj)
+
+    if sim.case.force_dilatation:
+        uj, vj, wj = sim.solenoidal(uj, vj, wj)
+    if nz == 1:
+        wj = jnp.zeros_like(uj)
+
+    if sim.case.normalize_k >= 0.0:
+        tke_prof = 0.5 * (jnp.mean(uj ** 2, axis=(0, 2))
+                          + jnp.mean(vj ** 2, axis=(0, 2))
+                          + jnp.mean(wj ** 2, axis=(0, 2)))
+        amp = jnp.sqrt(sim.case.normalize_k / jnp.max(tke_prof))
+        uj, vj, wj = uj * amp, vj * amp, wj * amp
+    return uj, vj, wj
+
+
+def initial_state(sim: Simulation, seed: int = 7) -> State:
+    """Full IC: mean profiles + perturbations per [IniFields]."""
+    rng = np.random.default_rng(seed)
+    nx, ny, nz = sim.grid.shape
+    y = sim.grid.y.nodes
+
+    if sim.case.ini_velocity in ("vorticitybroadband", "velocitybroadband"):
+        u, v, w = velocity_broadband_vorticity(sim, rng)
+    else:
+        z = jnp.zeros((nx, ny, nz), sim.dtype)
+        u, v, w = z, z, z
+
+    # mean profiles
+    pu, pv, pw = sim.case.vel_profiles
+    u = (u + jnp.asarray(pu(y))[None, :, None]).astype(sim.dtype)
+    v = (v + jnp.asarray(pv(y))[None, :, None]).astype(sim.dtype)
+    w = (w + jnp.asarray(pw(y))[None, :, None]).astype(sim.dtype)
+
+    scals = []
+    for i, prof in enumerate(sim.case.scal_profiles):
+        base = jnp.broadcast_to(jnp.asarray(prof(y))[None, :, None],
+                                (nx, ny, nz))
+        scals.append(base.astype(sim.dtype))
+    s = jnp.stack(scals) if scals else jnp.zeros((0, nx, ny, nz), sim.dtype)
+    return State(u=u, v=v, w=w, s=s)
