@@ -236,7 +236,11 @@ def load_case(path_or_ini) -> CaseSetup:
         ini_scalar=ini.get("IniFields", "Scalar", "None").lower(),
         force_dilatation=ini.get_bool("IniFields", "ForceDilatation", True),
         normalize_k=ini.get_float("IniFields", "NormalizeK", -1.0),
-        profile_ini_k=_read_profile(ini, "inifields", "IniK", jscale),
+        # IniK is a pure shape: amplitude forced to 1 and mean to 0
+        # (reference flow_local.f90:112-113)
+        profile_ini_k=dataclasses.replace(
+            _read_profile(ini, "inifields", "IniK", jscale),
+            delta=1.0, mean=0.0),
         broadband=bb,
         grid_segments=segs,
         ini=ini,

@@ -1,0 +1,82 @@
+"""Command-line entry points sharing one tlab.ini-compatible config.
+
+Usage:  python -m tlab_tpu.tools.cli <command> [--ini tlab.ini] [options]
+Commands: inigrid, inirand, iniflow, iniscal, dns, bench-step.
+Equivalent surface to the reference executables inigrid.x/inirand.x/
+iniflow.x/iniscal.x/dns.x.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tlab-tpu")
+    ap.add_argument("command", choices=["inigrid", "inirand", "iniflow",
+                                        "iniscal", "ini", "dns"])
+    ap.add_argument("--ini", default="tlab.ini")
+    ap.add_argument("--outdir", default=".")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--x64", action="store_true",
+                    help="run in float64 (validation mode)")
+    ap.add_argument("--steps", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from tlab_tpu.config import load_case
+    from tlab_tpu.runtime import Simulation, grid_from_case
+    from tlab_tpu.grid import write_reference_grid
+
+    case = load_case(args.ini)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    if args.command == "inigrid":
+        grid = grid_from_case(case)
+        write_reference_grid(os.path.join(args.outdir, "grid"), grid)
+        case.ini.write_bak(os.path.join(args.outdir,
+                                        os.path.basename(args.ini) + ".bak"))
+        print(f"grid written: {grid.shape}")
+        return 0
+
+    sim = Simulation.from_case(case)
+
+    if args.command in ("inirand", "iniflow", "iniscal", "ini"):
+        from tlab_tpu.tools.initialize import initial_state
+        from tlab_tpu.io import fields_io
+        state = initial_state(sim, seed=args.seed)
+        fields_io.write_state(os.path.join(args.outdir, "flow"),
+                              os.path.join(args.outdir, "scal"),
+                              case.it_start, state, 0.0, sim.nsp.visc)
+        print(f"initial fields written at it={case.it_start}")
+        return 0
+
+    if args.command == "dns":
+        from tlab_tpu.io import fields_io
+        from tlab_tpu.tools import dns as dns_tool
+        from tlab_tpu.dycore.state import State
+        import jax.numpy as jnp
+        import numpy as np
+
+        it0 = case.it_start
+        u, v, w, s, rtime, _ = fields_io.read_state(
+            os.path.join(args.outdir, "flow"),
+            os.path.join(args.outdir, "scal"), it0, sim.nsp.n_scalars)
+        state = State(u=jnp.asarray(u, sim.dtype), v=jnp.asarray(v, sim.dtype),
+                      w=jnp.asarray(w, sim.dtype),
+                      s=jnp.asarray(s, sim.dtype))
+        run = dns_tool.run(sim, state, outdir=args.outdir, itime=it0,
+                           rtime=float(rtime), n_steps=args.steps,
+                           log_path=os.path.join(args.outdir, "dns.out"))
+        print("\n".join(run.log.lines[-3:]))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

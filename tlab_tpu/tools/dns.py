@@ -1,0 +1,126 @@
+"""DNS driver: the dns.x equivalent time loop.
+
+Outer loop on the host (adaptive dt, logging, checkpoints); the full RK step
+is one jitted device call. Structure mirrors reference dns_main.f90:246-361;
+the dns.out step log reproduces the reference's columns
+(Itn. time dt CFL# D# visc DilMin DilMax, dns_main.f90:394-495).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+
+from tlab_tpu.dycore import incompressible as dyn
+from tlab_tpu.dycore.state import State
+from tlab_tpu.io import fields_io
+from tlab_tpu.runtime import Simulation
+from tlab_tpu.utils.fortran_fmt import fort_e
+
+
+@dataclasses.dataclass
+class RunLog:
+    path: Optional[str] = None
+    lines: list = dataclasses.field(default_factory=list)
+
+    def header(self):
+        h = ("#" * 93 + "\n"
+             "#  Itn.    time          dt         CFL#       D#         "
+             "visc       DilMin        DilMax     #\n" + "#" * 93)
+        self._write(h)
+
+    def step(self, status, itime, rtime, dt, cfl, dnum, visc, dmin, dmax):
+        line = (f"{status} {itime:7d}  {fort_e(rtime, 6)}  {fort_e(dt, 3)}  "
+                f"{fort_e(cfl, 3)}  {fort_e(dnum, 3)}  {fort_e(visc, 3)} "
+                f"{fort_e(dmin, 6)}  {fort_e(dmax, 6)}")
+        self._write(line)
+
+    def _write(self, text):
+        self.lines.append(text)
+        if self.path:
+            with open(self.path, "a") as fh:
+                fh.write(text + "\n")
+
+
+@dataclasses.dataclass
+class DnsRun:
+    sim: Simulation
+    state: State
+    itime: int
+    rtime: float
+    log: RunLog
+
+
+def make_step_functions(sim: Simulation):
+    P = sim.P
+
+    @jax.jit
+    def step(state, dtime):
+        new_state, _ = dyn.rk_step(P, state, dtime)
+        cfl = dyn.cfl_advective_max(P, new_state)
+        dmin, dmax = dyn.dilatation_minmax(P, new_state)
+        return new_state, cfl, dmin, dmax
+
+    @jax.jit
+    def cfl_only(state):
+        return dyn.cfl_advective_max(P, state)
+
+    return step, cfl_only
+
+
+def run(sim: Simulation, state: State, outdir: str = ".",
+        itime: int = 0, rtime: float = 0.0,
+        n_steps: Optional[int] = None, log_path: Optional[str] = None,
+        checkpoint: bool = True, nan_abort: bool = True) -> DnsRun:
+    case = sim.case
+    n_steps = n_steps if n_steps is not None else (case.it_end - itime)
+    step, cfl_only = make_step_functions(sim)
+
+    log = RunLog(path=log_path)
+    log.header()
+
+    cfla = case.time_cfl
+    cfld = case.time_cfl_diffusive
+    fixed_dt = case.time_step if case.time_step > 0 else None
+    dconst = sim.P["diffusion_constant"]
+    visc = sim.nsp.visc
+
+    # initial dt + step-0 log line
+    cmax = float(cfl_only(state))
+    dtime = fixed_dt or dyn.next_dt(sim.P, cmax, cfla, cfld)
+    dmin0, dmax0 = dyn.dilatation_minmax(sim.P, state)
+    log.step(0, itime, rtime, dtime, dtime * cmax, dtime * dconst, visc,
+             float(dmin0), float(dmax0))
+
+    status = 0
+    for _ in range(n_steps):
+        state, cmax_dev, dmin, dmax = step(state, dtime)
+        itime += 1
+        rtime += dtime
+        cmax = float(cmax_dev)
+        dmin, dmax = float(dmin), float(dmax)
+        if nan_abort and not np.isfinite(cmax):
+            status = 1                   # reference logs_data(1) != 0 path
+            log.step(status, itime, rtime, dtime, np.nan, np.nan, visc,
+                     dmin, dmax)
+            break
+        new_dt = fixed_dt or dyn.next_dt(sim.P, cmax, cfla, cfld)
+        if itime % case.it_log == 0:
+            log.step(status, itime, rtime, new_dt, new_dt * cmax,
+                     new_dt * dconst, visc, dmin, dmax)
+        if checkpoint and case.it_restart > 0 and itime % case.it_restart == 0:
+            fields_io.write_state(os.path.join(outdir, "flow"),
+                                  os.path.join(outdir, "scal"),
+                                  itime, state, rtime, visc)
+        dtime = new_dt
+
+    if checkpoint and status != 0 and case.it_restart > 0 \
+            and itime % case.it_restart != 0:
+        fields_io.write_state(os.path.join(outdir, "flow"),
+                              os.path.join(outdir, "scal"),
+                              itime, state, rtime, visc)
+    return DnsRun(sim=sim, state=state, itime=itime, rtime=rtime, log=log)
