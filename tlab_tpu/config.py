@@ -128,6 +128,8 @@ class CaseSetup:
     profile_ini_k: Profile
     broadband: dict
     grid_segments: dict            # per direction list of segment dicts
+    buoyancy: object               # BuoyancyProps
+    coriolis: object               # CoriolisProps
     ini: Ini
 
 
@@ -184,6 +186,31 @@ def load_case(path_or_ini) -> CaseSetup:
         (ini.get("BoundaryConditions", f"Scalar{i+1}Jmin", "none").lower(),
          ini.get("BoundaryConditions", f"Scalar{i+1}Jmax", "none").lower())
         for i in range(n_scal))
+
+    from tlab_tpu.physics.gravity import BuoyancyProps
+    from tlab_tpu.physics.rotation import CoriolisProps
+
+    froude = ini.get_float("Parameters", "Froude", 1.0)
+    rossby = ini.get_float("Parameters", "Rossby", 1.0)
+    gsec = "Gravity" if ini.get("Gravity", "Vector", "") else "BodyForce"
+    gtype = ini.get(gsec, "Type",
+                    ini.get("Main", "TermBodyForce", "none")).lower()
+    gvec = ini.get_floats(gsec, "Vector", (0.0, 0.0, 0.0))
+    buoyancy = BuoyancyProps(
+        type=gtype,
+        vector=tuple(v / froude for v in gvec),
+        parameters=ini.get_floats(gsec, "Parameters", (0.0,) * 10) or (0.0,))
+
+    ctype = ini.get("Rotation", "Type",
+                    ini.get("Main", "TermCoriolis", "none")).lower()
+    cvec = ini.get_floats("Rotation", "Vector", (0.0, 1.0, 0.0))
+    cpar = ini.get_floats("Rotation", "Parameters", (0.0, 1.0))
+    if len(cpar) < 2 or cpar[1] == 0.0:
+        cpar = (cpar[0] if cpar else 0.0, 1.0)
+    coriolis = CoriolisProps(
+        type=ctype,
+        vector=tuple(v / rossby for v in cvec),
+        parameters=tuple(cpar))
 
     bb = {
         "distribution": ini.get("Broadband", "Distribution", "none").lower(),
@@ -243,5 +270,7 @@ def load_case(path_or_ini) -> CaseSetup:
             delta=1.0, mean=0.0),
         broadband=bb,
         grid_segments=segs,
+        buoyancy=buoyancy,
+        coriolis=coriolis,
         ini=ini,
     )

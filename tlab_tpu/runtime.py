@@ -23,6 +23,44 @@ from tlab_tpu.ops import elliptic
 from tlab_tpu.physics.params import NSParams
 
 
+def make_sources(case: CaseSetup, grid: Grid, dtype):
+    """Momentum source-term hook (buoyancy + Coriolis), the equivalent of the
+    reference's TLab_Sources_Flow dispatcher (src/physics/tlab_sources.f90).
+    Returns None when no source is active (keeps the RHS free of dead ops).
+    """
+    from tlab_tpu.physics import gravity as grav
+    from tlab_tpu.physics import rotation as rot
+
+    buo = getattr(case, "buoyancy", None)
+    cor = getattr(case, "coriolis", None)
+    buo_on = buo is not None and buo.type != "none" and any(buo.active)
+    cor_on = cor is not None and cor.type != "none"
+    if not (buo_on or cor_on):
+        return None
+
+    bback = grav.background_profile(buo, case.scal_profiles,
+                                    grid.y.nodes) if buo_on \
+        else np.zeros(grid.y.size)
+    bback = jnp.asarray(bback, dtype)
+
+    def sources(P, state, h1, h2, h3, hs):
+        if cor_on:
+            r1, r2, r3 = rot.coriolis_tendency(cor, state.u, state.v, state.w)
+            h1, h2, h3 = h1 + r1, h2 + r2, h3 + r3
+        if buo_on:
+            b = grav.buoyancy_field(buo, state.s, bback)
+            gx, gy, gz = buo.vector
+            if abs(gx) > 0:
+                h1 = h1 + gx * b
+            if abs(gy) > 0:
+                h2 = h2 + gy * b
+            if abs(gz) > 0:
+                h3 = h3 + gz * b
+        return h1, h2, h3, hs
+
+    return sources
+
+
 def grid_from_case(case: CaseSetup) -> Grid:
     axes = []
     for i, d in enumerate("xyz"):
@@ -69,8 +107,10 @@ class Simulation:
         ell_dd = elliptic.build_elliptic_plan(fdm, ibc=BC.DD)
         ell_plans = {BC.NN: elliptic.device_elliptic_plan(ell_nn, dtype),
                      BC.DD: elliptic.device_elliptic_plan(ell_dd, dtype)}
+        bodyforce = make_sources(case, grid, dtype)
         P = dyn.build_device_plans(fdm, nsp, bcs,
-                                   rk_name=case.time_order, dtype=dtype)
+                                   rk_name=case.time_order, dtype=dtype,
+                                   bodyforce=bodyforce)
         if mesh is not None:
             from tlab_tpu.parallel import gspmd_shardings
             sh = gspmd_shardings(mesh)
