@@ -1,0 +1,72 @@
+"""Statistics validation: moments, Parseval identities, PDF normalization."""
+import numpy as np
+import jax.numpy as jnp
+
+from tlab_tpu.dycore import incompressible as dyn
+from tlab_tpu.dycore.state import State
+from tlab_tpu.fdm.plan import build_fdm_plan
+from tlab_tpu.grid import uniform_grid
+from tlab_tpu.physics.params import NSParams
+from tlab_tpu.stats import averages, pdfs, spectra
+
+
+def _setup(nx=32, ny=24, nz=16):
+    grid = uniform_grid(nx, ny, nz, 2 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    nsp = NSParams(reynolds=100.0, schmidt=(1.0,))
+    bcs = dyn.WallBCs.from_velocity_kind("freeslip", "freeslip",
+                                         scalar_bcs=(("neumann", "neumann"),))
+    P = dyn.build_device_plans(fdm, nsp, bcs, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    st = State(u=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+               v=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+               w=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+               s=jnp.asarray(rng.standard_normal((1, nx, ny, nz))))
+    return grid, nsp, P, st
+
+
+def test_flow_statistics_basic():
+    grid, nsp, P, st = _setup()
+    out = averages.flow_statistics(P, st, nsp.visc)
+    U = np.asarray(out["rU"])
+    assert np.allclose(U, np.asarray(st.u).mean(axis=(0, 2)), atol=1e-12)
+    assert np.all(np.asarray(out["Tke"]) > 0)
+    assert np.all(np.asarray(out["Eps"]) > 0)
+    # gaussian noise: skewness ~ 0, flatness ~ 3
+    assert np.max(np.abs(np.asarray(out["SU"]))) < 0.5
+    assert np.max(np.abs(np.asarray(out["FU"]) - 3.0)) < 1.0
+
+
+def test_scalar_statistics_basic():
+    grid, nsp, P, st = _setup()
+    out = averages.scalar_statistics(P, st, nsp.diffusivity(0), 0)
+    assert np.allclose(np.asarray(out["rS"]),
+                       np.asarray(st.s[0]).mean(axis=(0, 2)), atol=1e-12)
+    assert np.all(np.asarray(out["Chi"]) > 0)
+
+
+def test_spectrum_parseval():
+    grid, nsp, P, st = _setup()
+    e = np.asarray(spectra.spectrum_x(st.u))
+    var = np.asarray(jnp.mean(st.u ** 2, axis=(0, 2)))
+    assert np.allclose(e.sum(axis=0), var, rtol=1e-10)
+    ez = np.asarray(spectra.spectrum_z(st.u))
+    assert np.allclose(ez.sum(axis=0), var, rtol=1e-10)
+
+
+def test_pdf_counts():
+    grid, nsp, P, st = _setup()
+    counts, edges = pdfs.pdf_per_plane(st.u, nbins=32)
+    counts = np.asarray(counts)
+    nx, ny, nz = st.u.shape
+    assert counts.shape == (ny, 32)
+    assert np.allclose(counts.sum(axis=1), nx * nz)
+
+
+def test_table_roundtrip(tmp_path):
+    grid, nsp, P, st = _setup()
+    out = averages.flow_statistics(P, st, nsp.visc)
+    path = str(tmp_path / "avg10")
+    averages.write_table(path, grid.y.nodes, out, 10, 0.5)
+    back = averages.read_table(path)
+    assert np.allclose(back["Tke"], np.asarray(out["Tke"]), atol=1e-7)

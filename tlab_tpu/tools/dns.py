@@ -72,6 +72,22 @@ def make_step_functions(sim: Simulation):
     return step, cfl_only
 
 
+def write_statistics(sim: Simulation, state: State, outdir: str,
+                     itime: int, rtime: float) -> None:
+    """avg<itime> / avg<itime>s<i> plane-statistics tables
+    (reference DNS_STATISTICS_TEMPORAL, dns_statistics.f90:56)."""
+    from tlab_tpu.stats import averages as avg
+
+    y = sim.grid.y.nodes
+    flow = avg.flow_statistics(sim.P, state, sim.nsp.visc)
+    avg.write_table(os.path.join(outdir, f"avg{itime}"), y, flow,
+                    itime, rtime)
+    for i in range(sim.nsp.n_scalars):
+        sc = avg.scalar_statistics(sim.P, state, sim.nsp.diffusivity(i), i)
+        avg.write_table(os.path.join(outdir, f"avg{itime}s{i + 1}"), y, sc,
+                        itime, rtime)
+
+
 def run(sim: Simulation, state: State, outdir: str = ".",
         itime: int = 0, rtime: float = 0.0,
         n_steps: Optional[int] = None, log_path: Optional[str] = None,
@@ -116,6 +132,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             fields_io.write_state(os.path.join(outdir, "flow"),
                                   os.path.join(outdir, "scal"),
                                   itime, state, rtime, visc)
+        if case.it_stats > 0 and itime % case.it_stats == 0:
+            write_statistics(sim, state, outdir, itime, rtime)
         dtime = new_dt
 
     if checkpoint and status != 0 and case.it_restart > 0 \
