@@ -130,6 +130,8 @@ class CaseSetup:
     grid_segments: dict            # per direction list of segment dicts
     buoyancy: object               # BuoyancyProps
     coriolis: object               # CoriolisProps
+    buffer: object                 # BufferSpec
+    filter: object                 # FilterSpec
     ini: Ini
 
 
@@ -212,6 +214,28 @@ def load_case(path_or_ini) -> CaseSetup:
         vector=tuple(v / rossby for v in cvec),
         parameters=tuple(cpar))
 
+    from tlab_tpu.dycore.buffer import BufferSpec
+    from tlab_tpu.ops.filter import FilterSpec
+
+    bpar = ini.get_floats("BufferZone", "ParametersJmin",
+                          ini.get_floats("BufferZone", "Parameters", (1.0, 2.0)))
+    buffer_spec = BufferSpec(
+        type=ini.get("BufferZone", "Type", "none").lower(),
+        points_jmin=ini.get_int("BufferZone", "PointsJmin", 0),
+        points_jmax=ini.get_int("BufferZone", "PointsJmax", 0),
+        strength=bpar[0] if bpar else 1.0,
+        sigma=bpar[1] if len(bpar) > 1 else 2.0)
+
+    ftype = ini.get("Filter", "Type", "none").lower()
+    filter_spec = FilterSpec(
+        type=ftype,
+        parameters=ini.get_floats("Filter", "Parameters", (0.49,)) or (0.49,),
+        active=(ini.get_bool("Filter", "ActiveX", True),
+                ini.get_bool("Filter", "ActiveY", True),
+                ini.get_bool("Filter", "ActiveZ", True)),
+        step=ini.get_int("Filter", "Step",
+                         ini.get_int("Iteration", "Filter", 0)))
+
     bb = {
         "distribution": ini.get("Broadband", "Distribution", "none").lower(),
         "spectrum": ini.get("Broadband", "Spectrum", "quadratic").lower(),
@@ -272,5 +296,7 @@ def load_case(path_or_ini) -> CaseSetup:
         grid_segments=segs,
         buoyancy=buoyancy,
         coriolis=coriolis,
+        buffer=buffer_spec,
+        filter=filter_spec,
         ini=ini,
     )

@@ -218,6 +218,17 @@ def substep_rhs(P, state: State, hq, hs, dte):
     if P["bodyforce"] is not None:
         h1, h2, h3, hs = P["bodyforce"](P, state, h1, h2, h3, hs)
 
+    # buffer/sponge relaxation before the projection
+    # (reference rhs_global_incompressible_1.f90:172)
+    buf = P.get("buffer")
+    if buf is not None:
+        from tlab_tpu.dycore import buffer as bufmod
+        h1 = bufmod.relax(buf, "u", u, h1)
+        h2 = bufmod.relax(buf, "v", v, h2)
+        h3 = bufmod.relax(buf, "w", w, h3)
+        hs = jnp.stack([bufmod.relax(buf, f"s{i}", s[i], hs[i])
+                        for i in range(s.shape[0])]) if s.shape[0] else hs
+
     # pressure projection (reference :177-360)
     inv_dte = 1.0 / dte
     fx = h1 + u * inv_dte

@@ -1,0 +1,70 @@
+"""3-D field filtering (reference src/operators/opr_filter.f90).
+
+A FilterPlan holds one dense line-filter matrix per active direction; the
+3-D filter is their composition, each one MXU matmul. Used for the domain
+filter (every nitera_filter steps), dealiasing, and pressure filtering.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from tlab_tpu.fdm import filters as flt
+from tlab_tpu.fdm.plan import FdmPlan
+from tlab_tpu.ops.derivative import apply_along
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterSpec:
+    type: str = "none"       # none|compact|explicit6|explicit4|tophat|spectralband|spectralerf|helmholtz
+    parameters: tuple = (0.49,)
+    active: tuple = (True, True, True)
+    step: int = 0            # domain-filter cadence (0 = off)
+
+
+def build_filter_matrices(fdm: FdmPlan, spec: FilterSpec, dtype=jnp.float64):
+    """dict axis -> device matrix (None for inactive/size-1 directions)."""
+    out = {}
+    for name, plan, on in (("x", fdm.x, spec.active[0]),
+                           ("y", fdm.y, spec.active[1]),
+                           ("z", fdm.z, spec.active[2])):
+        if not on or plan.size == 1 or spec.type == "none":
+            out[name] = None
+            continue
+        if spec.type == "compact":
+            M = flt.compact4_matrix(plan.nodes, spec.parameters[0],
+                                    plan.periodic)
+        elif spec.type == "explicit6":
+            M = flt.explicit6_matrix(plan.size, plan.periodic)
+        elif spec.type == "explicit4":
+            M = flt.explicit4_matrix(plan.nodes, plan.periodic)
+        elif spec.type == "tophat":
+            M = flt.tophat_matrix(plan.nodes,
+                                  int(spec.parameters[0]) if spec.parameters else 2,
+                                  plan.periodic)
+        else:
+            raise NotImplementedError(f"filter type {spec.type}")
+        out[name] = jnp.asarray(M, dtype)
+    return out
+
+
+def apply_filter(mats: dict, a):
+    for name, axis in (("x", 0), ("y", 1), ("z", 2)):
+        M = mats.get(name)
+        if M is not None:
+            a = apply_along(M, a, axis)
+    return a
+
+
+def filter_state(mats: dict, state):
+    from tlab_tpu.dycore.state import State
+    s = state.s
+    if s.shape[0]:
+        s = jnp.stack([apply_filter(mats, s[i]) for i in range(s.shape[0])])
+    return State(u=apply_filter(mats, state.u),
+                 v=apply_filter(mats, state.v),
+                 w=apply_filter(mats, state.w),
+                 s=s)

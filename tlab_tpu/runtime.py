@@ -120,6 +120,29 @@ class Simulation:
         return cls(case=case, grid=grid, fdm=fdm, nsp=nsp, P=P,
                    ell_plans=ell_plans, dtype=dtype)
 
+    # -- optional subsystems ------------------------------------------------
+    def attach_buffer(self, state: State) -> None:
+        """Build sponge-zone relaxation data with reference profiles taken
+        from the given (initial) state, reference BOUNDARY_BUFFER_INITIALIZE."""
+        from tlab_tpu.dycore import buffer as bufmod
+        spec = getattr(self.case, "buffer", None)
+        if spec is None or spec.type == "none":
+            return
+        refs = {"u": jnp.mean(state.u, axis=(0, 2)),
+                "v": jnp.mean(state.v, axis=(0, 2)),
+                "w": jnp.mean(state.w, axis=(0, 2))}
+        for i in range(state.s.shape[0]):
+            refs[f"s{i}"] = jnp.mean(state.s[i], axis=(0, 2))
+        self.P["buffer"] = bufmod.build_buffer(self.grid.y.nodes, spec, refs,
+                                               self.dtype)
+
+    def filter_matrices(self):
+        from tlab_tpu.ops.filter import build_filter_matrices
+        spec = getattr(self.case, "filter", None)
+        if spec is None or spec.type == "none":
+            return None
+        return build_filter_matrices(self.fdm, spec, self.dtype)
+
     # -- convenience ops ----------------------------------------------------
     def zero_state(self) -> State:
         nx, ny, nz = self.grid.shape

@@ -94,7 +94,16 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         checkpoint: bool = True, nan_abort: bool = True) -> DnsRun:
     case = sim.case
     n_steps = n_steps if n_steps is not None else (case.it_end - itime)
+    sim.attach_buffer(state)
     step, cfl_only = make_step_functions(sim)
+
+    filt = sim.filter_matrices()
+    filt_step = getattr(getattr(case, "filter", None), "step", 0)
+    if filt is not None and filt_step > 0:
+        from tlab_tpu.ops.filter import filter_state
+        filter_fn = jax.jit(lambda st: filter_state(filt, st))
+    else:
+        filter_fn = None
 
     log = RunLog(path=log_path)
     log.header()
@@ -117,6 +126,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         state, cmax_dev, dmin, dmax = step(state, dtime)
         itime += 1
         rtime += dtime
+        if filter_fn is not None and itime % filt_step == 0:
+            state = filter_fn(state)        # reference DNS_FILTER cadence
         cmax = float(cmax_dev)
         dmin, dmax = float(dmin), float(dmax)
         if nan_abort and not np.isfinite(cmax):
