@@ -144,6 +144,14 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
 # Operators
 # ---------------------------------------------------------------------------
 
+def _axis_comm(P, axis_name: str):
+    """Pencil-communication descriptor if this direction is sharded."""
+    comm = P.get("comm")
+    if comm is None or axis_name == "y":
+        return None
+    return comm if comm.get(f"p{axis_name}", 1) > 1 else None
+
+
 def _burgers(P, axis_name: str, axis: int, a, conv, diff):
     """nu * d2(a) - conv * d1(a) along `axis` (one fused matmul)."""
     d12 = P.get(f"d12{axis_name}")
@@ -163,6 +171,13 @@ def _d1(P, axis_name: str, axis: int, a):
     M = P.get(f"d1{axis_name}")
     if M is None:
         return jnp.zeros_like(a)
+    comm = _axis_comm(P, axis_name)
+    if comm is not None:
+        from tlab_tpu.parallel import pencil
+        off = a.ndim - 3
+        a_g = pencil.GATHER[axis_name](a, off)
+        r = der1(M, a_g, axis)
+        return pencil.SCATTER[axis_name](r, off)
     return der1(M, a, axis)
 
 
@@ -192,27 +207,61 @@ def _apply_wall_rows(h, rows):
 # RHS of one substep (explicit, combined formulation)
 # ---------------------------------------------------------------------------
 
+def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
+    """Fused Burgers for ALL prognostic fields along one direction.
+
+    fields: (F, nx, ny, nz) stacked u,v,w,s...; conv: advecting velocity
+    broadcast over F; nu: (F, 1, 1, 1) per-field diffusivity. One big
+    [D1; D2] matmul for the whole stack -> maximal MXU utilization (the
+    batched analog of the reference's per-field OPR_Burgers calls).
+    """
+    d12 = P.get(f"d12{axis_name}")
+    if d12 is None:
+        return jnp.zeros_like(fields)
+    comm = _axis_comm(P, axis_name)
+    if comm is not None:
+        # the advecting velocity rides the same all-to-all as the fields
+        from tlab_tpu.parallel import pencil
+        stack = jnp.concatenate([fields, conv[None]], axis=0)
+        stack = pencil.GATHER[axis_name](stack, 1)
+        fields_t, conv_t = stack[:-1], stack[-1]
+    else:
+        fields_t, conv_t = fields, conv
+    n = fields_t.shape[axis + 1]
+    pref = jnp.float32 if fields.dtype in (jnp.bfloat16, jnp.float16) \
+        else fields.dtype
+    eins = {0: "ab,fbjk->fajk", 1: "ab,fibk->fiak", 2: "ab,fijb->fija"}[axis]
+    both = jnp.einsum(eins, d12, fields_t,
+                      preferred_element_type=pref).astype(fields.dtype)
+    sl1 = [slice(None)] * 4
+    sl2 = [slice(None)] * 4
+    sl1[axis + 1] = slice(0, n)
+    sl2[axis + 1] = slice(n, 2 * n)
+    da, d2a = both[tuple(sl1)], both[tuple(sl2)]
+    res = nu * d2a - conv_t[None] * da
+    if comm is not None:
+        res = pencil.SCATTER[axis_name](res, 1)
+    return res
+
+
 def substep_rhs(P, state: State, hq, hs, dte):
     u, v, w, s = state.u, state.v, state.w, state.s
     visc = P["visc"]
     h1, h2, h3 = hq
+    ns = s.shape[0]
 
-    # advection-diffusion (reference rhs_global_incompressible_1.f90:96-160)
-    h1 = h1 + _burgers(P, "x", 0, u, u, visc) \
-        + _burgers(P, "y", 1, u, v, visc) + _burgers(P, "z", 2, u, w, visc)
-    h2 = h2 + _burgers(P, "x", 0, v, u, visc) \
-        + _burgers(P, "y", 1, v, v, visc) + _burgers(P, "z", 2, v, w, visc)
-    h3 = h3 + _burgers(P, "x", 0, w, u, visc) \
-        + _burgers(P, "y", 1, w, v, visc) + _burgers(P, "z", 2, w, w, visc)
-
-    hs_new = []
-    for i in range(s.shape[0]):
-        diff = P["diff"][i]
-        hs_new.append(hs[i]
-                      + _burgers(P, "x", 0, s[i], u, diff)
-                      + _burgers(P, "y", 1, s[i], v, diff)
-                      + _burgers(P, "z", 2, s[i], w, diff))
-    hs = jnp.stack(hs_new) if hs_new else hs
+    # advection-diffusion for all fields at once
+    # (reference rhs_global_incompressible_1.f90:96-160)
+    fields = jnp.concatenate([u[None], v[None], w[None], s], axis=0)
+    nu = jnp.asarray((visc,) * 3 + tuple(P["diff"]),
+                     fields.dtype)[:, None, None, None]
+    adv = (_burgers_all(P, "x", 0, fields, u, nu)
+           + _burgers_all(P, "y", 1, fields, v, nu)
+           + _burgers_all(P, "z", 2, fields, w, nu))
+    h1 = h1 + adv[0]
+    h2 = h2 + adv[1]
+    h3 = h3 + adv[2]
+    hs = hs + adv[3:] if ns else hs
 
     # sources hook (buoyancy along y etc.)
     if P["bodyforce"] is not None:
@@ -238,8 +287,14 @@ def substep_rhs(P, state: State, hq, hs, dte):
 
     bcs_b = h2[:, 0, :]
     bcs_t = h2[:, -1, :]
-    p, dpdy = elliptic.poisson(P["ell"], div, bcs_b=bcs_b, bcs_t=bcs_t,
-                               d1y=P["d1y"])
+    if P.get("comm") is not None:
+        from tlab_tpu.parallel import pencil
+        p, dpdy = pencil.pencil_poisson(P["ell"], div, P["comm"],
+                                        bcs_b=bcs_b, bcs_t=bcs_t,
+                                        d1y=P["d1y"])
+    else:
+        p, dpdy = elliptic.poisson(P["ell"], div, bcs_b=bcs_b, bcs_t=bcs_t,
+                                   d1y=P["d1y"])
     h1 = h1 - _d1(P, "x", 0, p)
     h2 = h2 - dpdy
     h3 = h3 - _d1(P, "z", 2, p)

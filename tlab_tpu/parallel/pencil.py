@@ -1,0 +1,176 @@
+"""Explicit pencil-transpose engine: shard_map + ICI all-to-all.
+
+The TPU-native re-design of the reference's global transpose engine
+(src/base/tlab_mpi_transpose.f90): fields live block-sharded (nx/Px, ny,
+nz/Pz) on the ('x','z') mesh; an x- or z-derivative gathers full lines with
+ONE lax.all_to_all over the corresponding mesh axis, applies the dense
+operator locally, and scatters back. Unlike the reference (one transpose
+round-trip per field), the advected fields and the advecting velocity ride
+the SAME all-to-all as a stacked tensor: 2 collectives per direction per
+substep for the whole Burgers batch.
+
+The Poisson chain (cf. reference OPR_Fourier + OPR_Poisson):
+  x-gather -> rfft_x -> kx re-split over 'x' -> kx re-split over 'z' with
+  full-z gather -> fft_z -> per-mode vertical eigen solve (y local by
+  construction) -> inverse chain.
+kx is zero-padded to a multiple of Px*Pz to keep the all-to-alls tiled.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as PSpec
+from jax import shard_map
+
+from tlab_tpu.dycore.state import State
+
+
+# ---------------------------------------------------------------------------
+# all_to_all helpers (operate on the LOCAL block inside shard_map)
+# ---------------------------------------------------------------------------
+
+def gather_x(a, field_axis_offset=0):
+    """(.., nxl, ny, nzl) -> (.., nx, ny, nzl/Px) over mesh axis 'x'."""
+    o = field_axis_offset
+    return lax.all_to_all(a, "x", split_axis=2 + o, concat_axis=0 + o,
+                          tiled=True)
+
+
+def scatter_x(a, field_axis_offset=0):
+    o = field_axis_offset
+    return lax.all_to_all(a, "x", split_axis=0 + o, concat_axis=2 + o,
+                          tiled=True)
+
+
+def gather_z(a, field_axis_offset=0):
+    """(.., nxl, ny, nzl) -> (.., nxl/Pz, ny, nz) over mesh axis 'z'."""
+    o = field_axis_offset
+    return lax.all_to_all(a, "z", split_axis=0 + o, concat_axis=2 + o,
+                          tiled=True)
+
+
+def scatter_z(a, field_axis_offset=0):
+    o = field_axis_offset
+    return lax.all_to_all(a, "z", split_axis=2 + o, concat_axis=0 + o,
+                          tiled=True)
+
+
+GATHER = {"x": gather_x, "z": gather_z}
+SCATTER = {"x": scatter_x, "z": scatter_z}
+
+
+# ---------------------------------------------------------------------------
+# Pencil Poisson
+# ---------------------------------------------------------------------------
+
+def _kx_offset(nkx_pad, px, pz):
+    ix = lax.axis_index("x")
+    iz = lax.axis_index("z")
+    return ix * (nkx_pad // px) + iz * (nkx_pad // (px * pz))
+
+
+def pencil_poisson(plan_dev, f, comm, bcs_b=None, bcs_t=None, d1y=None):
+    """Distributed Poisson on local blocks inside shard_map.
+
+    f: local (nxl, ny, nzl). plan_dev must carry 'lam_x_pad' (nkx_pad,),
+    'lam_z' (nz,) full tables in addition to the eigen matrices.
+    """
+    px, pz = comm["px"], comm["pz"]
+    nxl, ny, nzl = f.shape
+    nx = nxl * px
+
+    f = f.at[:, 0, :].set(0.0 if bcs_b is None else bcs_b)
+    f = f.at[:, -1, :].set(0.0 if bcs_t is None else bcs_t)
+
+    # forward: x lines
+    fg = gather_x(f)                              # (nx, ny, nzl/px)
+    fh = jnp.fft.rfft(fg, axis=0)                 # (nkx, ny, nzl/px)
+    nkx = nx // 2 + 1
+    nkx_pad = plan_dev["nkx_pad"]
+    fh = jnp.pad(fh, ((0, nkx_pad - nkx), (0, 0), (0, 0)))
+    fh = scatter_x(fh)                            # (nkx_pad/px, ny, nzl)
+    fh = gather_z(fh)                             # (nkx_pad/(px pz), ny, nz)
+    if f.shape[2] * pz > 1:
+        fh = jnp.fft.fft(fh, axis=2)
+
+    # vertical modal solve with the local lambda slice
+    chunk = nkx_pad // (px * pz)
+    off = _kx_offset(nkx_pad, px, pz)
+    lam_x = lax.dynamic_slice(plan_dev["lam_x_pad"], (off,), (chunk,))
+    lam = lam_x[:, None] + plan_dev["lam_z"][None, :]
+
+    V, W, lam_eig = plan_dev["V"], plan_dev["W"], plan_dev["lam_eig"]
+    shift = plan_dev["shift"]
+    G = jnp.einsum("ab,kbz->kaz", W.astype(fh.dtype), fh)
+    denom = 1.0 - (lam[:, None, :] - shift) * lam_eig[None, :, None]
+    G = G / denom.astype(fh.dtype)
+    uh = jnp.einsum("ab,kbz->kaz", V.astype(fh.dtype), G)
+
+    S_sing = plan_dev.get("S_sing")
+    if S_sing is not None:
+        f0 = fh[0, :, 0].at[0].set(0.0)
+        u0 = S_sing.astype(fh.dtype) @ f0
+        uh_fixed = uh.at[0, :, 0].set(u0)
+        uh = jnp.where(jnp.equal(off, 0), uh_fixed, uh)
+
+    # backward
+    if f.shape[2] * pz > 1:
+        uh = jnp.fft.ifft(uh, axis=2)
+    uh = scatter_z(uh)                            # (nkx_pad/px, ny, nzl)
+    uh = gather_x(uh)                             # hm: inverse of scatter_x
+    uh = uh[:nkx]
+    pg = jnp.fft.irfft(uh, n=nx, axis=0)          # (nx, ny, nzl/px)
+    p = scatter_x(pg).astype(f.dtype)             # (nxl, ny, nzl)
+    if d1y is not None:
+        from tlab_tpu.ops.derivative import der1
+        return p, der1(d1y, p, 1)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Pencil step driver
+# ---------------------------------------------------------------------------
+
+def make_pencil_step(mesh, P, rk_step_fn):
+    """Wrap the dycore rk_step in shard_map over the ('x','z') mesh.
+
+    Returns step(state, dtime) -> state operating on sharded State arrays.
+    The dycore's operator helpers consult P['comm'] to route x/z-direction
+    work through gather/scatter; y-direction work stays local.
+    """
+    px = mesh.shape["x"]
+    pz = mesh.shape["z"]
+    Pp = dict(P)
+    Pp["comm"] = {"px": px, "pz": pz}
+    ell = dict(P["ell"])
+    ell.pop("shardings", None)
+    # pad the horizontal eigenvalue table for the kx all-to-alls
+    lam_x = np.asarray(ell["lam_xz"][:, 0]) if "lam_x_pad" not in ell else None
+    if lam_x is not None:
+        nkx = lam_x.shape[0]
+        nkx_pad = -(-nkx // (px * pz)) * (px * pz)
+        pad = np.full(nkx_pad - nkx, 1e6, dtype=lam_x.dtype)
+        ell["lam_x_pad"] = jnp.asarray(np.concatenate([lam_x, pad]))
+        ell["nkx_pad"] = nkx_pad
+        ell["lam_z"] = jnp.asarray(
+            np.asarray(ell["lam_xz"])[0, :] - lam_x[0])
+    Pp["ell"] = ell
+
+    fspec = PSpec("x", None, "z")
+    sspec = PSpec(None, "x", None, "z")
+    state_spec = State(u=fspec, v=fspec, w=fspec, s=sspec)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(state_spec, PSpec()),
+        out_specs=state_spec,
+        check_vma=False)
+    def step_local(state, dtime):
+        new_state, _ = rk_step_fn(Pp, state, dtime)
+        return new_state
+
+    return jax.jit(step_local)
