@@ -15,13 +15,19 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tlab-tpu")
     ap.add_argument("command", choices=["inigrid", "inirand", "iniflow",
-                                        "iniscal", "ini", "dns"])
+                                        "iniscal", "ini", "dns",
+                                        "averages", "spectra", "pdfs",
+                                        "visuals"])
     ap.add_argument("--ini", default="tlab.ini")
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--x64", action="store_true",
                     help="run in float64 (validation mode)")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--files", default="",
+                    help="comma-separated snapshot iterations for postprocessing")
+    ap.add_argument("--fields", default="Enstrophy",
+                    help="comma-separated derived fields for visuals")
     args = ap.parse_args(argv)
 
     import jax
@@ -73,6 +79,21 @@ def main(argv=None):
                            rtime=float(rtime), n_steps=args.steps,
                            log_path=os.path.join(args.outdir, "dns.out"))
         print("\n".join(run.log.lines[-3:]))
+        return 0
+
+    if args.command in ("averages", "spectra", "pdfs", "visuals"):
+        from tlab_tpu.tools import postprocess as pp
+        its = [int(t) for t in args.files.split(",") if t]
+        if args.command == "averages":
+            pp.run_averages(sim, args.outdir, its)
+        elif args.command == "spectra":
+            pp.run_spectra(sim, args.outdir, its)
+        elif args.command == "pdfs":
+            pp.run_pdfs(sim, args.outdir, its)
+        else:
+            pp.run_visuals(sim, args.outdir, its,
+                           which=tuple(args.fields.split(",")))
+        print(f"{args.command} done for {its}")
         return 0
 
     return 1

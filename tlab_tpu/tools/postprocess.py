@@ -1,0 +1,116 @@
+"""Offline post-processing over saved snapshots: averages.x / pdfs.x /
+spectra.x / visuals.x equivalents (reference src/tools/statistics,
+src/tools/plot).
+
+Each function loops over a snapshot iteration list, reads the restart
+fields, computes on device, and writes analysis files.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from tlab_tpu import mappings
+from tlab_tpu.dycore.state import State
+from tlab_tpu.io import fields_io
+from tlab_tpu.runtime import Simulation
+from tlab_tpu.stats import averages, pdfs, spectra
+
+
+def load_snapshot(sim: Simulation, outdir: str, itime: int) -> State:
+    u, v, w, s, rtime, _ = fields_io.read_state(
+        os.path.join(outdir, "flow"), os.path.join(outdir, "scal"),
+        itime, sim.nsp.n_scalars)
+    st = State(u=jnp.asarray(u, sim.dtype), v=jnp.asarray(v, sim.dtype),
+               w=jnp.asarray(w, sim.dtype), s=jnp.asarray(s, sim.dtype))
+    return st, rtime
+
+
+def run_averages(sim: Simulation, outdir: str, iterations) -> None:
+    for it in iterations:
+        st, rtime = load_snapshot(sim, outdir, it)
+        flow = averages.flow_statistics(sim.P, st, sim.nsp.visc)
+        averages.write_table(os.path.join(outdir, f"avg{it}"),
+                             sim.grid.y.nodes, flow, it, rtime)
+        for i in range(sim.nsp.n_scalars):
+            sc = averages.scalar_statistics(sim.P, st,
+                                            sim.nsp.diffusivity(i), i)
+            averages.write_table(os.path.join(outdir, f"avg{it}s{i + 1}"),
+                                 sim.grid.y.nodes, sc, it, rtime)
+
+
+def run_spectra(sim: Simulation, outdir: str, iterations) -> None:
+    """xsp/zsp auto-spectra of u,v,w,s (reference spectra.f90 outputs)."""
+    for it in iterations:
+        st, _ = load_snapshot(sim, outdir, it)
+        comps = {"u": st.u, "v": st.v, "w": st.w}
+        for i in range(sim.nsp.n_scalars):
+            comps[f"s{i + 1}"] = st.s[i]
+        for name, a in comps.items():
+            ex = spectra.spectrum_x(a)
+            spectra.write_spectra(os.path.join(outdir, f"xsp{it}.{name}"),
+                                  np.asarray(ex), it)
+            if sim.grid.z.size > 1:
+                ez = spectra.spectrum_z(a)
+                spectra.write_spectra(os.path.join(outdir, f"zsp{it}.{name}"),
+                                      np.asarray(ez), it)
+
+
+def run_pdfs(sim: Simulation, outdir: str, iterations, nbins=64) -> None:
+    for it in iterations:
+        st, _ = load_snapshot(sim, outdir, it)
+        comps = {"u": st.u, "v": st.v, "w": st.w}
+        for i in range(sim.nsp.n_scalars):
+            comps[f"s{i + 1}"] = st.s[i]
+        for name, a in comps.items():
+            counts, edges = pdfs.pdf_per_plane(a, nbins=nbins)
+            pdfs.write_pdf(os.path.join(outdir, f"pdf{it}.{name}"),
+                           counts, edges, it)
+
+
+_VISUAL_FIELDS = ("VelocityX", "VelocityY", "VelocityZ", "Scalar1",
+                  "Vorticity", "Enstrophy", "Strain", "InvariantQ",
+                  "InvariantR", "Dilatation", "Dissipation", "ScalarGradient")
+
+
+def run_visuals(sim: Simulation, outdir: str, iterations,
+                which=("Enstrophy",)) -> None:
+    """Derived-field extraction in single precision
+    (reference visuals.f90, 20+ quantities; core subset here)."""
+    from tlab_tpu.dycore import incompressible as dyn
+    for it in iterations:
+        st, rtime = load_snapshot(sim, outdir, it)
+        P = sim.P
+        for name in which:
+            if name == "Enstrophy":
+                fld = mappings.vorticity_magnitude2(P, st.u, st.v, st.w)
+            elif name == "Strain":
+                fld = mappings.strain2(P, st.u, st.v, st.w)
+            elif name in ("InvariantQ", "InvariantR", "InvariantP"):
+                ip, iq, ir = mappings.invariants(P, st.u, st.v, st.w)
+                fld = {"InvariantP": ip, "InvariantQ": iq,
+                       "InvariantR": ir}[name]
+            elif name == "Dilatation":
+                fld = dyn.divergence(P, st.u, st.v, st.w)
+            elif name == "Dissipation":
+                fld = mappings.dissipation(P, st.u, st.v, st.w, sim.nsp.visc)
+            elif name == "ScalarGradient":
+                fld = mappings.gradient_magnitude2(P, st.s[0])
+            elif name == "Vorticity":
+                ox, oy, oz = mappings.curl(P, st.u, st.v, st.w)
+                for tag, comp in (("x", ox), ("y", oy), ("z", oz)):
+                    fields_io.write_field(
+                        os.path.join(outdir, f"vis{it}.W{tag}"),
+                        np.asarray(comp), it, (rtime,), dtype="<f4")
+                continue
+            elif name.startswith("Velocity"):
+                fld = {"VelocityX": st.u, "VelocityY": st.v,
+                       "VelocityZ": st.w}[name]
+            elif name.startswith("Scalar"):
+                fld = st.s[int(name[6:]) - 1]
+            else:
+                raise ValueError(name)
+            fields_io.write_field(os.path.join(outdir, f"vis{it}.{name}"),
+                                  np.asarray(fld), it, (rtime,), dtype="<f4")
