@@ -230,9 +230,10 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
     n = fields_t.shape[axis + 1]
     pref = jnp.float32 if fields.dtype in (jnp.bfloat16, jnp.float16) \
         else fields.dtype
+    from tlab_tpu.ops.derivative import op_precision
     eins = {0: "ab,fbjk->fajk", 1: "ab,fibk->fiak", 2: "ab,fijb->fija"}[axis]
-    both = jnp.einsum(eins, d12, fields_t,
-                      preferred_element_type=pref).astype(fields.dtype)
+    both = jnp.einsum(eins, d12, fields_t, preferred_element_type=pref,
+                      precision=op_precision(fields.dtype)).astype(fields.dtype)
     sl1 = [slice(None)] * 4
     sl2 = [slice(None)] * 4
     sl1[axis + 1] = slice(0, n)

@@ -207,11 +207,13 @@ def solve_modal(plan_dev: dict, f_hat, alpha: float | jnp.ndarray = 0.0):
     lam = plan_dev["lam_xz"]                      # (nkx, nz)
     shift = plan_dev["shift"]
     lam_eff = lam - alpha                          # (nkx, nz)
+    from tlab_tpu.ops.derivative import op_precision
+    prec = op_precision(jnp.float32 if f_hat.dtype == jnp.complex64 else None)
     # G = W @ f along y
-    G = jnp.einsum("ab,kbz->kaz", W.astype(f_hat.dtype), f_hat)
+    G = jnp.einsum("ab,kbz->kaz", W.astype(f_hat.dtype), f_hat, precision=prec)
     denom = 1.0 - (lam_eff[:, None, :] - shift) * lam_eig[None, :, None]
     G = G / denom.astype(f_hat.dtype)
-    u_hat = jnp.einsum("ab,kbz->kaz", V.astype(f_hat.dtype), G)
+    u_hat = jnp.einsum("ab,kbz->kaz", V.astype(f_hat.dtype), G, precision=prec)
 
     S_sing = plan_dev.get("S_sing")
     if S_sing is not None:

@@ -105,10 +105,12 @@ def pencil_poisson(plan_dev, f, comm, bcs_b=None, bcs_t=None, d1y=None):
 
     V, W, lam_eig = plan_dev["V"], plan_dev["W"], plan_dev["lam_eig"]
     shift = plan_dev["shift"]
-    G = jnp.einsum("ab,kbz->kaz", W.astype(fh.dtype), fh)
+    from tlab_tpu.ops.derivative import op_precision
+    prec = op_precision(jnp.float32 if fh.dtype == jnp.complex64 else None)
+    G = jnp.einsum("ab,kbz->kaz", W.astype(fh.dtype), fh, precision=prec)
     denom = 1.0 - (lam[:, None, :] - shift) * lam_eig[None, :, None]
     G = G / denom.astype(fh.dtype)
-    uh = jnp.einsum("ab,kbz->kaz", V.astype(fh.dtype), G)
+    uh = jnp.einsum("ab,kbz->kaz", V.astype(fh.dtype), G, precision=prec)
 
     S_sing = plan_dev.get("S_sing")
     if S_sing is not None:
