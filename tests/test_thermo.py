@@ -1,0 +1,75 @@
+"""Anelastic moist thermodynamics validation."""
+import numpy as np
+import jax.numpy as jnp
+
+from tlab_tpu.physics import thermo
+
+
+TP = thermo.ThermoParams(mixture="airwater", scale_height_inv=0.01,
+                         T_ref=298.0, L_ref=100.0)
+
+
+def test_psat_reference_values():
+    """Bolton fit vs tabulated saturation pressures (Pa)."""
+    for T_K, es_ref in ((273.15, 611.2), (293.15, 2339.0), (303.15, 4246.0)):
+        es = float(TP.psat(jnp.asarray(T_K / TP.T_ref))) * TP.p_ref
+        assert abs(es - es_ref) / es_ref < 0.01, (T_K, es)
+
+
+def test_unsaturated_equilibrium():
+    """Dry-ish parcel: ql = 0 and T solves h = cp T + ep."""
+    h = jnp.asarray(1.02)
+    qt = jnp.asarray(0.001)
+    p = jnp.asarray(1.0)
+    ep = jnp.asarray(0.01)
+    T, ql = thermo.equilibrium_T_ql(TP, h, qt, p, ep)
+    assert float(ql) == 0.0
+    cp = TP.Cd + float(qt) * TP.Cdv
+    assert abs(float(T) * cp - (float(h) - float(ep))) < 1e-12
+
+
+def test_saturated_equilibrium_consistency():
+    """Moist parcel: Newton converges and (T, ql) satisfy both the enthalpy
+    definition and ql = qt - qsat(T)."""
+    h = jnp.asarray(0.97)           # ~289 K parcel
+    qt = jnp.asarray(0.02)          # 20 g/kg -> saturated
+    p = jnp.asarray(1.0)
+    ep = jnp.asarray(0.0)
+    T, ql = thermo.equilibrium_T_ql(TP, h, qt, p, ep)
+    assert float(ql) > 0.0
+    qs = float(TP.qsat(T, p))
+    assert abs(float(ql) - (float(qt) - qs)) < 1e-9
+    cp = TP.Cd + float(qt) * TP.Cdv + float(ql) * TP.Cvl
+    res = cp * float(T) - float(ql) * TP.Lv0 - float(h)
+    assert abs(res) < 1e-9
+
+
+def test_hydrostatic_background():
+    """Pressure decreases with height; rho p T consistent; buoyancy of the
+    background state itself is ~0 (neutral by construction)."""
+    ny = 64
+    y = np.linspace(0.0, 1.0, ny)
+    h_prof = 1.0 + TP.scale_height_inv * y       # constant T_v-ish profile
+    qt_prof = np.full(ny, 0.008)
+    bg = thermo.hydrostatic_background(TP, y, h_prof, qt_prof)
+    assert np.all(np.diff(bg["p"]) < 0)
+    R = thermo.mixture_R(TP, qt_prof, bg["ql"])
+    assert np.allclose(bg["rho"], bg["p"] / (R * bg["T"]), rtol=1e-12)
+
+    s = jnp.stack([jnp.asarray(h_prof)[None, :, None] * jnp.ones((4, ny, 3)),
+                   jnp.asarray(qt_prof)[None, :, None] * jnp.ones((4, ny, 3))])
+    b = thermo.buoyancy_explicit(TP, s, bg)
+    assert float(jnp.max(jnp.abs(b))) < 1e-10
+
+
+def test_buoyancy_sign():
+    """A warmer parcel (larger h) is positively buoyant."""
+    ny = 16
+    y = np.linspace(0.0, 1.0, ny)
+    h_prof = np.full(ny, 1.0)
+    qt_prof = np.full(ny, 0.005)
+    bg = thermo.hydrostatic_background(TP, y, h_prof, qt_prof)
+    s_warm = jnp.stack([jnp.full((2, ny, 2), 1.01),
+                        jnp.full((2, ny, 2), 0.005)])
+    b = thermo.buoyancy_explicit(TP, s_warm, bg)
+    assert float(jnp.min(b)) > 0.0

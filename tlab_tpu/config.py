@@ -132,6 +132,7 @@ class CaseSetup:
     coriolis: object               # CoriolisProps
     buffer: object                 # BufferSpec
     filter: object                 # FilterSpec
+    thermo: dict                   # [Thermodynamics] keys
     ini: Ini
 
 
@@ -236,6 +237,12 @@ def load_case(path_or_ini) -> CaseSetup:
         step=ini.get_int("Filter", "Step",
                          ini.get_int("Iteration", "Filter", 0)))
 
+    thermo_cfg = {
+        "mixture": ini.get("Thermodynamics", "Mixture", "none").lower(),
+        "scale_height": ini.get_float("Thermodynamics", "ScaleHeight", 0.0),
+        "smooth": ini.get_float("Thermodynamics", "SmoothFactor", 0.1),
+    }
+
     bb = {
         "distribution": ini.get("Broadband", "Distribution", "none").lower(),
         "spectrum": ini.get("Broadband", "Spectrum", "quadratic").lower(),
@@ -298,5 +305,6 @@ def load_case(path_or_ini) -> CaseSetup:
         coriolis=coriolis,
         buffer=buffer_spec,
         filter=filter_spec,
+        thermo=thermo_cfg,
         ini=ini,
     )

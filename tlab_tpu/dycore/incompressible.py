@@ -239,6 +239,12 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
     sl1[axis + 1] = slice(0, n)
     sl2[axis + 1] = slice(n, 2 * n)
     da, d2a = both[tuple(sl1)], both[tuple(sl2)]
+    ane = P.get("anelastic")
+    if ane is not None:
+        # mu-constant anelastic diffusion: nu_eff = nu / rho_bar(y); y stays
+        # the middle axis through any gather (reference OPR_Burgers rhoinv
+        # weighting, opr_burgers.f90:487-516)
+        d2a = d2a * ane["rho_inv"][None, None, :, None]
     res = nu * d2a - conv_t[None] * da
     if comm is not None:
         res = pencil.SCATTER[axis_name](res, 1)
@@ -279,15 +285,25 @@ def substep_rhs(P, state: State, hq, hs, dte):
         hs = jnp.stack([bufmod.relax(buf, f"s{i}", s[i], hs[i])
                         for i in range(s.shape[0])]) if s.shape[0] else hs
 
-    # pressure projection (reference :177-360)
+    # pressure projection (reference :177-360); anelastic weights the
+    # forcing by rho_bar and the gradient by 1/rho_bar
+    # (reference rhs_global_incompressible_1.f90:212-218, 330-334)
+    ane = P.get("anelastic")
     inv_dte = 1.0 / dte
     fx = h1 + u * inv_dte
     fy = h2 + v * inv_dte
     fz = h3 + w * inv_dte
+    if ane is not None:
+        rho = ane["rho"][None, :, None]
+        fx, fy, fz = fx * rho, fy * rho, fz * rho
     div = _d1(P, "y", 1, fy) + _d1(P, "x", 0, fx) + _d1(P, "z", 2, fz)
 
-    bcs_b = h2[:, 0, :]
-    bcs_t = h2[:, -1, :]
+    if ane is not None:
+        bcs_b = h2[:, 0, :] * ane["rho"][0]
+        bcs_t = h2[:, -1, :] * ane["rho"][-1]
+    else:
+        bcs_b = h2[:, 0, :]
+        bcs_t = h2[:, -1, :]
     if P.get("comm") is not None:
         from tlab_tpu.parallel import pencil
         p, dpdy = pencil.pencil_poisson(P["ell"], div, P["comm"],
@@ -296,9 +312,15 @@ def substep_rhs(P, state: State, hq, hs, dte):
     else:
         p, dpdy = elliptic.poisson(P["ell"], div, bcs_b=bcs_b, bcs_t=bcs_t,
                                    d1y=P["d1y"])
-    h1 = h1 - _d1(P, "x", 0, p)
-    h2 = h2 - dpdy
-    h3 = h3 - _d1(P, "z", 2, p)
+    if ane is not None:
+        ri = ane["rho_inv"][None, :, None]
+        h1 = h1 - ri * _d1(P, "x", 0, p)
+        h2 = h2 - ri * dpdy
+        h3 = h3 - ri * _d1(P, "z", 2, p)
+    else:
+        h1 = h1 - _d1(P, "x", 0, p)
+        h2 = h2 - dpdy
+        h3 = h3 - _d1(P, "z", 2, p)
 
     # wall rows of the tendencies
     rows = P["bc_rows"]

@@ -1,0 +1,63 @@
+"""Startup self-test + micro-benchmark (reference OPR_CHECK,
+src/operators/opr_check.f90:6-136).
+
+Validates the runtime's operator round-trips on the actual device(s) and
+reports timings: derivative consistency, FFT round-trip residual, Poisson
+residual. Called by the dns tool at startup; results go to the run log.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def opr_check(sim) -> dict:
+    nx, ny, nz = sim.grid.shape
+    key = jax.random.PRNGKey(0)
+    u = jax.random.normal(key, (nx, ny, nz), sim.dtype)
+
+    out = {}
+
+    # FFT round-trip (reference checks forward+backward transpose/FFT)
+    t0 = time.perf_counter()
+    u_hat = jnp.fft.rfft(u, axis=0)
+    u_back = jnp.fft.irfft(u_hat, n=nx, axis=0)
+    jax.block_until_ready(u_back)
+    out["fft_roundtrip_residual"] = float(jnp.max(jnp.abs(u_back - u)))
+    out["fft_time_s"] = time.perf_counter() - t0
+
+    # derivative of a linear function is exact
+    X = jnp.asarray(sim.grid.x.nodes, sim.dtype)[:, None, None]
+    from tlab_tpu.dycore import incompressible as dyn
+    if sim.grid.x.periodic:
+        k0 = 2 * np.pi / sim.grid.x.scale
+        f = jnp.sin(k0 * X) * jnp.ones((nx, ny, nz), sim.dtype)
+        df = dyn._d1(sim.P, "x", 0, f)
+        ref = k0 * jnp.cos(k0 * X)
+        out["d1x_mode1_error"] = float(jnp.max(jnp.abs(df - ref)))
+
+    # Poisson residual on a smooth manufactured field
+    t0 = time.perf_counter()
+    from tlab_tpu.ops import elliptic
+    Y = jnp.asarray(sim.grid.y.nodes, sim.dtype)[None, :, None]
+    ly = sim.grid.y.scale
+    p_exact = jnp.cos(2 * np.pi * X / sim.grid.x.scale) * jnp.cos(np.pi * Y / ly)
+    lap = (-(2 * np.pi / sim.grid.x.scale) ** 2 - (np.pi / ly) ** 2) * p_exact
+    p = elliptic.poisson(sim.P["ell"], lap * jnp.ones((nx, ny, nz), sim.dtype))
+    jax.block_until_ready(p)
+    out["poisson_time_s"] = time.perf_counter() - t0
+    pm = p - jnp.mean(p)
+    pe = p_exact - jnp.mean(p_exact)
+    out["poisson_error"] = float(jnp.max(jnp.abs(pm - pe)))
+    return out
+
+
+def format_report(results: dict) -> str:
+    lines = ["# OPR_CHECK startup self-test"]
+    for k, v in results.items():
+        lines.append(f"#   {k}: {v:.6e}" if isinstance(v, float)
+                     else f"#   {k}: {v}")
+    return "\n".join(lines)

@@ -23,7 +23,30 @@ from tlab_tpu.ops import elliptic
 from tlab_tpu.physics.params import NSParams
 
 
-def make_sources(case: CaseSetup, grid: Grid, dtype):
+def make_anelastic(case: CaseSetup, grid: Grid, dtype):
+    """Anelastic background state: hydrostatic profiles from the scalar mean
+    profiles (reference TLab_Initialize_Background + Thermo_Anelastic)."""
+    from tlab_tpu.physics import thermo
+
+    tcfg = getattr(case, "thermo", {}) or {}
+    mixture = tcfg.get("mixture", "airwater")
+    if mixture in ("none", ""):
+        mixture = "airwater" if len(case.scal_profiles) >= 2 else "air"
+    sh = tcfg.get("scale_height", 0.0)
+    tp = thermo.ThermoParams(mixture=mixture,
+                             scale_height_inv=(1.0 / sh if sh > 0 else 0.0))
+    y = grid.y.nodes
+    h_prof = case.scal_profiles[0](y) if case.scal_profiles else np.ones_like(y)
+    qt_prof = case.scal_profiles[1](y) if len(case.scal_profiles) > 1 \
+        else np.zeros_like(y)
+    bg = thermo.hydrostatic_background(tp, y, h_prof, qt_prof)
+    dev_bg = {k: jnp.asarray(v, dtype) for k, v in bg.items()}
+    return {"tp": tp, "bg": dev_bg,
+            "rho": jnp.asarray(bg["rho"], dtype),
+            "rho_inv": jnp.asarray(bg["rho_inv"], dtype)}
+
+
+def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
     """Momentum source-term hook (buoyancy + Coriolis), the equivalent of the
     reference's TLab_Sources_Flow dispatcher (src/physics/tlab_sources.f90).
     Returns None when no source is active (keeps the RHS free of dead ops).
@@ -35,20 +58,25 @@ def make_sources(case: CaseSetup, grid: Grid, dtype):
     cor = getattr(case, "coriolis", None)
     buo_on = buo is not None and buo.type != "none" and any(buo.active)
     cor_on = cor is not None and cor.type != "none"
+    explicit = buo_on and buo.type == "explicit" and anelastic is not None
     if not (buo_on or cor_on):
         return None
 
-    bback = grav.background_profile(buo, case.scal_profiles,
-                                    grid.y.nodes) if buo_on \
-        else np.zeros(grid.y.size)
-    bback = jnp.asarray(bback, dtype)
+    if buo_on and not explicit:
+        bback = grav.background_profile(buo, case.scal_profiles, grid.y.nodes)
+        bback = jnp.asarray(bback, dtype)
 
     def sources(P, state, h1, h2, h3, hs):
         if cor_on:
             r1, r2, r3 = rot.coriolis_tendency(cor, state.u, state.v, state.w)
             h1, h2, h3 = h1 + r1, h2 + r2, h3 + r3
         if buo_on:
-            b = grav.buoyancy_field(buo, state.s, bback)
+            if explicit:
+                from tlab_tpu.physics import thermo
+                b = thermo.buoyancy_explicit(anelastic["tp"], state.s,
+                                             anelastic["bg"])
+            else:
+                b = grav.buoyancy_field(buo, state.s, bback)
             gx, gy, gz = buo.vector
             if abs(gx) > 0:
                 h1 = h1 + gx * b
@@ -107,10 +135,15 @@ class Simulation:
         ell_dd = elliptic.build_elliptic_plan(fdm, ibc=BC.DD)
         ell_plans = {BC.NN: elliptic.device_elliptic_plan(ell_nn, dtype),
                      BC.DD: elliptic.device_elliptic_plan(ell_dd, dtype)}
-        bodyforce = make_sources(case, grid, dtype)
+        anelastic = make_anelastic(case, grid, dtype) \
+            if case.equations == "anelastic" else None
+        bodyforce = make_sources(case, grid, dtype, anelastic=anelastic)
         P = dyn.build_device_plans(fdm, nsp, bcs,
                                    rk_name=case.time_order, dtype=dtype,
                                    bodyforce=bodyforce)
+        if anelastic is not None:
+            P["anelastic"] = {"rho": anelastic["rho"],
+                              "rho_inv": anelastic["rho_inv"]}
         if mesh is not None:
             from tlab_tpu.parallel import gspmd_shardings
             sh = gspmd_shardings(mesh)
