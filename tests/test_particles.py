@@ -1,0 +1,111 @@
+"""Lagrangian particle validation: interpolation exactness, advection
+accuracy, scatter consistency, coupled stepping."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tlab_tpu.dycore import incompressible as dyn
+from tlab_tpu.dycore.state import State
+from tlab_tpu.fdm.plan import build_fdm_plan
+from tlab_tpu.grid import uniform_grid
+from tlab_tpu.particles import core as pc
+from tlab_tpu.particles.stepping import rk_step_with_particles
+from tlab_tpu.physics.params import NSParams
+
+
+def _grid(nx=32, ny=33, nz=16):
+    return uniform_grid(nx, ny, nz, 2.0, 1.0, 1.5)
+
+
+def test_trilinear_exact_on_linear_field():
+    grid = _grid()
+    locate = pc.make_locator(grid)
+    X = grid.x.nodes[:, None, None]
+    Y = grid.y.nodes[None, :, None]
+    Z = grid.z.nodes[None, None, :]
+    f = jnp.asarray(2.0 * X + 3.0 * Y - 1.5 * Z + 0.7 * np.ones(grid.shape))
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(np.stack([
+        rng.uniform(0.1, 1.7, 500), rng.uniform(0.05, 0.95, 500),
+        rng.uniform(0.1, 1.3, 500)], axis=1))
+    vals = pc.interpolate_to_particles(f, locate(pos))
+    exact = 2.0 * pos[:, 0] + 3.0 * pos[:, 1] - 1.5 * pos[:, 2] + 0.7
+    assert float(jnp.max(jnp.abs(vals - exact))) < 1e-12
+
+
+def test_scatter_conserves_total():
+    grid = _grid()
+    locate = pc.make_locator(grid)
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray(np.stack([
+        rng.uniform(0.1, 1.7, 200), rng.uniform(0.05, 0.95, 200),
+        rng.uniform(0.1, 1.3, 200)], axis=1))
+    vals = jnp.asarray(rng.standard_normal(200))
+    fld = pc.particles_to_field(vals, locate(pos), grid.shape)
+    assert abs(float(jnp.sum(fld)) - float(jnp.sum(vals))) < 1e-10
+
+
+def test_tracer_uniform_advection():
+    """Constant velocity: exact linear trajectories with periodic wrap."""
+    grid = _grid()
+    fdm = build_fdm_plan(grid)
+    nsp = NSParams(reynolds=1e6, schmidt=())
+    bcs = dyn.WallBCs.from_velocity_kind("freeslip", "freeslip", scalar_bcs=())
+    P = dyn.build_device_plans(fdm, nsp, bcs, dtype=jnp.float64)
+    locate = pc.make_locator(grid)
+    nx, ny, nz = grid.shape
+    u0 = 0.7
+    state = State(u=jnp.full((nx, ny, nz), u0), v=jnp.zeros((nx, ny, nz)),
+                  w=jnp.zeros((nx, ny, nz)), s=jnp.zeros((0, nx, ny, nz)))
+    pstate = pc.init_particles(grid, 100, seed=3)
+    x0 = np.asarray(pstate.x).copy()
+    dt = 0.01
+    props = pc.ParticleProps(type="tracer")
+    step = jax.jit(lambda st, ps: rk_step_with_particles(
+        P, grid, locate, props, st, ps, dt))
+    for _ in range(20):
+        state, pstate = step(state, pstate)
+    expect_x = np.mod(x0[:, 0] + u0 * dt * 20, grid.x.scale)
+    got_x = np.mod(np.asarray(pstate.x[:, 0]), grid.x.scale)
+    diff = np.minimum(np.abs(got_x - expect_x),
+                      grid.x.scale - np.abs(got_x - expect_x))
+    assert np.max(diff) < 1e-8
+    assert np.max(np.abs(np.asarray(pstate.x[:, 1]) - x0[:, 1])) < 1e-10
+
+
+def test_inertia_relaxes_to_flow():
+    """Heavy particle in uniform flow approaches the fluid velocity at the
+    Stokes rate: v(t) = u (1 - e^{-t/St})."""
+    grid = _grid()
+    locate = pc.make_locator(grid)
+    nx, ny, nz = grid.shape
+    u0 = 1.0
+    u = jnp.full((nx, ny, nz), u0)
+    zeros = jnp.zeros((nx, ny, nz))
+    props = pc.ParticleProps(type="inertia", stokes=0.5)
+    pstate = pc.init_particles(grid, 10, seed=5)
+
+    # manual RK4-5 on the particle only (flow frozen)
+    from tlab_tpu.dycore.timemarch import RK4
+    dt = 0.01
+    n = 200
+    hx = jnp.zeros_like(pstate.x)
+    hv = jnp.zeros_like(pstate.v)
+    for _ in range(n):
+        hx = jnp.zeros_like(pstate.x)
+        hv = jnp.zeros_like(pstate.v)
+        for i, k in enumerate(RK4.kdt):
+            dte = dt * k
+            dpx, dpv = pc.particle_rhs(props, pstate, locate, u, zeros, zeros)
+            hx = hx + dpx
+            hv = hv + dpv
+            pstate = pc.ParticleState(
+                x=pc.wrap_positions(grid, pstate.x + dte * hx),
+                v=pstate.v + dte * hv, props=pstate.props, tags=pstate.tags)
+            if i < 4:
+                hx = RK4.kco[i] * hx
+                hv = RK4.kco[i] * hv
+    t = dt * n
+    expect = u0 * (1.0 - np.exp(-t / 0.5))
+    got = float(jnp.mean(pstate.v[:, 0]))
+    assert abs(got - expect) < 1e-6, (got, expect)

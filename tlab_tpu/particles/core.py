@@ -1,0 +1,195 @@
+"""Lagrangian point particles (reference src/particles/*).
+
+TPU-native design: fixed-size SoA arrays (n_part, ...) advanced with the
+same low-storage RK scheme as the flow; grid->particle interpolation is a
+vectorized trilinear gather (reference FIELD_TO_PARTICLE,
+particle_interpolate.f90, which is trilinear with halo exchanges), and
+particle->grid scatter uses jnp scatter-add (reference PARTICLE_TO_FIELD).
+No migration/sorting is needed on a single address space; the multi-chip
+version keeps particles owner-sharded and exchanges via ppermute (round 2).
+
+Particle types (reference particle_vars.f90:8-15):
+  tracer:  dx/dt = u(x)
+  inertia: dx/dt = v_p;  dv_p/dt = (u(x) - v_p)/St - settling e_y
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class ParticleState(NamedTuple):
+    x: jax.Array          # (np, 3) positions
+    v: jax.Array          # (np, 3) particle velocities (inertia type; else unused)
+    props: jax.Array      # (np, n_props) extra properties
+    tags: jax.Array       # (np,) int64 ids
+
+
+@dataclasses.dataclass(frozen=True)
+class ParticleProps:
+    type: str = "tracer"          # tracer | inertia
+    stokes: float = 0.0
+    settling: float = 0.0
+
+
+# ---------------------------------------------------------------------------
+# Interpolation grid -> particles (trilinear)
+# ---------------------------------------------------------------------------
+
+def _locate_uniform(x, x0, dx, n, periodic):
+    xi = (x - x0) / dx
+    if periodic:
+        xi = jnp.mod(xi, n)
+        i0 = jnp.floor(xi).astype(jnp.int32)
+        frac = xi - i0
+        i1 = jnp.mod(i0 + 1, n)
+        i0 = jnp.mod(i0, n)
+    else:
+        xi = jnp.clip(xi, 0.0, n - 1.000001)
+        i0 = jnp.clip(jnp.floor(xi).astype(jnp.int32), 0, n - 2)
+        frac = xi - i0
+        i1 = i0 + 1
+    return i0, i1, frac
+
+
+def _locate_nonuniform(xp, nodes):
+    """Bisection cell search on a nonuniform axis (reference LOCATE_Y)."""
+    n = nodes.shape[0]
+    i0 = jnp.clip(jnp.searchsorted(nodes, xp, side="right") - 1, 0, n - 2)
+    frac = (xp - nodes[i0]) / (nodes[i0 + 1] - nodes[i0])
+    return i0, i0 + 1, jnp.clip(frac, 0.0, 1.0)
+
+
+def make_locator(grid):
+    """Returns locate(positions (np,3)) -> indices + weights, closed over
+    static grid data."""
+    gx, gy, gz = grid.x, grid.y, grid.z
+    x_nodes = jnp.asarray(gy.nodes)
+
+    def locate(pos):
+        if gx.size > 1:
+            dx = gx.nodes[1] - gx.nodes[0]
+            i0, i1, fx = _locate_uniform(pos[:, 0], gx.nodes[0], dx,
+                                         gx.size, gx.periodic)
+        else:
+            i0 = i1 = jnp.zeros(pos.shape[0], jnp.int32)
+            fx = jnp.zeros(pos.shape[0])
+        if gy.uniform and gy.size > 1:
+            dy = gy.nodes[1] - gy.nodes[0]
+            j0, j1, fy = _locate_uniform(pos[:, 1], gy.nodes[0], dy,
+                                         gy.size, False)
+        elif gy.size > 1:
+            j0, j1, fy = _locate_nonuniform(pos[:, 1], x_nodes)
+        else:
+            j0 = j1 = jnp.zeros(pos.shape[0], jnp.int32)
+            fy = jnp.zeros(pos.shape[0])
+        if gz.size > 1:
+            dz = gz.nodes[1] - gz.nodes[0]
+            k0, k1, fz = _locate_uniform(pos[:, 2], gz.nodes[0], dz,
+                                         gz.size, gz.periodic)
+        else:
+            k0 = k1 = jnp.zeros(pos.shape[0], jnp.int32)
+            fz = jnp.zeros(pos.shape[0])
+        return (i0, i1, fx), (j0, j1, fy), (k0, k1, fz)
+
+    return locate
+
+
+def interpolate_to_particles(field, loc):
+    """Trilinear gather of one (nx, ny, nz) field at located particles."""
+    (i0, i1, fx), (j0, j1, fy), (k0, k1, fz) = loc
+    f = field
+
+    def g(ii, jj, kk):
+        return f[ii, jj, kk]
+
+    c000 = g(i0, j0, k0)
+    c100 = g(i1, j0, k0)
+    c010 = g(i0, j1, k0)
+    c110 = g(i1, j1, k0)
+    c001 = g(i0, j0, k1)
+    c101 = g(i1, j0, k1)
+    c011 = g(i0, j1, k1)
+    c111 = g(i1, j1, k1)
+    c00 = c000 * (1 - fx) + c100 * fx
+    c10 = c010 * (1 - fx) + c110 * fx
+    c01 = c001 * (1 - fx) + c101 * fx
+    c11 = c011 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def particles_to_field(values, loc, shape):
+    """Trilinear scatter-add of per-particle values onto the grid
+    (reference PARTICLE_TO_FIELD, particle_to_field.f90)."""
+    (i0, i1, fx), (j0, j1, fy), (k0, k1, fz) = loc
+    out = jnp.zeros(shape, values.dtype)
+    for ii, wx in ((i0, 1 - fx), (i1, fx)):
+        for jj, wy in ((j0, 1 - fy), (j1, fy)):
+            for kk, wz in ((k0, 1 - fz), (k1, fz)):
+                out = out.at[ii, jj, kk].add(values * wx * wy * wz)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dynamics
+# ---------------------------------------------------------------------------
+
+def particle_rhs(props: ParticleProps, pstate: ParticleState, locate,
+                 u, v, w):
+    """(dx/dt, dv/dt) for the particle ensemble."""
+    loc = locate(pstate.x)
+    uf = jnp.stack([interpolate_to_particles(u, loc),
+                    interpolate_to_particles(v, loc),
+                    interpolate_to_particles(w, loc)], axis=1)
+    if props.type == "tracer":
+        return uf, jnp.zeros_like(pstate.v)
+    # inertia: Stokes drag + settling
+    acc = (uf - pstate.v) / max(props.stokes, 1e-30)
+    acc = acc.at[:, 1].add(-props.settling)
+    return pstate.v, acc
+
+
+def wrap_positions(grid, x):
+    """Periodic wrap in x/z, clip in y (reference TIME_SUBSTEP_PARTICLE
+    edge handling, time.f90:938-1011)."""
+    out = x
+    if grid.x.periodic and grid.x.size > 1:
+        lx = grid.x.scale
+        out = out.at[:, 0].set(jnp.mod(out[:, 0] - grid.x.nodes[0], lx)
+                               + grid.x.nodes[0])
+    if grid.z.periodic and grid.z.size > 1:
+        lz = grid.z.scale
+        out = out.at[:, 2].set(jnp.mod(out[:, 2] - grid.z.nodes[0], lz)
+                               + grid.z.nodes[0])
+    y0, y1 = grid.y.nodes[0], grid.y.nodes[-1]
+    out = out.at[:, 1].set(jnp.clip(out[:, 1], y0, y1))
+    return out
+
+
+def init_particles(grid, n_part: int, seed: int = 7,
+                   y_profile=None, dtype=jnp.float64) -> ParticleState:
+    """Uniform placement, optionally weighted by a y-profile
+    (reference inipart, particle_main.f90)."""
+    rng = np.random.default_rng(seed)
+    lx = grid.x.scale if grid.x.size > 1 else 1.0
+    lz = grid.z.scale if grid.z.size > 1 else 1.0
+    x = rng.uniform(0, lx, n_part) + grid.x.nodes[0]
+    z = rng.uniform(0, lz, n_part) + (grid.z.nodes[0] if grid.z.size > 1 else 0.0)
+    if y_profile is None:
+        y = rng.uniform(grid.y.nodes[0], grid.y.nodes[-1], n_part)
+    else:
+        # rejection-free inverse-cdf sampling on the grid
+        pdf = np.maximum(y_profile(grid.y.nodes), 0.0)
+        cdf = np.cumsum(pdf)
+        cdf /= cdf[-1]
+        y = np.interp(rng.uniform(0, 1, n_part), cdf, grid.y.nodes)
+    pos = jnp.asarray(np.stack([x, y, z], axis=1), dtype)
+    return ParticleState(x=pos, v=jnp.zeros_like(pos),
+                         props=jnp.zeros((n_part, 0), dtype),
+                         tags=jnp.arange(n_part, dtype=jnp.int64))
