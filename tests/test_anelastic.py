@@ -15,6 +15,8 @@ Equations=anelastic
 SpaceOrder=CompactJacobian6
 TimeOrder=RungeKuttaExplicit3
 TimeCFL=0.8
+[Control]
+ScalLimit=no
 [Parameters]
 Reynolds=10000
 Schmidt=1.0,1.0

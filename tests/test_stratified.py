@@ -22,6 +22,8 @@ Equations=incompressible
 SpaceOrder=CompactJacobian6
 TimeOrder=RungeKuttaExplicit4
 TimeCFL=1.0
+[Control]
+ScalLimit=no
 [Parameters]
 Reynolds=100000
 Schmidt=1.0

@@ -133,6 +133,7 @@ class CaseSetup:
     buffer: object                 # BufferSpec
     filter: object                 # FilterSpec
     thermo: dict                   # [Thermodynamics] keys
+    control: dict                  # [Control] bounds
     ini: Ini
 
 
@@ -237,6 +238,16 @@ def load_case(path_or_ini) -> CaseSetup:
         step=ini.get_int("Filter", "Step",
                          ini.get_int("Iteration", "Filter", 0)))
 
+    scal_limit = ini.get_bool("Control", "ScalLimit", True)
+    control_cfg = {
+        "scal_limit": scal_limit,
+        "min_scalar": ini.get_floats("Control", "MinScalar",
+                                     (0.0,) * n_scal),
+        "max_scalar": ini.get_floats("Control", "MaxScalar",
+                                     (1.0,) * n_scal),
+        "flow_limit": ini.get_bool("Control", "FlowLimit", True),
+    }
+
     thermo_cfg = {
         "mixture": ini.get("Thermodynamics", "Mixture", "none").lower(),
         "scale_height": ini.get_float("Thermodynamics", "ScaleHeight", 0.0),
@@ -306,5 +317,6 @@ def load_case(path_or_ini) -> CaseSetup:
         buffer=buffer_spec,
         filter=filter_spec,
         thermo=thermo_cfg,
+        control=control_cfg,
         ini=ini,
     )

@@ -341,13 +341,22 @@ def rk_step(P, state: State, dtime):
     hq = (z, z, z)
     hs = jnp.zeros_like(state.s)
     p = None
+    bounds = P.get("scal_bounds")        # (mins, maxs) tuples or None
     for i, k in enumerate(kdt):
         dte = dtime * k
         hq, hs, p = substep_rhs(P, state, hq, hs, dte)
+        s_new = state.s + dte * hs
+        if bounds is not None and s_new.shape[0]:
+            # per-substep scalar clipping (reference DNS_BOUNDS_LIMIT,
+            # dns_local.f90:67-90, called each substep from TIME_RUNGEKUTTA)
+            mins, maxs = bounds
+            lo = jnp.asarray(mins, s_new.dtype)[:, None, None, None]
+            hi = jnp.asarray(maxs, s_new.dtype)[:, None, None, None]
+            s_new = jnp.clip(s_new, lo, hi)
         state = State(u=state.u + dte * hq[0],
                       v=state.v + dte * hq[1],
                       w=state.w + dte * hq[2],
-                      s=state.s + dte * hs)
+                      s=s_new)
         if i < len(kdt) - 1:
             a = kco[i]
             hq = (a * hq[0], a * hq[1], a * hq[2])

@@ -144,6 +144,10 @@ class Simulation:
         if anelastic is not None:
             P["anelastic"] = {"rho": anelastic["rho"],
                               "rho_inv": anelastic["rho_inv"]}
+        ctrl = getattr(case, "control", None)
+        if ctrl and ctrl.get("scal_limit") and nsp.n_scalars:
+            P["scal_bounds"] = (tuple(ctrl["min_scalar"]),
+                                tuple(ctrl["max_scalar"]))
         if mesh is not None:
             from tlab_tpu.parallel import gspmd_shardings
             sh = gspmd_shardings(mesh)
