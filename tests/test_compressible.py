@@ -1,0 +1,107 @@
+"""Compressible core validation: acoustic wave speed + viscous decay."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tlab_tpu.dycore import compressible as comp
+from tlab_tpu.dycore import incompressible as dyn
+from tlab_tpu.fdm.plan import build_fdm_plan
+from tlab_tpu.grid import uniform_grid
+from tlab_tpu.physics.params import NSParams
+
+GAMMA, MACH = 1.4, 0.5
+
+
+def _setup(nx=64, ny=8, nz=1, reynolds=1e6, y_periodic=True):
+    # use a periodic-y box by making y a periodic axis
+    from tlab_tpu.grid import make_axis, Grid
+    lx = 2 * np.pi
+    gx = make_axis(np.arange(nx) * (lx / nx), periodic=True)
+    gy = make_axis(np.arange(ny) * (1.0 / ny), periodic=y_periodic) \
+        if y_periodic else make_axis(np.linspace(0, 1, ny), periodic=False)
+    gz = make_axis(np.zeros(1), False) if nz == 1 else \
+        make_axis(np.arange(nz) * (1.0 / nz), periodic=True)
+    grid = Grid(gx, gy, gz)
+    fdm = build_fdm_plan(grid)
+    nsp = NSParams(reynolds=reynolds, schmidt=())
+    bcs = dyn.WallBCs.from_velocity_kind("freeslip", "freeslip", scalar_bcs=())
+    P = dyn.build_device_plans(fdm, nsp, bcs, dtype=jnp.float64,
+                               with_elliptic=False)
+    P["y_periodic"] = y_periodic
+    return grid, nsp, P
+
+
+def test_acoustic_wave_speed():
+    """Small-amplitude sound wave travels at c = 1/M (nondimensional)."""
+    grid, nsp, P = _setup()
+    nx, ny, nz = grid.shape
+    X = grid.x.nodes[:, None, None] * np.ones((nx, ny, nz))
+    k = 1.0                                # wavenumber (Lx = 2 pi)
+    amp = 1e-5
+    c = 1.0 / MACH
+    # right-moving simple wave: rho' = amp cos(kx), u' = c rho' / rho0
+    rho = 1.0 + amp * np.cos(k * X)
+    u = c * amp * np.cos(k * X)
+    T0 = 1.0
+    # isentropic temperature perturbation: T'/T0 = (gamma-1) rho'/rho0
+    T = T0 * (1.0 + (GAMMA - 1.0) * amp * np.cos(k * X))
+    U = comp.from_primitive(jnp.asarray(rho), jnp.asarray(u),
+                            jnp.zeros((nx, ny, nz)), jnp.zeros((nx, ny, nz)),
+                            jnp.asarray(T), GAMMA, MACH)
+    dt = 2e-3
+    n = 250
+    step = jax.jit(lambda U: comp.rk_step_compressible(
+        P, U, dt, GAMMA, MACH, 0.0, 1.0))
+    for _ in range(n):
+        U = step(U)
+    t = dt * n
+    # expected phase shift k c t
+    rho_out = np.asarray(U.rho)[:, ny // 2, 0] - 1.0
+    expect = amp * np.cos(k * (grid.x.nodes - c * t))
+    err = np.max(np.abs(rho_out - expect)) / amp
+    assert err < 0.02, err
+
+
+def test_shear_wave_viscous_decay():
+    """Transverse shear wave decays at exp(-nu k^2 t), no acoustics excited."""
+    re = 100.0
+    grid, nsp, P = _setup(reynolds=re)
+    nx, ny, nz = grid.shape
+    X = grid.x.nodes[:, None, None] * np.ones((nx, ny, nz))
+    k = 2.0
+    amp = 1e-4
+    v = amp * np.sin(k * X)
+    U = comp.from_primitive(jnp.ones((nx, ny, nz)), jnp.zeros((nx, ny, nz)),
+                            jnp.asarray(v), jnp.zeros((nx, ny, nz)),
+                            jnp.ones((nx, ny, nz)), GAMMA, MACH)
+    dt = 2e-3
+    n = 200
+    step = jax.jit(lambda U: comp.rk_step_compressible(
+        P, U, dt, GAMMA, MACH, 1.0 / re, 1.0))
+    for _ in range(n):
+        U = step(U)
+    t = dt * n
+    decay = np.exp(-(1.0 / re) * k ** 2 * t)
+    vmax = float(jnp.max(U.rhov / U.rho))
+    assert abs(vmax - amp * decay) / (amp * decay) < 0.01, (vmax, amp * decay)
+
+
+def test_walls_conserve_mass():
+    """Bounded y with free-slip walls: total mass conserved, stable."""
+    grid, nsp, P = _setup(ny=33, reynolds=1000.0, y_periodic=False)
+    nx, ny, nz = grid.shape
+    rng = np.random.default_rng(0)
+    Y = grid.y.nodes[None, :, None]
+    u = 0.01 * np.sin(2 * np.pi * Y) * np.ones((nx, ny, nz))
+    U = comp.from_primitive(jnp.ones((nx, ny, nz)), jnp.asarray(u),
+                            jnp.zeros((nx, ny, nz)), jnp.zeros((nx, ny, nz)),
+                            jnp.ones((nx, ny, nz)), GAMMA, MACH)
+    m0 = float(jnp.sum(U.rho))
+    dt = 1e-3
+    step = jax.jit(lambda U: comp.rk_step_compressible(
+        P, U, dt, GAMMA, MACH, 1e-3, 1.0))
+    for _ in range(50):
+        U = step(U)
+    assert np.isfinite(float(jnp.max(U.rho)))
+    m1 = float(jnp.sum(U.rho))
+    assert abs(m1 - m0) / m0 < 1e-6

@@ -1,0 +1,155 @@
+"""Compressible dynamical core (reference src/tools/dns/rhs_flow_euler_*,
+rhs_flow_viscous_*, time.f90 TIME_SUBSTEP_COMPRESSIBLE).
+
+Conservative formulation U = (rho, rho u, rho v, rho w, rho E) advanced with
+the same low-storage RK schemes; all spatial terms are compact-FD dense
+matmuls (divergence-form Euler fluxes + explicit viscous/conduction terms).
+No pressure Poisson solve — compressible flows integrate the acoustics
+(acoustic CFL), which also removes the elliptic solver's periodicity
+constraints.
+
+Nondimensionalization (reference NavierStokes/Thermodynamics conventions):
+velocities by U0, temperature by T0, density by rho0; ideal gas
+    p = rho T / (gamma M^2),    e = T / (gamma (gamma-1) M^2)
+with gamma = cp/cv and M the Mach number. Viscous stress with constant
+viscosity mu = 1/Re, Stokes hypothesis; heat conduction with Prandtl.
+
+Boundary conditions (round 1): periodic x/z; y walls free-slip adiabatic
+(v=0, d(tangential)/dy=0, dT/dy=0) imposed on the tendencies. Characteristic
+NSCBC open boundaries: round 2.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tlab_tpu.dycore import incompressible as dyn
+
+
+class CompState(NamedTuple):
+    rho: jax.Array
+    rhou: jax.Array
+    rhov: jax.Array
+    rhow: jax.Array
+    rhoE: jax.Array          # total energy rho (e + |u|^2/2)
+
+
+def primitive(P, U: CompState, gamma: float, mach: float):
+    rho = U.rho
+    u = U.rhou / rho
+    v = U.rhov / rho
+    w = U.rhow / rho
+    ke = 0.5 * (u * u + v * v + w * w)
+    e = U.rhoE / rho - ke
+    T = e * gamma * (gamma - 1.0) * mach ** 2
+    p = rho * T / (gamma * mach ** 2)
+    return u, v, w, T, p
+
+
+def _div(P, fx, fy, fz):
+    return dyn._d1(P, "x", 0, fx) + dyn._d1(P, "y", 1, fy) \
+        + dyn._d1(P, "z", 2, fz)
+
+
+def rhs_compressible(P, U: CompState, gamma: float, mach: float,
+                     visc: float, prandtl: float):
+    """Tendency of the conservative state (divergence form)."""
+    rho = U.rho
+    u, v, w, T, p = primitive(P, U, gamma, mach)
+
+    # Euler fluxes, divergence form (reference RHS_FLOW_EULER_DIVERGENCE)
+    h_rho = -_div(P, U.rhou, U.rhov, U.rhow)
+    h_ru = -_div(P, U.rhou * u + p, U.rhou * v, U.rhou * w)
+    h_rv = -_div(P, U.rhov * u, U.rhov * v + p, U.rhov * w)
+    h_rw = -_div(P, U.rhow * u, U.rhow * v, U.rhow * w + p)
+    h_rE = -_div(P, (U.rhoE + p) * u, (U.rhoE + p) * v, (U.rhoE + p) * w)
+
+    # viscous stress (explicit, constant mu; reference RHS_FLOW_VISCOUS_EXPLICIT)
+    ux, uy, uz = (dyn._d1(P, "x", 0, u), dyn._d1(P, "y", 1, u),
+                  dyn._d1(P, "z", 2, u))
+    vx, vy, vz = (dyn._d1(P, "x", 0, v), dyn._d1(P, "y", 1, v),
+                  dyn._d1(P, "z", 2, v))
+    wx, wy, wz = (dyn._d1(P, "x", 0, w), dyn._d1(P, "y", 1, w),
+                  dyn._d1(P, "z", 2, w))
+    divu = ux + vy + wz
+    lam = -2.0 / 3.0
+    txx = visc * (2.0 * ux + lam * divu)
+    tyy = visc * (2.0 * vy + lam * divu)
+    tzz = visc * (2.0 * wz + lam * divu)
+    txy = visc * (uy + vx)
+    txz = visc * (uz + wx)
+    tyz = visc * (vz + wy)
+
+    h_ru = h_ru + _div(P, txx, txy, txz)
+    h_rv = h_rv + _div(P, txy, tyy, tyz)
+    h_rw = h_rw + _div(P, txz, tyz, tzz)
+
+    # viscous work + conduction (k = cp mu/Pr; nondimensional form)
+    cond = visc / (prandtl * (gamma - 1.0) * mach ** 2)
+    qx = cond * dyn._d1(P, "x", 0, T)
+    qy = cond * dyn._d1(P, "y", 1, T)
+    qz = cond * dyn._d1(P, "z", 2, T)
+    h_rE = h_rE + _div(P,
+                       u * txx + v * txy + w * txz + qx,
+                       u * txy + v * tyy + w * tyz + qy,
+                       u * txz + v * tyz + w * tzz + qz)
+
+    return CompState(h_rho, h_ru, h_rv, h_rw, h_rE)
+
+
+def _apply_wall_bcs(P, h: CompState):
+    """Free-slip adiabatic walls at jmin/jmax: zero normal-momentum tendency;
+    tangential/energy/density tendencies take their Neumann wall values."""
+    if P["sizes"][1] == 1 or P.get("y_periodic", False):
+        return h
+    rows = P["bc_rows"]
+    hv = h.rhov.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
+    out = []
+    for name, comp in (("u", h.rhou), ("w", h.rhow)):
+        out.append(dyn._apply_wall_rows(comp, rows[name]))
+    hu, hw = out
+    nn = rows["u"]     # reuse the NN rows for scalars-like fields
+    hrho = dyn._apply_wall_rows(h.rho, nn)
+    hE = dyn._apply_wall_rows(h.rhoE, nn)
+    return CompState(hrho, hu, hv, hw, hE)
+
+
+def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
+                         visc: float, prandtl: float):
+    kdt = P["rk"]["kdt"]
+    kco = P["rk"]["kco"]
+    h = CompState(*(jnp.zeros_like(x) for x in U))
+    for i, k in enumerate(kdt):
+        dte = dtime * k
+        dh = rhs_compressible(P, U, gamma, mach, visc, prandtl)
+        h = CompState(*(a + b for a, b in zip(h, dh)))
+        h = _apply_wall_bcs(P, h)
+        U = CompState(*(q + dte * hq for q, hq in zip(U, h)))
+        if i < len(kdt) - 1:
+            a = kco[i]
+            h = CompState(*(a * x for x in h))
+    return U
+
+
+def acoustic_cfl_max(P, U: CompState, gamma: float, mach: float):
+    """max((|u|+c)/dx + ...) with c the sound speed (reference TIME_COURANT
+    compressible branch)."""
+    u, v, w, T, p = primitive(P, U, gamma, mach)
+    c = jnp.sqrt(jnp.maximum(T, 1e-12)) / mach
+    acc = 0.0
+    if "iodx" in P:
+        acc = acc + (jnp.abs(u) + c) * P["iodx"][:, None, None]
+    if "iody" in P:
+        acc = acc + (jnp.abs(v) + c) * P["iody"][None, :, None]
+    if "iodz" in P:
+        acc = acc + (jnp.abs(w) + c) * P["iodz"][None, None, :]
+    return jnp.max(acc)
+
+
+def from_primitive(rho, u, v, w, T, gamma: float, mach: float) -> CompState:
+    e = T / (gamma * (gamma - 1.0) * mach ** 2)
+    ke = 0.5 * (u * u + v * v + w * w)
+    return CompState(rho=rho, rhou=rho * u, rhov=rho * v, rhow=rho * w,
+                     rhoE=rho * (e + ke))

@@ -97,9 +97,13 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
                        rk_name: str = "RungeKuttaExplicit4",
                        dtype=jnp.float32,
                        ell_plan: Optional[elliptic.EllipticPlan] = None,
-                       bodyforce=None) -> dict:
-    """Assemble the jit-ready pytree of operator matrices and coefficients."""
-    if ell_plan is None:
+                       bodyforce=None, with_elliptic: bool = True) -> dict:
+    """Assemble the jit-ready pytree of operator matrices and coefficients.
+
+    with_elliptic=False skips the Poisson plan (compressible mode, which has
+    no pressure projection and allows periodic y).
+    """
+    if ell_plan is None and with_elliptic:
         ell_plan = elliptic.build_elliptic_plan(fdm, ibc=BC.NN)
 
     scheme = timemarch.get_scheme(rk_name)
@@ -110,20 +114,21 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
                "ktime": tuple(scheme.ktime)},
         "visc": float(nsp.visc),
         "diff": tuple(nsp.visc / sc for sc in nsp.schmidt),
-        "ell": elliptic.device_elliptic_plan(ell_plan, dtype=dtype),
         "sizes": tuple(p.size for p in (fdm.x, fdm.y, fdm.z)),
     }
+    if ell_plan is not None:
+        P["ell"] = elliptic.device_elliptic_plan(ell_plan, dtype=dtype)
     for name, plan in (("x", fdm.x), ("y", fdm.y), ("z", fdm.z)):
         if plan.size > 1:
             P[f"d1{name}"] = jnp.asarray(plan.d1[BC.DD], dtype)
             P[f"d12{name}"] = jnp.asarray(plan.d12[BC.DD], dtype)
             P[f"iod{name}"] = jnp.asarray(1.0 / plan.jac, dtype)
 
-    # wall-tendency BC rows along y
+    # wall-tendency BC rows along y (meaningless on periodic y)
     def rows_for(pair):
         bot = pair[0] == "neumann"
         top = pair[1] == "neumann"
-        if not (bot or top):
+        if not (bot or top) or fdm.y.periodic:
             return None
         nb, nt = neumann_value_rows(fdm.y, bot or top, bot or top)
         # reference uses the matched-ibc reduction; for mixed cases the
