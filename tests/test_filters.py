@@ -66,3 +66,28 @@ def test_tophat_smooths():
     rng = np.random.default_rng(0)
     u = rng.standard_normal(n)
     assert np.var(F @ u) < np.var(u)
+
+
+def test_dealiasing_runs_and_stays_close():
+    """Burgers with compact dealiasing stays close to the unfiltered result
+    on a well-resolved field."""
+    import jax, jax.numpy as jnp
+    from tlab_tpu.config import load_case, Ini
+    from tlab_tpu.runtime import Simulation
+    from tlab_tpu.tools.initialize import initial_state
+    from tlab_tpu.dycore import incompressible as dyn
+    import os
+    ini_path = os.path.join(os.path.dirname(__file__), "data",
+                            "case01_small.ini")
+    text = open(ini_path).read() + "\n[Dealiasing]\nType=compact\nParameters=0.49\n"
+    sim = Simulation.from_case(load_case(Ini(text=text)))
+    assert "dealias" in sim.P and sim.P["dealias"]["x"] is not None
+    state = initial_state(sim, seed=7)
+    step = jax.jit(lambda st: dyn.rk_step(sim.P, st, 5e-3)[0])
+    out = step(state)
+    assert bool(jnp.isfinite(out.u).all())
+
+    sim0 = Simulation.from_case(load_case(ini_path))
+    out0 = jax.jit(lambda st: dyn.rk_step(sim0.P, st, 5e-3)[0])(state)
+    diff = float(jnp.max(jnp.abs(out.u - out0.u)))
+    assert 0 < diff < 1e-3, diff

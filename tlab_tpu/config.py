@@ -134,6 +134,7 @@ class CaseSetup:
     filter: object                 # FilterSpec
     thermo: dict                   # [Thermodynamics] keys
     control: dict                  # [Control] bounds
+    dealias: object                # FilterSpec for advection dealiasing
     ini: Ini
 
 
@@ -228,6 +229,14 @@ def load_case(path_or_ini) -> CaseSetup:
         strength=bpar[0] if bpar else 1.0,
         sigma=bpar[1] if len(bpar) > 1 else 2.0)
 
+    datype = ini.get("Dealiasing", "Type", "none").lower()
+    dealias_spec = FilterSpec(
+        type=datype,
+        parameters=ini.get_floats("Dealiasing", "Parameters", (0.49,)) or (0.49,),
+        active=(ini.get_bool("Dealiasing", "ActiveX", True),
+                ini.get_bool("Dealiasing", "ActiveY", True),
+                ini.get_bool("Dealiasing", "ActiveZ", True)))
+
     ftype = ini.get("Filter", "Type", "none").lower()
     filter_spec = FilterSpec(
         type=ftype,
@@ -318,5 +327,6 @@ def load_case(path_or_ini) -> CaseSetup:
         filter=filter_spec,
         thermo=thermo_cfg,
         control=control_cfg,
+        dealias=dealias_spec,
         ini=ini,
     )

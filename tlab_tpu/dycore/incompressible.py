@@ -250,7 +250,16 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
         # the middle axis through any gather (reference OPR_Burgers rhoinv
         # weighting, opr_burgers.f90:487-516)
         d2a = d2a * ane["rho_inv"][None, None, :, None]
-    res = nu * d2a - conv_t[None] * da
+    dea = P.get("dealias", {}).get(axis_name) if P.get("dealias") else None
+    if dea is not None:
+        # filter the factors of the advection product before multiplying
+        # (reference OPR_Burgers_1D dealiasing, opr_burgers.f90:478-499)
+        conv_f = apply_along(dea, conv_t, axis)
+        da_f = jnp.einsum(eins, dea, da, preferred_element_type=pref,
+                          precision=op_precision(fields.dtype)).astype(fields.dtype)
+        res = nu * d2a - conv_f[None] * da_f
+    else:
+        res = nu * d2a - conv_t[None] * da
     if comm is not None:
         res = pencil.SCATTER[axis_name](res, 1)
     return res

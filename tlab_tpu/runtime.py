@@ -144,6 +144,10 @@ class Simulation:
         if anelastic is not None:
             P["anelastic"] = {"rho": anelastic["rho"],
                               "rho_inv": anelastic["rho_inv"]}
+        dea_spec = getattr(case, "dealias", None)
+        if dea_spec is not None and dea_spec.type != "none":
+            from tlab_tpu.ops.filter import build_filter_matrices
+            P["dealias"] = build_filter_matrices(fdm, dea_spec, dtype)
         ctrl = getattr(case, "control", None)
         if ctrl and ctrl.get("scal_limit") and nsp.n_scalars:
             P["scal_bounds"] = (tuple(ctrl["min_scalar"]),
