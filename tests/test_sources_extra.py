@@ -1,0 +1,69 @@
+"""Radiation / microphysics / chemistry scalar-source validation."""
+import numpy as np
+import jax.numpy as jnp
+
+from tlab_tpu.physics import radiation, microphysics, chemistry
+
+
+def test_radiation_beer_lambert():
+    """Uniform absorber: source = a F0 e^{-a (ytop - y)} and the column
+    integral of the heating equals the absorbed flux."""
+    ny = 256
+    y = np.linspace(0.0, 1.0, ny)
+    Jt, Jb = radiation.cumulative_matrices(y)
+    props = radiation.RadiationProps(type="grayliquid", kappa=2.0,
+                                     flux_top=1.0)
+    ql = jnp.ones((4, ny, 3)) * 0.5
+    rho = jnp.ones(ny)
+    src = radiation.infrared_source(props, jnp.asarray(Jt), jnp.asarray(Jb),
+                                    ql, rho)
+    a = 2.0 * 0.5
+    expect = a * np.exp(-a * (1.0 - y))
+    got = np.asarray(src[0, :, 0])
+    assert np.max(np.abs(got - expect)) < 2e-4
+    absorbed = np.trapezoid(got, y)
+    assert abs(absorbed - (1.0 - np.exp(-a))) < 1e-4
+
+
+def test_radiation_two_stream():
+    """Upward flux adds a bottom-attenuated term."""
+    ny = 128
+    y = np.linspace(0.0, 1.0, ny)
+    Jt, Jb = radiation.cumulative_matrices(y)
+    props = radiation.RadiationProps(type="grayliquid", kappa=1.0,
+                                     flux_top=1.0, flux_bottom=0.5)
+    ql = jnp.ones((1, ny, 1))
+    src = np.asarray(radiation.infrared_source(
+        props, jnp.asarray(Jt), jnp.asarray(Jb), ql, jnp.ones(ny))[0, :, 0])
+    expect = np.exp(-(1.0 - y)) + 0.5 * np.exp(-y)
+    assert np.max(np.abs(src - expect)) < 5e-3
+
+
+def test_sedimentation_is_divergence():
+    """Column integral of the sedimentation source = boundary flux diff."""
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.physics.params import NSParams
+    grid = uniform_grid(8, 96, 1, 1.0, 1.0, 1.0)
+    fdm = build_fdm_plan(grid)
+    P = dyn.build_device_plans(
+        fdm, NSParams(schmidt=(1.0,)),
+        dyn.WallBCs.from_velocity_kind("freeslip", "freeslip",
+                                       scalar_bcs=(("neumann", "neumann"),)),
+        dtype=jnp.float64, with_elliptic=False)
+    props = microphysics.MicrophysicsProps(type="sedimentation",
+                                           settling=0.1)
+    Y = grid.y.nodes[None, :, None]
+    ql = jnp.asarray(np.exp(-((Y - 0.5) / 0.1) ** 2) * np.ones(grid.shape))
+    src = microphysics.sedimentation_source(props, P, ql)
+    col = np.trapezoid(np.asarray(src[0, :, 0]), grid.y.nodes)
+    flux_diff = 0.1 * (float(ql[0, -1, 0]) - float(ql[0, 0, 0]))
+    assert abs(col - flux_diff) < 1e-8
+
+
+def test_chemistry_quadratic():
+    props = chemistry.ChemistryProps(type="quadratic", damkohler=2.0,
+                                     parameters=(3.0,))
+    s = jnp.asarray(0.25)
+    assert abs(float(chemistry.source(props, s)) - 2.0 * 3.0 * 0.25 * 0.75) < 1e-14

@@ -54,12 +54,44 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
     from tlab_tpu.physics import gravity as grav
     from tlab_tpu.physics import rotation as rot
 
+    from tlab_tpu.physics import radiation as radmod
+    from tlab_tpu.physics import microphysics as micmod
+    from tlab_tpu.physics import chemistry as chemmod
+
     buo = getattr(case, "buoyancy", None)
     cor = getattr(case, "coriolis", None)
     buo_on = buo is not None and buo.type != "none" and any(buo.active)
     cor_on = cor is not None and cor.type != "none"
     explicit = buo_on and buo.type == "explicit" and anelastic is not None
-    if not (buo_on or cor_on):
+
+    ini = case.ini
+    rad = radmod.RadiationProps(
+        type=ini.get("Infrared", "Type",
+                     ini.get("Radiation", "Type", "none")).lower(),
+        scalar=ini.get_int("Infrared", "Scalar", 1) - 1,
+        kappa=ini.get_float("Infrared", "Kappa", 1.0),
+        flux_top=ini.get_float("Infrared", "FluxTop", 1.0),
+        flux_bottom=ini.get_float("Infrared", "FluxBottom", 0.0))
+    mic = micmod.MicrophysicsProps(
+        type=ini.get("Sedimentation", "Type",
+                     ini.get("Microphysics", "Type", "none")).lower(),
+        settling=ini.get_float("Parameters", "Settling", 0.0),
+        exponent=ini.get_float("Sedimentation", "Exponent", 1.0))
+    chem = chemmod.ChemistryProps(
+        type=ini.get("Chemistry", "Type", "none").lower(),
+        damkohler=ini.get_float("Parameters", "Damkohler", 1.0),
+        parameters=ini.get_floats("Chemistry", "Parameters", (1.0, 1.0)),
+        scalar=ini.get_int("Chemistry", "Scalar", 1) - 1)
+    rad_on = rad.type != "none"
+    mic_on = mic.type != "none" and mic.settling != 0.0
+    chem_on = chem.type != "none"
+    if rad_on or mic_on:
+        Jt, Jb = radmod.cumulative_matrices(grid.y.nodes)
+        Jt = jnp.asarray(Jt, dtype)
+        Jb = jnp.asarray(Jb, dtype)
+    y_dev = jnp.asarray(grid.y.nodes, dtype)
+
+    if not (buo_on or cor_on or rad_on or mic_on or chem_on):
         return None
 
     if buo_on and not explicit:
@@ -84,6 +116,27 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                 h2 = h2 + gy * b
             if abs(gz) > 0:
                 h3 = h3 + gz * b
+        if rad_on or mic_on:
+            # liquid water: diagnostic (anelastic airwater) or a scalar
+            from tlab_tpu.physics import thermo
+            if anelastic is not None:
+                diag = thermo.diagnostic_fields(anelastic["tp"], state.s,
+                                                anelastic["bg"])
+                ql = diag["ql"]
+                rho_b = anelastic["rho"]
+            else:
+                ql = state.s[-1]
+                rho_b = jnp.ones_like(y_dev)
+            if rad_on:
+                src = radmod.infrared_source(rad, Jt, Jb, ql, rho_b)
+                hs = hs.at[rad.scalar].add(src)
+            if mic_on:
+                sed = micmod.sedimentation_source(mic, P, ql)
+                # acts on total water (last scalar by convention)
+                hs = hs.at[state.s.shape[0] - 1].add(sed)
+        if chem_on:
+            hs = hs.at[chem.scalar].add(
+                chemmod.source(chem, state.s[chem.scalar], y_dev))
         return h1, h2, h3, hs
 
     return sources
