@@ -140,6 +140,7 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
         "u": rows_for(bcs.u), "v": rows_for(bcs.v), "w": rows_for(bcs.w),
         "s": tuple(rows_for(p) for p in bcs.s),
     }
+    P["wall_bc_types"] = {"u": bcs.u, "v": bcs.v, "w": bcs.w, "s": bcs.s}
     P["diffusion_constant"] = timemarch.diffusion_constant(fdm, nsp)
     P["bodyforce"] = bodyforce
     return P

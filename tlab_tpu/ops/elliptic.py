@@ -196,7 +196,8 @@ def _modal_lambda(plan: EllipticPlan, dtype):
     return jnp.asarray(lam, dtype)
 
 
-def solve_modal(plan_dev: dict, f_hat, alpha: float | jnp.ndarray = 0.0):
+def solve_modal(plan_dev: dict, f_hat, alpha: float | jnp.ndarray = 0.0,
+                singular_fix: bool = True):
     """Vertical solve for all horizontal modes.
 
     f_hat: complex (nkx, ny, nz) spectral forcing with bc values in y-rows
@@ -215,7 +216,7 @@ def solve_modal(plan_dev: dict, f_hat, alpha: float | jnp.ndarray = 0.0):
     G = G / denom.astype(f_hat.dtype)
     u_hat = jnp.einsum("ab,kbz->kaz", V.astype(f_hat.dtype), G, precision=prec)
 
-    S_sing = plan_dev.get("S_sing")
+    S_sing = plan_dev.get("S_sing") if singular_fix else None
     if S_sing is not None:
         # overwrite the (kx=0, kz=0) singular column with the compatible
         # Dirichlet-bottom solve (mean pressure pinned to 0 at the wall)
@@ -297,7 +298,7 @@ def helmholtz(plan_dev: dict, f, alpha, bcs_b=None, bcs_t=None):
     f = f.at[:, 0, :].set(0.0 if bcs_b is None else bcs_b)
     f = f.at[:, -1, :].set(0.0 if bcs_t is None else bcs_t)
     f_hat = _forward_fft(plan_dev, f)
-    u_hat = solve_modal(plan_dev, f_hat, alpha=alpha)
+    u_hat = solve_modal(plan_dev, f_hat, alpha=alpha, singular_fix=False)
     return _backward_fft(plan_dev, u_hat, nx, nz).astype(f.dtype)
 
 

@@ -194,6 +194,7 @@ class Simulation:
         P = dyn.build_device_plans(fdm, nsp, bcs,
                                    rk_name=case.time_order, dtype=dtype,
                                    bodyforce=bodyforce)
+        P["ell_dd"] = ell_plans[BC.DD]
         if anelastic is not None:
             P["anelastic"] = {"rho": anelastic["rho"],
                               "rho_inv": anelastic["rho_inv"]}
