@@ -14,6 +14,11 @@ import struct
 
 import numpy as np
 
+try:                                    # native threaded transpose+IO engine
+    from tlab_tpu import _tlabio        # built by native/build.py
+except ImportError:                     # pure-NumPy fallback
+    _tlabio = None
+
 _HDR = struct.Struct("<5i")
 
 
@@ -22,6 +27,11 @@ def write_field(path: str, arr: np.ndarray, itime: int = 0,
     arr = np.asarray(arr)
     nx, ny, nz = arr.shape
     params = np.asarray(params, dtype="<f8")
+    if _tlabio is not None and dtype == "<f8":
+        a = np.ascontiguousarray(arr, dtype=np.float64)
+        _tlabio.write_field(path, a, nx, ny, nz, int(itime),
+                            params.tobytes())
+        return
     offset = _HDR.size + params.nbytes
     with open(path, "wb") as fh:
         fh.write(_HDR.pack(offset, nx, ny, nz, itime))
@@ -31,6 +41,16 @@ def write_field(path: str, arr: np.ndarray, itime: int = 0,
 
 def read_field(path: str, dtype="<f8"):
     """Returns (arr (nx, ny, nz) float64, params array, itime)."""
+    if _tlabio is not None and dtype == "<f8":
+        with open(path, "rb") as fh:
+            offset, nx, ny, nz, nt = _HDR.unpack(fh.read(_HDR.size))
+        nbytes = 0
+        import os
+        nbytes = os.path.getsize(path) - offset
+        if nbytes == nx * ny * nz * 8:          # double-precision file
+            out = np.empty((nx, ny, nz), np.float64)
+            _, _, _, it, praw = _tlabio.read_field(path, out)
+            return out, np.frombuffer(praw, dtype="<f8"), it
     with open(path, "rb") as fh:
         data = fh.read()
     offset, nx, ny, nz, nt = _HDR.unpack_from(data, 0)
