@@ -372,6 +372,11 @@ def rk_step(P, state: State, dtime):
                       v=state.v + dte * hq[1],
                       w=state.w + dte * hq[2],
                       s=s_new)
+        if P.get("ibm") is not None:
+            # direct forcing: zero state in solids after the substep
+            # (reference dns_main.f90:254-257)
+            from tlab_tpu import ibm as ibmmod
+            state = ibmmod.apply_ibm_state(P["ibm"], state)
         if i < len(kdt) - 1:
             a = kco[i]
             hq = (a * hq[0], a * hq[1], a * hq[2])

@@ -91,7 +91,8 @@ def write_statistics(sim: Simulation, state: State, outdir: str,
 def run(sim: Simulation, state: State, outdir: str = ".",
         itime: int = 0, rtime: float = 0.0,
         n_steps: Optional[int] = None, log_path: Optional[str] = None,
-        checkpoint: bool = True, nan_abort: bool = True) -> DnsRun:
+        checkpoint: bool = True, nan_abort: bool = True,
+        opr_check: bool = False) -> DnsRun:
     case = sim.case
     n_steps = n_steps if n_steps is not None else (case.it_end - itime)
     sim.attach_buffer(state)
@@ -106,6 +107,10 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         filter_fn = None
 
     log = RunLog(path=log_path)
+    if opr_check:
+        # startup operator self-test + micro-benchmark (reference OPR_CHECK)
+        from tlab_tpu.ops.check import opr_check as run_check, format_report
+        log._write(format_report(run_check(sim)))
     log.header()
 
     cfla = case.time_cfl
