@@ -71,3 +71,36 @@ def test_cfl_helpers():
     assert cmax > 0
     dt = dyn.next_dt(P, cmax, cfla=1.2, cfld=0.3)
     assert 0 < dt < 1.0
+
+
+def test_taylor_green_stretched_y():
+    """Full dycore on a nonuniform vertical grid (Jacobian-corrected D2 +
+    direct-scheme elliptic pencil)."""
+    from tlab_tpu.grid import make_axis, Grid
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    nx, ny = 48, 65
+    lx, ly = 2.0 * np.pi, np.pi
+    s = np.linspace(0.0, 1.0, ny)
+    y_nodes = ly * (s + 0.10 * np.sin(np.pi * s))
+    grid = Grid(make_axis(np.arange(nx) * (lx / nx), True),
+                make_axis(y_nodes, False),
+                make_axis(np.zeros(1), False))
+    fdm = build_fdm_plan(grid)
+    assert not fdm.y.uniform
+    nsp = NSParams(reynolds=100.0, schmidt=())
+    bcs = dyn.WallBCs.from_velocity_kind("freeslip", "freeslip", scalar_bcs=())
+    P = dyn.build_device_plans(fdm, nsp, bcs, dtype=jnp.float64)
+    X = grid.x.nodes[:, None, None]
+    Y = grid.y.nodes[None, :, None]
+    u = np.sin(X) * np.cos(Y) * np.ones((nx, ny, 1))
+    v = -np.cos(X) * np.sin(Y) * np.ones((nx, ny, 1))
+    state = State(u=jnp.asarray(u), v=jnp.asarray(v),
+                  w=jnp.zeros((nx, ny, 1)), s=jnp.zeros((0, nx, ny, 1)))
+    dt = 2e-3
+    step = jax.jit(lambda st: dyn.rk_step(P, st, dt)[0])
+    for _ in range(50):
+        state = step(state)
+    decay = np.exp(-nsp.visc * 2.0 * dt * 50)
+    u_exact = np.sin(X) * np.cos(Y) * decay
+    err = np.max(np.abs(np.asarray(state.u) - u_exact))
+    assert err < 5e-4, err

@@ -109,3 +109,62 @@ def test_helmholtz_manufactured():
     a = np.asarray(elliptic.helmholtz(dev, jnp.asarray(f), alpha))
     err = np.max(np.abs(a - a_exact))
     assert err < 5e-5, err
+
+
+def test_poisson_nonuniform_y():
+    """Stretched vertical grid: the pencil switches to the direct compact
+    system; manufactured solution recovered at high order."""
+    import numpy as np
+    from tlab_tpu.grid import make_axis, Grid
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    nx, ny, nz = 48, 80, 1
+    s = np.linspace(0.0, 1.0, ny)
+    y_nodes = s + 0.15 * np.sin(np.pi * s)        # nonuniform
+    grid = Grid(make_axis(np.arange(nx) * (2.0 / nx), True),
+                make_axis(y_nodes, False),
+                make_axis(np.zeros(1), False))
+    fdm = build_fdm_plan(grid)
+    assert not fdm.y.uniform
+    plan = elliptic.build_elliptic_plan(fdm, ibc=BC.NN)
+    dev = elliptic.device_elliptic_plan(plan, dtype=jnp.float64)
+    X = grid.x.nodes[:, None, None]
+    Y = grid.y.nodes[None, :, None]
+    kx = 2 * np.pi / grid.x.scale
+    p_exact = np.cos(kx * X) * np.cos(np.pi * Y) * np.ones((nx, ny, nz))
+    f = (-(kx ** 2) - np.pi ** 2) * p_exact
+    p = np.array(elliptic.poisson(dev, jnp.asarray(f)))
+    p -= p.mean()
+    pe = p_exact - p_exact.mean()
+    err = np.max(np.abs(p - pe))
+    assert err < 2e-4, err
+
+
+def test_direct_schemes_convergence():
+    """Direct nonuniform compact D2: ~5th-6th order on a stretched grid."""
+    import numpy as np
+    from tlab_tpu.fdm.schemes import build_2der_direct_system, \
+        build_1der_direct_system
+
+    def err2(n):
+        s = np.linspace(0.0, 1.0, n)
+        x = s + 0.15 * np.sin(np.pi * s)
+        A, B = build_2der_direct_system(x)
+        u = np.sin(2 * np.pi * x)
+        d2 = np.linalg.solve(A, B @ u)
+        return np.max(np.abs(d2 + (2 * np.pi) ** 2 * np.sin(2 * np.pi * x)))
+
+    e1, e2 = err2(48), err2(96)
+    assert np.log2(e1 / e2) > 2.5, (e1, e2)   # global: 3rd-order bc rows
+    assert e2 < 5e-2
+
+    def err1(n):
+        s = np.linspace(0.0, 1.0, n)
+        x = s + 0.15 * np.sin(np.pi * s)
+        A, B = build_1der_direct_system(x)
+        u = np.sin(2 * np.pi * x)
+        d1 = np.linalg.solve(A, B @ u)
+        return np.max(np.abs(d1 - 2 * np.pi * np.cos(2 * np.pi * x)))
+
+    e1, e2 = err1(48), err1(96)
+    assert np.log2(e1 / e2) > 3.5, (e1, e2)
+    assert e2 < 1e-4

@@ -301,3 +301,93 @@ def d1_scheme(name: str) -> SchemeDef:
 
 def d2_scheme(name: str) -> SchemeDef:
     return _D2_SCHEMES[name]
+
+
+# ---------------------------------------------------------------------------
+# Direct (nonuniform-native) compact schemes: coefficients from local
+# polynomial exactness on the actual nodes (reference FDM_ComX_Direct,
+# src/fdm/fdm_comx_direct.f90, which derives the same class of schemes via
+# Lagrange-polynomial algebra). No Jacobian correction: C = 0.
+# ---------------------------------------------------------------------------
+
+def _solve_compact_row(x, i, lhs_idx, rhs_idx, deriv_order):
+    """Row coefficients (alphas for lhs_idx (excluding i), betas for rhs_idx)
+    with  f^(m)_i + sum alpha_k f^(m)_k = sum beta_j f_j  exact for
+    polynomials of degree <= len(lhs_idx)-1 + len(rhs_idx) - 1."""
+    xi = x[i]
+    h = np.max(np.abs(x[rhs_idx] - xi)) or 1.0
+    n_a = len(lhs_idx)
+    n_b = len(rhs_idx)
+    n_cond = n_a + n_b
+    M = np.zeros((n_cond, n_a + n_b))
+    rhs = np.zeros(n_cond)
+
+    def dmono(m, xx):       # d^deriv_order/dx^deriv_order of ((xx-xi)/h)^m
+        c = 1.0
+        for q in range(deriv_order):
+            c *= (m - q)
+        if m - deriv_order < 0:
+            return 0.0
+        return c * ((xx - xi) / h) ** (m - deriv_order) / h ** deriv_order
+
+    for m in range(n_cond):
+        for a, k in enumerate(lhs_idx):
+            M[m, a] = dmono(m, x[k])
+        for b, j in enumerate(rhs_idx):
+            M[m, n_a + b] = -((x[j] - xi) / h) ** m
+        rhs[m] = -dmono(m, xi)
+    sol = np.linalg.solve(M, rhs)
+    return sol[:n_a], sol[n_a:]
+
+
+def build_2der_direct_system(nodes: np.ndarray):
+    """Dense (A, B) with A f'' = B f on a nonuniform grid, 6th-order
+    interior (tridiagonal lhs, 5-point rhs), one-sided boundary closures.
+    Equivalent role to reference FDM_C2N6_Direct."""
+    n = nodes.shape[0]
+    A = np.zeros((n, n))
+    B = np.zeros((n, n))
+    for i in range(n):
+        A[i, i] = 1.0
+        if i == 0:
+            lhs, rhs = [1], list(range(0, 4))
+        elif i == n - 1:
+            lhs, rhs = [n - 2], list(range(n - 4, n))
+        elif i == 1:
+            lhs, rhs = [0, 2], list(range(0, 4))
+        elif i == n - 2:
+            lhs, rhs = [n - 3, n - 1], list(range(n - 4, n))
+        else:
+            lhs, rhs = [i - 1, i + 1], list(range(i - 2, i + 3))
+        alphas, betas = _solve_compact_row(nodes, i, lhs, rhs, 2)
+        for a, k in zip(alphas, lhs):
+            A[i, k] = a
+        for b, j in zip(betas, rhs):
+            B[i, j] = b
+    return A, B
+
+
+def build_1der_direct_system(nodes: np.ndarray):
+    """Dense (A, B) with A f' = B f, 6th-order interior, nonuniform-native
+    (reference FDM_C1N6_Direct equivalent)."""
+    n = nodes.shape[0]
+    A = np.zeros((n, n))
+    B = np.zeros((n, n))
+    for i in range(n):
+        A[i, i] = 1.0
+        if i == 0:
+            lhs, rhs = [1], list(range(0, 3))
+        elif i == n - 1:
+            lhs, rhs = [n - 2], list(range(n - 3, n))
+        elif i == 1:
+            lhs, rhs = [0, 2], list(range(0, 4))
+        elif i == n - 2:
+            lhs, rhs = [n - 3, n - 1], list(range(n - 4, n))
+        else:
+            lhs, rhs = [i - 1, i + 1], list(range(i - 2, i + 3))
+        alphas, betas = _solve_compact_row(nodes, i, lhs, rhs, 1)
+        for a, k in zip(alphas, lhs):
+            A[i, k] = a
+        for b, j in zip(betas, rhs):
+            B[i, j] = b
+    return A, B

@@ -71,15 +71,19 @@ def neumann_row_coefs(y: np.ndarray, at_max: bool):
 
 
 def build_pencil(plan_y: DerivPlan, ibc: BC):
-    """(M0, M1, R) with (M0 - lambda M1) p = R f; bc values ride in f rows."""
-    if not plan_y.uniform and np.max(np.abs(plan_y.C2)) > 1e-12:
-        # Jacobian-form D2 needs p'; the elliptic pencil requires a direct
-        # (nonuniform-native) second-derivative system. TODO(round2): wire
-        # FDM_ComX_Direct-equivalent schemes; for now restrict to uniform y.
-        raise NotImplementedError(
-            "elliptic solver currently requires uniform y or direct schemes")
+    """(M0, M1, R) with (M0 - lambda M1) p = R f; bc values ride in f rows.
+
+    On nonuniform grids the Jacobian-form D2 needs p' (C2 != 0), so the
+    pencil is built from the direct (nonuniform-native) compact system
+    instead, as the reference's elliptic solver does with its
+    CompactDirect schemes (opr_elliptic.f90:113-121).
+    """
     n = plan_y.size
-    A2, B2 = plan_y.A2.copy(), plan_y.B2.copy()
+    if not plan_y.uniform and np.max(np.abs(plan_y.C2)) > 1e-12:
+        from tlab_tpu.fdm.schemes import build_2der_direct_system
+        A2, B2 = build_2der_direct_system(plan_y.nodes)
+    else:
+        A2, B2 = plan_y.A2.copy(), plan_y.B2.copy()
 
     # The wall rows of f are repurposed to carry boundary-condition values,
     # so interior equations must not reference the wall forcing. Eliminate
