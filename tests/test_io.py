@@ -30,3 +30,31 @@ def test_native_and_numpy_agree(tmp_path):
     out_p, _, _ = fields_io.read_field(p_numpy, dtype="<f4")
     assert np.array_equal(out_n, a)
     assert np.allclose(out_p, a, atol=1e-6)
+
+
+def test_remesh_accuracy():
+    """Cubic remeshing reproduces a smooth field at 4th order."""
+    import jax.numpy as jnp
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.ops.interpolate import remesh_field
+    g1 = uniform_grid(32, 33, 1, 2 * np.pi, 1.0, 1.0)
+    g2 = uniform_grid(48, 49, 1, 2 * np.pi, 1.0, 1.0)
+    X1 = g1.x.nodes[:, None, None]
+    Y1 = g1.y.nodes[None, :, None]
+    f1 = np.sin(X1) * np.cos(2 * np.pi * Y1) * np.ones((32, 33, 1))
+    f2 = np.asarray(remesh_field(jnp.asarray(f1), g1, g2))
+    X2 = g2.x.nodes[:, None, None]
+    Y2 = g2.y.nodes[None, :, None]
+    exact = np.sin(X2) * np.cos(2 * np.pi * Y2) * np.ones((48, 49, 1))
+    assert np.max(np.abs(f2 - exact)) < 5e-4
+
+
+def test_remesh_roundtrip_constant():
+    import jax.numpy as jnp
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.ops.interpolate import remesh_field
+    g1 = uniform_grid(16, 17, 8, 1.0, 1.0, 1.0)
+    g2 = uniform_grid(24, 21, 12, 1.0, 1.0, 1.0)
+    ones = np.ones(g1.shape)
+    out = np.asarray(remesh_field(jnp.asarray(ones), g1, g2))
+    assert np.max(np.abs(out - 1.0)) < 1e-12

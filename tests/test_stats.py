@@ -70,3 +70,15 @@ def test_table_roundtrip(tmp_path):
     averages.write_table(path, grid.y.nodes, out, 10, 0.5)
     back = averages.read_table(path)
     assert np.allclose(back["Tke"], np.asarray(out["Tke"]), atol=1e-7)
+
+
+def test_conditional_statistics():
+    grid, nsp, P, st = _setup()
+    gate = (st.u > 0).astype(st.u.dtype)
+    cavg, gamma = averages.conditional_average(st.u, gate)
+    # conditioned on u>0, the mean must be positive everywhere
+    assert np.all(np.asarray(cavg) > 0)
+    assert np.all((np.asarray(gamma) > 0.2) & (np.asarray(gamma) < 0.8))
+    out = averages.conditional_flow_statistics(P, st, gate)
+    assert np.all(np.asarray(out["cU"]) > 0)
+    assert np.all(np.asarray(out["cU2"]) > 0)

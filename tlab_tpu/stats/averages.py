@@ -135,3 +135,33 @@ def read_table(path: str):
         names = fh.readline().split()[1:]
     data = np.loadtxt(path)
     return {n: data[:, i] for i, n in enumerate(names)}
+
+
+# ---------------------------------------------------------------------------
+# Conditional (gated) statistics -- intermittency analysis
+# (reference src/statistics/cavg.f90, FI_GATE conditioning)
+# ---------------------------------------------------------------------------
+
+def intermittency(gate):
+    """gamma(y): plane fraction of gated (gate > 0) points."""
+    return _pavg((gate > 0).astype(jnp.float32))
+
+
+def conditional_average(a, gate):
+    """Plane average of `a` over gated points; (cond_avg(ny,), gamma(ny,))."""
+    g = (gate > 0).astype(a.dtype)
+    num = _pavg(a * g)
+    den = _pavg(g)
+    return num / jnp.maximum(den, jnp.finfo(a.dtype).tiny), den
+
+
+def conditional_flow_statistics(P, state, gate):
+    """Gated means and second moments of the velocity components."""
+    out = {}
+    for name, comp in (("U", state.u), ("V", state.v), ("W", state.w)):
+        mean, gamma = conditional_average(comp, gate)
+        out[f"c{name}"] = mean
+        var, _ = conditional_average(comp * comp, gate)
+        out[f"c{name}2"] = var - mean ** 2
+    out["gamma"] = gamma
+    return out

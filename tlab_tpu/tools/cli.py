@@ -15,9 +15,12 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tlab-tpu")
     ap.add_argument("command", choices=["inigrid", "inirand", "iniflow",
-                                        "iniscal", "ini", "dns",
+                                        "iniscal", "ini", "inipart", "dns",
                                         "averages", "spectra", "pdfs",
-                                        "visuals"])
+                                        "visuals", "transfields"])
+    ap.add_argument("--ini2", default="",
+                    help="target-case ini for transfields remeshing")
+    ap.add_argument("--nparticles", type=int, default=10000)
     ap.add_argument("--ini", default="tlab.ini")
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--seed", type=int, default=7)
@@ -79,6 +82,43 @@ def main(argv=None):
                            rtime=float(rtime), n_steps=args.steps,
                            log_path=os.path.join(args.outdir, "dns.out"))
         print("\n".join(run.log.lines[-3:]))
+        return 0
+
+    if args.command == "inipart":
+        from tlab_tpu.particles.core import init_particles
+        from tlab_tpu.particles.io import write_particles
+        ps = init_particles(sim.grid, args.nparticles, seed=args.seed)
+        write_particles(os.path.join(args.outdir, f"part.{case.it_start}"),
+                        ps, case.it_start)
+        print(f"{args.nparticles} particles written")
+        return 0
+
+    if args.command == "transfields":
+        from tlab_tpu.config import load_case as lc
+        from tlab_tpu.runtime import grid_from_case
+        from tlab_tpu.ops.interpolate import remesh_field
+        from tlab_tpu.io import fields_io
+        import jax.numpy as jnp
+        import numpy as np
+        case2 = lc(args.ini2)
+        grid2 = grid_from_case(case2)
+        its = [int(t) for t in args.files.split(",") if t]
+        for it in its:
+            u, v, w, s, rtime, visc_ = fields_io.read_state(
+                os.path.join(args.outdir, "flow"),
+                os.path.join(args.outdir, "scal"), it, sim.nsp.n_scalars)
+            from tlab_tpu.dycore.state import State
+            new = State(
+                u=remesh_field(jnp.asarray(u), sim.grid, grid2),
+                v=remesh_field(jnp.asarray(v), sim.grid, grid2),
+                w=remesh_field(jnp.asarray(w), sim.grid, grid2),
+                s=jnp.stack([remesh_field(jnp.asarray(s[i]), sim.grid, grid2)
+                             for i in range(s.shape[0])]) if s.shape[0]
+                else jnp.zeros((0,) + grid2.shape))
+            fields_io.write_state(os.path.join(args.outdir, "flow_rm"),
+                                  os.path.join(args.outdir, "scal_rm"),
+                                  it, new, float(rtime), float(visc_))
+        print(f"remeshed {its} onto {grid2.shape}")
         return 0
 
     if args.command in ("averages", "spectra", "pdfs", "visuals"):
