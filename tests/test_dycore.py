@@ -104,3 +104,20 @@ def test_taylor_green_stretched_y():
     u_exact = np.sin(X) * np.cos(Y) * decay
     err = np.max(np.abs(np.asarray(state.u) - u_exact))
     assert err < 5e-4, err
+
+
+def test_pressure_diagnostic_matches_projection():
+    """Offline pressure recovery (FI_PRESSURE_BOUSSINESQ equivalent) agrees
+    with the in-loop pressure up to the q/dte forcing split."""
+    from tlab_tpu.dycore.pressure import pressure_boussinesq
+    grid, nsp, P, state, _ = make_tg_setup()
+    p = np.asarray(pressure_boussinesq(P, state))
+    assert np.isfinite(p).all()
+    # exact pressure for this TG phase (u = sin x cos y):
+    # u . grad u = (sin 2x / 2, sin 2y / 2) => p = +1/4 (cos 2x + cos 2y)
+    X = grid.x.nodes[:, None, None]
+    Y = grid.y.nodes[None, :, None]
+    p_exact = 0.25 * (np.cos(2 * X) + np.cos(2 * Y)) * np.ones(grid.shape)
+    pc = p - p.mean()
+    pe = p_exact - p_exact.mean()
+    assert np.max(np.abs(pc - pe)) < 1e-4

@@ -109,3 +109,23 @@ def test_inertia_relaxes_to_flow():
     expect = u0 * (1.0 - np.exp(-t / 0.5))
     got = float(jnp.mean(pstate.v[:, 0]))
     assert abs(got - expect) < 1e-6, (got, expect)
+
+
+def test_dns_run_with_particles(tmp_path):
+    """Particles ride the dns driver loop and checkpoint with restarts."""
+    import os
+    from tlab_tpu.config import load_case
+    from tlab_tpu.runtime import Simulation
+    from tlab_tpu.tools import dns as dns_tool
+    from tlab_tpu.tools.initialize import initial_state
+    ini = os.path.join(os.path.dirname(__file__), "data", "case01_small.ini")
+    sim = Simulation.from_case(load_case(ini))
+    state = initial_state(sim, seed=7)
+    ps = pc.init_particles(sim.grid, 50, seed=1)
+    run = dns_tool.run(sim, state, outdir=str(tmp_path), n_steps=5,
+                       pstate=ps, particle_props=pc.ParticleProps("tracer"))
+    assert run.pstate is not None
+    x = np.asarray(run.pstate.x)
+    assert np.isfinite(x).all()
+    # particles moved
+    assert np.max(np.abs(x - np.asarray(ps.x))) > 1e-6

@@ -53,17 +53,32 @@ class DnsRun:
     itime: int
     rtime: float
     log: RunLog
+    pstate: object = None
 
 
-def make_step_functions(sim: Simulation):
+def make_step_functions(sim: Simulation, particles=None):
     P = sim.P
 
-    @jax.jit
-    def step(state, dtime):
-        new_state, _ = dyn.rk_step(P, state, dtime)
-        cfl = dyn.cfl_advective_max(P, new_state)
-        dmin, dmax = dyn.dilatation_minmax(P, new_state)
-        return new_state, cfl, dmin, dmax
+    if particles is None:
+        @jax.jit
+        def step(state, dtime):
+            new_state, _ = dyn.rk_step(P, state, dtime)
+            cfl = dyn.cfl_advective_max(P, new_state)
+            dmin, dmax = dyn.dilatation_minmax(P, new_state)
+            return new_state, cfl, dmin, dmax
+    else:
+        from tlab_tpu.particles.core import make_locator
+        from tlab_tpu.particles.stepping import rk_step_with_particles
+        locate = make_locator(sim.grid)
+        pprops = particles
+
+        @jax.jit
+        def step(state, pstate, dtime):
+            new_state, new_ps = rk_step_with_particles(
+                P, sim.grid, locate, pprops, state, pstate, dtime)
+            cfl = dyn.cfl_advective_max(P, new_state)
+            dmin, dmax = dyn.dilatation_minmax(P, new_state)
+            return new_state, new_ps, cfl, dmin, dmax
 
     @jax.jit
     def cfl_only(state):
@@ -92,11 +107,12 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         itime: int = 0, rtime: float = 0.0,
         n_steps: Optional[int] = None, log_path: Optional[str] = None,
         checkpoint: bool = True, nan_abort: bool = True,
-        opr_check: bool = False) -> DnsRun:
+        opr_check: bool = False, pstate=None, particle_props=None) -> DnsRun:
     case = sim.case
     n_steps = n_steps if n_steps is not None else (case.it_end - itime)
     sim.attach_buffer(state)
-    step, cfl_only = make_step_functions(sim)
+    step, cfl_only = make_step_functions(
+        sim, particles=particle_props if pstate is not None else None)
 
     filt = sim.filter_matrices()
     filt_step = getattr(getattr(case, "filter", None), "step", 0)
@@ -128,7 +144,10 @@ def run(sim: Simulation, state: State, outdir: str = ".",
 
     status = 0
     for _ in range(n_steps):
-        state, cmax_dev, dmin, dmax = step(state, dtime)
+        if pstate is not None:
+            state, pstate, cmax_dev, dmin, dmax = step(state, pstate, dtime)
+        else:
+            state, cmax_dev, dmin, dmax = step(state, dtime)
         itime += 1
         rtime += dtime
         if filter_fn is not None and itime % filt_step == 0:
@@ -148,6 +167,10 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             fields_io.write_state(os.path.join(outdir, "flow"),
                                   os.path.join(outdir, "scal"),
                                   itime, state, rtime, visc)
+            if pstate is not None:
+                from tlab_tpu.particles.io import write_particles
+                write_particles(os.path.join(outdir, f"part.{itime}"),
+                                pstate, itime)
         if case.it_stats > 0 and itime % case.it_stats == 0:
             write_statistics(sim, state, outdir, itime, rtime)
         dtime = new_dt
@@ -157,4 +180,5 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         fields_io.write_state(os.path.join(outdir, "flow"),
                               os.path.join(outdir, "scal"),
                               itime, state, rtime, visc)
-    return DnsRun(sim=sim, state=state, itime=itime, rtime=rtime, log=log)
+    return DnsRun(sim=sim, state=state, itime=itime, rtime=rtime, log=log,
+                  pstate=pstate)
