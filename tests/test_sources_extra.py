@@ -67,3 +67,26 @@ def test_chemistry_quadratic():
                                      parameters=(3.0,))
     s = jnp.asarray(0.25)
     assert abs(float(chemistry.source(props, s)) - 2.0 * 3.0 * 0.25 * 0.75) < 1e-14
+
+
+def test_subsidence_source():
+    """w_LS = D y advects the profile downward: source = D y ds/dy."""
+    from tlab_tpu.physics import forcing
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.physics.params import NSParams
+    grid = uniform_grid(8, 64, 1, 1.0, 1.0, 1.0)
+    fdm = build_fdm_plan(grid)
+    P = dyn.build_device_plans(
+        fdm, NSParams(schmidt=(1.0,)),
+        dyn.WallBCs.from_velocity_kind("freeslip", "freeslip",
+                                       scalar_bcs=(("neumann", "neumann"),)),
+        dtype=jnp.float64, with_elliptic=False)
+    props = forcing.SubsidenceProps(type="constantdivergencelocal",
+                                    divergence=0.3)
+    Y = grid.y.nodes[None, :, None]
+    a = jnp.asarray(np.sin(np.pi * Y) * np.ones(grid.shape))
+    src = forcing.subsidence_source(props, P, grid.y.nodes, a)
+    expect = 0.3 * Y * np.pi * np.cos(np.pi * Y)
+    assert np.max(np.abs(np.asarray(src) - expect)) < 1e-5

@@ -77,6 +77,14 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                      ini.get("Microphysics", "Type", "none")).lower(),
         settling=ini.get_float("Parameters", "Settling", 0.0),
         exponent=ini.get_float("Sedimentation", "Exponent", 1.0))
+    from tlab_tpu.physics import forcing as forcmod
+    sub = forcmod.SubsidenceProps(
+        type=ini.get("Subsidence", "Type",
+                     ini.get("Main", "TermSubsidence", "none")).lower(),
+        divergence=(ini.get_floats("Subsidence", "Parameters", (0.0,))
+                    or (0.0,))[0])
+    sub_on = sub.type not in ("none", "") and sub.divergence != 0.0
+
     chem = chemmod.ChemistryProps(
         type=ini.get("Chemistry", "Type", "none").lower(),
         damkohler=ini.get_float("Parameters", "Damkohler", 1.0),
@@ -91,7 +99,7 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
         Jb = jnp.asarray(Jb, dtype)
     y_dev = jnp.asarray(grid.y.nodes, dtype)
 
-    if not (buo_on or cor_on or rad_on or mic_on or chem_on):
+    if not (buo_on or cor_on or rad_on or mic_on or chem_on or sub_on):
         return None
 
     if buo_on and not explicit:
@@ -137,6 +145,14 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
         if chem_on:
             hs = hs.at[chem.scalar].add(
                 chemmod.source(chem, state.s[chem.scalar], y_dev))
+        if sub_on:
+            # subsidence acts on scalars and horizontal momentum
+            # (reference TLab_Sources_* subsidence hooks)
+            for isc in range(state.s.shape[0]):
+                hs = hs.at[isc].add(
+                    forcmod.subsidence_source(sub, P, y_dev, state.s[isc]))
+            h1 = h1 + forcmod.subsidence_source(sub, P, y_dev, state.u)
+            h3 = h3 + forcmod.subsidence_source(sub, P, y_dev, state.w)
         return h1, h2, h3, hs
 
     return sources
