@@ -84,3 +84,22 @@ def test_pencil_poisson_matches():
     sh = field_sharding(mesh)
     p_out = np.asarray(jax.jit(solve)(jax.device_put(f, sh)))
     assert np.max(np.abs(p_out - p_ref)) < 1e-11
+
+
+def test_pencil_wire_precision_option():
+    """fp32-on-the-wire: close to exact but not bitwise (reference
+    TransposeTypeK=single analog)."""
+    P, state = _setup()
+    mesh = make_mesh(4, 2)
+    step32 = pencil.make_pencil_step(mesh, P, dyn.rk_step,
+                                     wire_dtype=jnp.float32)
+    sh = field_sharding(mesh)
+    sh4 = scalar_field_sharding(mesh)
+    state_sh = State(u=jax.device_put(state.u, sh),
+                     v=jax.device_put(state.v, sh),
+                     w=jax.device_put(state.w, sh),
+                     s=jax.device_put(state.s, sh4))
+    out32 = step32(state_sh, 1e-3)
+    out = jax.jit(lambda st: dyn.rk_step(P, st, 1e-3)[0])(state)
+    err = np.max(np.abs(np.asarray(out32.u) - np.asarray(out.u)))
+    assert 1e-14 < err < 1e-4, err

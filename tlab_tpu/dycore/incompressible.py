@@ -180,10 +180,11 @@ def _d1(P, axis_name: str, axis: int, a):
     comm = _axis_comm(P, axis_name)
     if comm is not None:
         from tlab_tpu.parallel import pencil
+        wire = comm.get("wire")
         off = a.ndim - 3
-        a_g = pencil.GATHER[axis_name](a, off)
+        a_g = pencil.cast_on_wire(pencil.GATHER[axis_name], a, off, wire)
         r = der1(M, a_g, axis)
-        return pencil.SCATTER[axis_name](r, off)
+        return pencil.cast_on_wire(pencil.SCATTER[axis_name], r, off, wire)
     return der1(M, a, axis)
 
 
@@ -228,8 +229,9 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
     if comm is not None:
         # the advecting velocity rides the same all-to-all as the fields
         from tlab_tpu.parallel import pencil
+        wire = comm.get("wire")
         stack = jnp.concatenate([fields, conv[None]], axis=0)
-        stack = pencil.GATHER[axis_name](stack, 1)
+        stack = pencil.cast_on_wire(pencil.GATHER[axis_name], stack, 1, wire)
         fields_t, conv_t = stack[:-1], stack[-1]
     else:
         fields_t, conv_t = fields, conv
@@ -262,7 +264,7 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
     else:
         res = nu * d2a - conv_t[None] * da
     if comm is not None:
-        res = pencil.SCATTER[axis_name](res, 1)
+        res = pencil.cast_on_wire(pencil.SCATTER[axis_name], res, 1, wire)
     return res
 
 

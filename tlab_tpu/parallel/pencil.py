@@ -63,6 +63,15 @@ GATHER = {"x": gather_x, "z": gather_z}
 SCATTER = {"x": scatter_x, "z": scatter_z}
 
 
+def cast_on_wire(fn, a, off, wire_dtype):
+    """Optionally move the all-to-all at reduced precision, the ICI analog
+    of the reference's fp32-compressed fp64 transposes
+    (tlab_mpi_transpose.f90:362-376, TransposeTypeK=single)."""
+    if wire_dtype is None or a.dtype == wire_dtype:
+        return fn(a, off)
+    return fn(a.astype(wire_dtype), off).astype(a.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Pencil Poisson
 # ---------------------------------------------------------------------------
@@ -137,7 +146,7 @@ def pencil_poisson(plan_dev, f, comm, bcs_b=None, bcs_t=None, d1y=None):
 # Pencil step driver
 # ---------------------------------------------------------------------------
 
-def make_pencil_step(mesh, P, rk_step_fn):
+def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None):
     """Wrap the dycore rk_step in shard_map over the ('x','z') mesh.
 
     Returns step(state, dtime) -> state operating on sharded State arrays.
@@ -147,7 +156,7 @@ def make_pencil_step(mesh, P, rk_step_fn):
     px = mesh.shape["x"]
     pz = mesh.shape["z"]
     Pp = dict(P)
-    Pp["comm"] = {"px": px, "pz": pz}
+    Pp["comm"] = {"px": px, "pz": pz, "wire": wire_dtype}
     ell = dict(P["ell"])
     ell.pop("shardings", None)
     # pad the horizontal eigenvalue table for the kx all-to-alls

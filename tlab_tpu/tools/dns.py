@@ -103,6 +103,27 @@ def write_statistics(sim: Simulation, state: State, outdir: str,
                         itime, rtime)
 
 
+def write_obs(sim: Simulation, state: State, outdir: str, itime: int,
+              rtime: float) -> None:
+    """Ekman-case observables to dns.obs (reference dns_main.f90:500-566):
+    bulk velocities, friction velocity and stress angle at the lower wall."""
+    import jax.numpy as jnp
+    y = sim.grid.y.nodes
+    U = jnp.mean(state.u, axis=(0, 2))
+    W = jnp.mean(state.w, axis=(0, 2))
+    ub = float(jnp.trapezoid(U, jnp.asarray(y)) / (y[-1] - y[0]))
+    wb = float(jnp.trapezoid(W, jnp.asarray(y)) / (y[-1] - y[0]))
+    d1y = sim.P.get("d1y")
+    dUdy = float((d1y @ U)[0]) if d1y is not None else 0.0
+    dWdy = float((d1y @ W)[0]) if d1y is not None else 0.0
+    visc = sim.nsp.visc
+    utau = (visc * np.hypot(dUdy, dWdy)) ** 0.5
+    alpha = np.degrees(np.arctan2(dWdy, dUdy))
+    with open(os.path.join(outdir, "dns.obs"), "a") as fh:
+        fh.write(f"{itime:7d} {rtime:.8e} {ub:.8e} {wb:.8e} "
+                 f"{utau:.8e} {alpha:.6f}\n")
+
+
 def run(sim: Simulation, state: State, outdir: str = ".",
         itime: int = 0, rtime: float = 0.0,
         n_steps: Optional[int] = None, log_path: Optional[str] = None,
@@ -129,6 +150,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         log._write(format_report(run_check(sim)))
     log.header()
 
+    obs_log = case.ini.get("Iteration", "ObsLog", "none").lower() != "none" \
+        if getattr(case, "ini", None) else False
     cfla = case.time_cfl
     cfld = case.time_cfl_diffusive
     fixed_dt = case.time_step if case.time_step > 0 else None
@@ -173,6 +196,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                                 pstate, itime)
         if case.it_stats > 0 and itime % case.it_stats == 0:
             write_statistics(sim, state, outdir, itime, rtime)
+        if obs_log and itime % case.it_log == 0:
+            write_obs(sim, state, outdir, itime, rtime)
         dtime = new_dt
 
     if checkpoint and status != 0 and case.it_restart > 0 \
