@@ -1,0 +1,251 @@
+"""Mini versions of the reference's example-case families (examples/README):
+3-D shear layer, Rayleigh-Benard convection, rotating Ekman layer.
+Each runs the full driver pipeline and checks family-specific physics.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tlab_tpu.config import load_case, Ini
+from tlab_tpu.dycore import incompressible as dyn
+from tlab_tpu.dycore.state import State
+from tlab_tpu.runtime import Simulation
+from tlab_tpu.tools import dns as dns_tool
+from tlab_tpu.tools.initialize import initial_state
+
+SHEAR3D = """
+[Main]
+Type=temporal
+Equations=incompressible
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit4
+TimeCFL=1.0
+[Parameters]
+Reynolds=800
+Schmidt=1.0
+[Iteration]
+Start=0
+End=10
+Restart=0
+Statistics=0
+IteraLog=1
+[Grid]
+XPeriodic=yes
+YPeriodic=no
+ZPeriodic=yes
+[Flow]
+ProfileVelocityX=Tanh
+ThickVelocityX=0.05
+DeltaVelocityX=1.0
+[Scalar]
+ProfileScalar1=Tanh
+ThickScalar1=0.05
+DeltaScalar1=-1.0
+MeanScalar1=0.5
+[BoundaryConditions]
+VelocityJmin=freeslip
+VelocityJmax=freeslip
+Scalar1Jmin=neumann
+Scalar1Jmax=neumann
+[IniFields]
+Velocity=VorticityBroadband
+ProfileIniK=GaussianSurface
+ThickIniK=0.05
+NormalizeK=0.01
+[Broadband]
+Spectrum=quadratic
+f0=4.0
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=33
+scales_1=2.0
+opts_1=uniform
+[IniGridOy]
+periodic=no
+segments=1
+points_1=48
+scales_1=1.0
+opts_1=uniform
+[IniGridOz]
+periodic=yes
+segments=1
+points_1=17
+scales_1=1.0
+opts_1=uniform
+"""
+
+
+def test_shear_layer_3d():
+    """3-D temporal shear layer (reference Cases 01-08 family): runs with
+    adaptive dt; TKE grows from the broadband seed (KH instability) while
+    the scalar stays bounded."""
+    sim = Simulation.from_case(load_case(Ini(text=SHEAR3D)))
+    state = initial_state(sim, seed=11)
+    assert sim.grid.shape == (32, 48, 16)
+    from tlab_tpu.stats import averages
+    tke0 = float(jnp.max(averages.flow_statistics(
+        sim.P, state, sim.nsp.visc)["Tke"]))
+    run = dns_tool.run(sim, state, outdir="/tmp/shear3d_case", n_steps=10)
+    out = run.state
+    assert np.isfinite(np.asarray(out.u)).all()
+    assert float(jnp.max(out.s)) <= 1.0 + 1e-6
+    assert float(jnp.min(out.s)) >= -1e-6
+    tkeN = float(jnp.max(averages.flow_statistics(
+        sim.P, out, sim.nsp.visc)["Tke"]))
+    assert 0.1 * tke0 < tkeN < 50 * tke0
+
+
+RAYLEIGH_BENARD = """
+[Main]
+Type=temporal
+Equations=incompressible
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit3
+TimeCFL=0.8
+[Control]
+ScalLimit=yes
+MinScalar=0.0
+MaxScalar=1.0
+[Parameters]
+Reynolds=100
+Schmidt=1.0
+Froude=0.01
+[BoundaryConditions]
+VelocityJmin=noslip
+VelocityJmax=noslip
+Scalar1Jmin=dirichlet
+Scalar1Jmax=dirichlet
+[Scalar]
+ProfileScalar1=Linear
+DeltaScalar1=1.0
+MeanScalar1=0.5
+[BodyForce]
+Type=Linear
+Vector=0.0,1.0,0.0
+Parameters=1.0
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=49
+scales_1=4.0
+opts_1=uniform
+[IniGridOy]
+periodic=no
+segments=1
+points_1=33
+scales_1=1.0
+opts_1=uniform
+[IniGridOz]
+periodic=no
+segments=1
+points_1=1
+scales_1=1.0
+opts_1=uniform
+"""
+
+
+def test_rayleigh_benard_instability():
+    """RB convection (reference Cases 10-13 family): hot plate below
+    (unstable stratification, Ra ~ 1e6 >> Ra_c); a seeded perturbation grows
+    and develops convective heat flux <v's'> > 0."""
+    case = load_case(Ini(text=RAYLEIGH_BENARD))
+    sim = Simulation.from_case(case)
+    nx, ny, nz = sim.grid.shape
+    y = sim.grid.y.nodes
+    X = sim.grid.x.nodes[:, None, None]
+    Y = y[None, :, None]
+    # linear profile: delta=1, mean=0.5 -> s = 0.5 - (y - 0.5): hot below
+    s0 = case.scal_profiles[0](y)
+    assert s0[0] > s0[-1]
+    pert = 1e-3 * np.sin(2 * np.pi * X / 4.0) * np.sin(np.pi * Y)
+    state = State(u=jnp.zeros((nx, ny, nz)),
+                  v=jnp.asarray(pert * np.ones((nx, ny, nz))),
+                  w=jnp.zeros((nx, ny, nz)),
+                  s=jnp.asarray(np.broadcast_to(s0[None, :, None],
+                                                (nx, ny, nz)))[None])
+    dt = 2e-3
+    step = jax.jit(lambda st: dyn.rk_step(sim.P, st, dt)[0])
+    v_amp = [float(jnp.max(jnp.abs(state.v)))]
+    for _ in range(6):
+        for _ in range(50):
+            state = step(state)
+        v_amp.append(float(jnp.max(jnp.abs(state.v))))
+    # instability: after the initial transient (the seed is not an
+    # eigenmode), the convection amplitude grows from its minimum
+    assert v_amp[-1] > 3.0 * min(v_amp), v_amp
+    assert v_amp[-1] > v_amp[-2] > v_amp[-3]
+    flux = float(jnp.mean(state.v * (state.s[0] - jnp.mean(state.s[0]))))
+    assert flux > 0.0                     # upward heat flux
+
+
+EKMAN = """
+[Main]
+Type=temporal
+Equations=incompressible
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit3
+TimeCFL=0.8
+[Control]
+ScalLimit=no
+[Parameters]
+Reynolds=400
+Schmidt=1.0
+Rossby=1.0
+[Iteration]
+ObsLog=ekman
+[BoundaryConditions]
+VelocityJmin=noslip
+VelocityJmax=freeslip
+Scalar1Jmin=neumann
+Scalar1Jmax=neumann
+[Rotation]
+Type=normalized
+Vector=0.0,1.0,0.0
+Parameters=0.0,1.0
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=17
+scales_1=2.0
+opts_1=uniform
+[IniGridOy]
+periodic=no
+segments=1
+points_1=64
+scales_1=2.0
+opts_1=uniform
+[IniGridOz]
+periodic=no
+segments=1
+points_1=1
+scales_1=1.0
+opts_1=uniform
+"""
+
+
+def test_ekman_spiral():
+    """Rotating boundary layer (reference Cases 70/81-88 family): starting
+    from the geostrophic wind with a no-slip bottom, rotation turns the
+    near-wall flow to the left of the geostrophic wind (northern-hemisphere
+    Ekman veering: w > 0 near the wall for G = (1, 0, 0))."""
+    sim = Simulation.from_case(load_case(Ini(text=EKMAN)))
+    nx, ny, nz = sim.grid.shape
+    y = sim.grid.y.nodes
+    u0 = np.ones((nx, ny, nz))            # geostrophic wind u = G = 1
+    u0[:, 0, :] = 0.0                     # no-slip wall
+    state = State(u=jnp.asarray(u0), v=jnp.zeros((nx, ny, nz)),
+                  w=jnp.zeros((nx, ny, nz)), s=jnp.zeros((1, nx, ny, nz)))
+    dt = 5e-3
+    step = jax.jit(lambda st: dyn.rk_step(sim.P, st, dt)[0])
+    for _ in range(200):
+        state = step(state)
+    W = np.asarray(jnp.mean(state.w, axis=(0, 2)))
+    U = np.asarray(jnp.mean(state.u, axis=(0, 2)))
+    # near-wall deficit in u and nonzero cross-flow w of one dominant sign
+    assert U[1] < 0.9
+    near_wall = W[1:ny // 3]
+    assert np.max(np.abs(near_wall)) > 1e-3
+    significant = near_wall[np.abs(near_wall) > 1e-4]
+    assert significant.size > 3
+    assert np.all(np.sign(significant) == np.sign(significant[0]))

@@ -49,10 +49,12 @@ def random_field(sim: Simulation, rng: np.random.Generator) -> np.ndarray:
     noise = rng.standard_normal((nx, ny, nz))
     u_hat = np.fft.rfftn(noise, axes=(2, 1, 0))      # rfft over x (axis 0)
 
-    fi = np.fft.rfftfreq(nx, d=1.0)[None, None, :] * nx / sim.grid.x.scale
+    # frequencies in cycles per unit length, placed on the matching axes of
+    # the (nkx, ny, nz) spectrum
+    fi = (np.fft.rfftfreq(nx, d=1.0) * nx / sim.grid.x.scale)[:, None, None]
     fj = (np.fft.fftfreq(ny, d=1.0) * ny / sim.grid.y.scale)[None, :, None] \
         if ny > 1 else np.zeros((1, 1, 1))
-    fk = (np.fft.fftfreq(nz, d=1.0) * nz / sim.grid.z.scale)[None, None, :].transpose(2, 1, 0) \
+    fk = (np.fft.fftfreq(nz, d=1.0) * nz / sim.grid.z.scale)[None, None, :] \
         if nz > 1 else np.zeros((1, 1, 1))
     f = np.sqrt(fi ** 2 + fj ** 2 + fk ** 2)
 
