@@ -249,3 +249,94 @@ def test_ekman_spiral():
     significant = near_wall[np.abs(near_wall) > 1e-4]
     assert significant.size > 3
     assert np.all(np.sign(significant) == np.sign(significant[0]))
+
+
+SPATIAL_JET = """
+[Main]
+Type=spatial
+Equations=incompressible
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit3
+TimeCFL=0.7
+[Control]
+ScalLimit=no
+[Parameters]
+Reynolds=500
+Schmidt=1.0
+[Iteration]
+Start=0
+End=60
+Restart=60
+Statistics=0
+IteraLog=10
+[Flow]
+ProfileVelocityX=Bickley
+ThickVelocityX=0.08
+DeltaVelocityX=1.0
+VelocityX=0.05
+[Scalar]
+ProfileScalar1=Gaussian
+ThickScalar1=0.08
+DeltaScalar1=1.0
+[BoundaryConditions]
+VelocityJmin=freeslip
+VelocityJmax=freeslip
+Scalar1Jmin=neumann
+Scalar1Jmax=neumann
+[BufferZone]
+Type=relaxation
+PointsImin=8
+PointsImax=12
+ParametersJmin=2.0,2.0
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=65
+scales_1=4.0
+opts_1=uniform
+[IniGridOy]
+periodic=no
+segments=1
+points_1=48
+scales_1=2.0
+opts_1=uniform
+[IniGridOz]
+periodic=no
+segments=1
+points_1=1
+scales_1=1.0
+opts_1=uniform
+"""
+
+
+def test_spatial_jet(tmp_path):
+    """Spatially developing jet (reference spatial mode): inflow Bickley jet
+    held by the Imin buffer, outflow damped by the Imax buffer; the jet
+    persists downstream and spatial running statistics accumulate."""
+    sim = Simulation.from_case(load_case(Ini(text=SPATIAL_JET)))
+    nx, ny, nz = sim.grid.shape
+    y = sim.grid.y.nodes
+    prof = sim.case.vel_profiles[0](y)          # co-flow + Bickley jet
+    state = State(
+        u=jnp.asarray(np.broadcast_to(prof[None, :, None], (nx, ny, nz))),
+        v=jnp.zeros((nx, ny, nz)), w=jnp.zeros((nx, ny, nz)),
+        s=jnp.asarray(np.broadcast_to(
+            sim.case.scal_profiles[0](y)[None, :, None], (nx, ny, nz)))[None])
+    run = dns_tool.run(sim, state, outdir=str(tmp_path), n_steps=60)
+    out = run.state
+    assert np.isfinite(np.asarray(out.u)).all()
+    U = np.asarray(out.u[:, :, 0])
+    jc = ny // 2
+    # the jet core persists through the interior (between the buffers)
+    assert U[nx // 2, jc] > 0.5 * float(prof[jc])
+    # centerline exceeds the co-flow everywhere in the interior
+    assert np.all(U[8:-12, jc] > 0.2)
+    # spatial running statistics were accumulated and saved
+    import glob
+    st = glob.glob(str(tmp_path / "st*.npz"))
+    assert len(st) == 1
+    from tlab_tpu.stats.spatial import SpatialStats
+    ss = SpatialStats.load(st[0])
+    assert ss.n_samples == 60
+    assert ss.mean("u").shape == (nx, ny)
+    assert np.all(ss.variance("u") > -1e-12)

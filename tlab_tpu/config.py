@@ -226,6 +226,8 @@ def load_case(path_or_ini) -> CaseSetup:
         type=ini.get("BufferZone", "Type", "none").lower(),
         points_jmin=ini.get_int("BufferZone", "PointsJmin", 0),
         points_jmax=ini.get_int("BufferZone", "PointsJmax", 0),
+        points_imin=ini.get_int("BufferZone", "PointsImin", 0),
+        points_imax=ini.get_int("BufferZone", "PointsImax", 0),
         strength=bpar[0] if bpar else 1.0,
         sigma=bpar[1] if len(bpar) > 1 else 2.0)
 

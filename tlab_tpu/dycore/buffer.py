@@ -19,6 +19,8 @@ class BufferSpec:
     type: str = "none"           # none | relaxation (filter/both: round 2)
     points_jmin: int = 0
     points_jmax: int = 0
+    points_imin: int = 0         # streamwise strips (spatial mode)
+    points_imax: int = 0
     strength: float = 1.0
     sigma: float = 2.0
 
@@ -40,22 +42,56 @@ def tau_profile(y: np.ndarray, spec: BufferSpec) -> np.ndarray:
     return tau
 
 
+def tau_profile_x(x: np.ndarray, spec: BufferSpec) -> np.ndarray:
+    """(nx,) relaxation rate for the Imin/Imax strips (spatial mode)."""
+    nx = x.shape[0]
+    tau = np.zeros(nx)
+    if spec.points_imin > 1:
+        n = spec.points_imin
+        width = x[n - 1] - x[0]
+        xi = (x[n - 1] - x[:n]) / width
+        tau[:n] = spec.strength * xi ** spec.sigma
+    if spec.points_imax > 1:
+        n = spec.points_imax
+        width = x[-1] - x[-n]
+        xi = (x[-n:] - x[-n]) / width
+        tau[-n:] = spec.strength * xi ** spec.sigma
+    return tau
+
+
 def build_buffer(y: np.ndarray, spec: BufferSpec, ref_profiles: dict,
-                 dtype=jnp.float64):
-    """ref_profiles: name -> (ny,) plane-averaged reference (from the ICs)."""
-    if spec.type == "none" or (spec.points_jmin <= 1 and spec.points_jmax <= 1):
+                 dtype=jnp.float64, x: np.ndarray = None,
+                 ref_inflow: dict = None):
+    """ref_profiles: name -> (ny,) plane-averaged reference (from the ICs).
+    ref_inflow (spatial mode): name -> (ny,) inflow-plane profile targeted
+    by the Imin/Imax strips."""
+    has_j = spec.points_jmin > 1 or spec.points_jmax > 1
+    has_i = x is not None and (spec.points_imin > 1 or spec.points_imax > 1)
+    if spec.type == "none" or not (has_j or has_i):
         return None
-    tau = jnp.asarray(tau_profile(y, spec), dtype)[None, :, None]
-    refs = {k: jnp.asarray(v, dtype)[None, :, None]
-            for k, v in ref_profiles.items()}
-    return {"tau": tau, "refs": refs}
+    buf = {}
+    if has_j:
+        buf["tau"] = jnp.asarray(tau_profile(y, spec), dtype)[None, :, None]
+        buf["refs"] = {k: jnp.asarray(v, dtype)[None, :, None]
+                       for k, v in ref_profiles.items()}
+    if has_i:
+        buf["tau_x"] = jnp.asarray(tau_profile_x(x, spec), dtype)[:, None, None]
+        refs = ref_inflow if ref_inflow is not None else ref_profiles
+        buf["refs_x"] = {k: jnp.asarray(v, dtype)[None, :, None]
+                         for k, v in refs.items()}
+    return buf
 
 
 def relax(buf, name: str, q, h):
-    """h -= tau (q - ref)."""
+    """h -= tau (q - ref), over the active strips."""
     if buf is None:
         return h
-    ref = buf["refs"].get(name)
-    if ref is None:
-        return h
-    return h - buf["tau"] * (q - ref)
+    if "tau" in buf:
+        ref = buf["refs"].get(name)
+        if ref is not None:
+            h = h - buf["tau"] * (q - ref)
+    if "tau_x" in buf:
+        ref = buf["refs_x"].get(name)
+        if ref is not None:
+            h = h - buf["tau_x"] * (q - ref)
+    return h

@@ -244,8 +244,18 @@ class Simulation:
                 "w": jnp.mean(state.w, axis=(0, 2))}
         for i in range(state.s.shape[0]):
             refs[f"s{i}"] = jnp.mean(state.s[i], axis=(0, 2))
+        # spatial mode: Imin/Imax strips relax toward the inflow-plane state
+        x = self.grid.x.nodes if self.case.flow_type == "spatial" else None
+        ref_inflow = None
+        if x is not None:
+            ref_inflow = {"u": jnp.mean(state.u[0], axis=1),
+                          "v": jnp.mean(state.v[0], axis=1),
+                          "w": jnp.mean(state.w[0], axis=1)}
+            for i in range(state.s.shape[0]):
+                ref_inflow[f"s{i}"] = jnp.mean(state.s[i][0], axis=1)
         self.P["buffer"] = bufmod.build_buffer(self.grid.y.nodes, spec, refs,
-                                               self.dtype)
+                                               self.dtype, x=x,
+                                               ref_inflow=ref_inflow)
 
     def filter_matrices(self):
         from tlab_tpu.ops.filter import build_filter_matrices

@@ -152,6 +152,12 @@ def run(sim: Simulation, state: State, outdir: str = ".",
 
     obs_log = case.ini.get("Iteration", "ObsLog", "none").lower() != "none" \
         if getattr(case, "ini", None) else False
+    spatial_stats = None
+    if case.flow_type == "spatial":
+        from tlab_tpu.stats.spatial import SpatialStats, state_fields
+        nx, ny, _ = sim.grid.shape
+        names = ["u", "v", "w"] + [f"s{i+1}" for i in range(sim.nsp.n_scalars)]
+        spatial_stats = SpatialStats.create(nx, ny, names)
     cfla = case.time_cfl
     cfld = case.time_cfl_diffusive
     fixed_dt = case.time_step if case.time_step > 0 else None
@@ -198,6 +204,13 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             write_statistics(sim, state, outdir, itime, rtime)
         if obs_log and itime % case.it_log == 0:
             write_obs(sim, state, outdir, itime, rtime)
+        if spatial_stats is not None:
+            from tlab_tpu.stats.spatial import state_fields
+            spatial_stats.accumulate(state_fields(state))
+            if checkpoint and case.it_restart > 0 \
+                    and itime % case.it_restart == 0:
+                spatial_stats.save(os.path.join(outdir, f"st{itime}.npz"),
+                                   itime)
         dtime = new_dt
 
     if checkpoint and status != 0 and case.it_restart > 0 \
