@@ -31,7 +31,14 @@ class Profile:
             xi = yrel / self.thick
             if self.type == "tanh":
                 amplify = 0.5 * np.tanh(-0.5 * xi)
-            elif self.type == "erf":
+            elif self.type == "tanhsymmetric":
+                amplify = 0.5 * (np.tanh(-0.5 * (xi - 0.5 * self.diam / self.thick))
+                                 + np.tanh(0.5 * (xi + 0.5 * self.diam / self.thick))
+                                 - 1.0)
+            elif self.type == "tanhantisymmetric":
+                amplify = 0.25 * (np.tanh(-0.5 * (xi - 0.5 * self.diam / self.thick))
+                                  - np.tanh(-0.5 * (xi + 0.5 * self.diam / self.thick)))
+            elif self.type in ("erf", "erfantisym", "erfsurface"):
                 from scipy.special import erf
                 amplify = 0.5 * erf(-0.5 * xi)
             elif self.type == "linear":
@@ -43,6 +50,30 @@ class Profile:
             elif self.type == "gaussiansurface":
                 # surface-peaked gaussian shell used by the IC generator
                 amplify = np.exp(-0.5 * xi ** 2)
+            elif self.type == "gaussiansinuous":     # symmetric pair
+                amplify = (np.exp(-0.5 * (xi - 0.5 * self.diam / self.thick) ** 2)
+                           + np.exp(-0.5 * (xi + 0.5 * self.diam / self.thick) ** 2))
+            elif self.type == "gaussianvaricose":    # antisymmetric pair
+                amplify = (np.exp(-0.5 * (xi - 0.5 * self.diam / self.thick) ** 2)
+                           - np.exp(-0.5 * (xi + 0.5 * self.diam / self.thick) ** 2))
+            elif self.type == "parabolicsurface":
+                amplify = ((1.0 + 0.5 * xi) * (1.0 - 0.5 * xi))
+            elif self.type == "linearcrop":
+                amplify = np.where(yrel < 0.0,
+                                   np.minimum(self.lslope * yrel,
+                                              self.lslope * self.thick),
+                                   np.maximum(self.uslope * yrel,
+                                              self.uslope * self.thick)) \
+                    / max(self.delta, 1e-30)
+            elif self.type == "mixedlayer":
+                base = np.where(yrel < 0.0,
+                                np.minimum(self.lslope * yrel,
+                                           self.lslope * self.thick),
+                                np.maximum(self.uslope * yrel,
+                                           self.uslope * self.thick))
+                base = base - 0.25 * self.uslope * self.thick * \
+                    (1.0 - np.sign(y - self.thick))
+                amplify = base / max(self.delta, 1e-30)
             elif self.type == "parabolic":
                 amplify = (1.0 + 0.5 * xi) * (1.0 - 0.5 * xi)
             elif self.type == "ekmanu":
