@@ -58,3 +58,26 @@ def test_remesh_roundtrip_constant():
     ones = np.ones(g1.shape)
     out = np.asarray(remesh_field(jnp.asarray(ones), g1, g2))
     assert np.max(np.abs(out - 1.0)) < 1e-12
+
+
+def test_planes_and_towers_in_dns_loop(tmp_path):
+    import os
+    from tlab_tpu.config import load_case, Ini
+    from tlab_tpu.runtime import Simulation
+    from tlab_tpu.tools import dns as dns_tool
+    from tlab_tpu.tools.initialize import initial_state
+    ini_path = os.path.join(os.path.dirname(__file__), "data",
+                            "case01_small.ini")
+    text = open(ini_path).read() + (
+        "\n[SavePlanes]\nPlanesJ=1,32\n"
+        "[SaveTowers]\nStride=16,1\n")
+    text = text.replace("[Iteration]", "[Iteration]\nSavePlanes=2")
+    sim = Simulation.from_case(load_case(Ini(text=text)))
+    state = initial_state(sim, seed=7)
+    dns_tool.run(sim, state, outdir=str(tmp_path), n_steps=4)
+    import glob
+    pl = glob.glob(str(tmp_path / "planesJ.u.*"))
+    assert len(pl) == 2                      # it=2 and it=4
+    # tower flushed only at restart cadence (10); none yet -> buffer held
+    tw = glob.glob(str(tmp_path / "tower.*.npz"))
+    assert len(tw) == 0

@@ -134,6 +134,8 @@ class CaseSetup:
     filter: object                 # FilterSpec
     thermo: dict                   # [Thermodynamics] keys
     control: dict                  # [Control] bounds
+    planes: dict                   # [SavePlanes]
+    towers: dict                   # [SaveTowers]
     dealias: object                # FilterSpec for advection dealiasing
     ini: Ini
 
@@ -259,6 +261,17 @@ def load_case(path_or_ini) -> CaseSetup:
         "flow_limit": ini.get_bool("Control", "FlowLimit", True),
     }
 
+    planes_cfg = {
+        "i": tuple(int(v) for v in ini.get_floats("SavePlanes", "PlanesI", ())),
+        "j": tuple(int(v) for v in ini.get_floats("SavePlanes", "PlanesJ", ())),
+        "k": tuple(int(v) for v in ini.get_floats("SavePlanes", "PlanesK", ())),
+        "step": ini.get_int("Iteration", "SavePlanes", -1),
+    }
+    towers_cfg = {
+        "stride": tuple(int(v) for v in
+                        ini.get_floats("SaveTowers", "Stride", ())),
+    }
+
     thermo_cfg = {
         "mixture": ini.get("Thermodynamics", "Mixture", "none").lower(),
         "scale_height": ini.get_float("Thermodynamics", "ScaleHeight", 0.0),
@@ -329,6 +342,8 @@ def load_case(path_or_ini) -> CaseSetup:
         filter=filter_spec,
         thermo=thermo_cfg,
         control=control_cfg,
+        planes=planes_cfg,
+        towers=towers_cfg,
         dealias=dealias_spec,
         ini=ini,
     )

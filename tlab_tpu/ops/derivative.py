@@ -23,15 +23,27 @@ _EINSUM = {
 }
 
 
+_PRECISION_BY_NAME = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
 def op_precision(dtype):
     """Matmul precision for operator applications.
 
     TPU f32 matmuls default to one-pass bf16, which loses ~2 digits per
-    derivative -- measured 2.5e-2 relative error per RK step vs 8.8e-7 with
-    HIGHEST (6-pass bf16, ~8% slower). DNS needs the latter.
+    derivative -- measured per-RK-step relative error vs float64:
+    default 2.5e-2 (unusable), high (3-pass) 5.9e-5, highest (6-pass)
+    8.8e-7. HIGHEST is the default; export TLAB_TPU_MATMUL_PRECISION=high
+    to trade ~1.5x step speed for accuracy still below the spatial
+    truncation error of resolved DNS.
     """
     if dtype in (jnp.float32,):
-        return jax.lax.Precision.HIGHEST
+        import os
+        name = os.environ.get("TLAB_TPU_MATMUL_PRECISION", "highest").lower()
+        return _PRECISION_BY_NAME.get(name, jax.lax.Precision.HIGHEST)
     return None
 
 

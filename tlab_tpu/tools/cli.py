@@ -21,6 +21,8 @@ def main(argv=None):
     ap.add_argument("--ini2", default="",
                     help="target-case ini for transfields remeshing")
     ap.add_argument("--nparticles", type=int, default=10000)
+    ap.add_argument("--inner-steps", type=int, default=1,
+                    help="RK steps per device dispatch (fixed dt within)")
     ap.add_argument("--ini", default="tlab.ini")
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--seed", type=int, default=7)
@@ -80,7 +82,8 @@ def main(argv=None):
                       s=jnp.asarray(s, sim.dtype))
         run = dns_tool.run(sim, state, outdir=args.outdir, itime=it0,
                            rtime=float(rtime), n_steps=args.steps,
-                           log_path=os.path.join(args.outdir, "dns.out"))
+                           log_path=os.path.join(args.outdir, "dns.out"),
+                           inner_steps=args.inner_steps)
         print("\n".join(run.log.lines[-3:]))
         return 0
 

@@ -56,13 +56,22 @@ class DnsRun:
     pstate: object = None
 
 
-def make_step_functions(sim: Simulation, particles=None):
+def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1):
+    """inner_steps > 1 runs several RK steps per device dispatch (one
+    lax.fori_loop) with a fixed dt, amortizing host-device latency; the
+    CFL-based dt then updates every `inner_steps` steps instead of every
+    step (the reference syncs each step, TIME_COURANT)."""
     P = sim.P
 
     if particles is None:
         @jax.jit
         def step(state, dtime):
-            new_state, _ = dyn.rk_step(P, state, dtime)
+            if inner_steps > 1:
+                new_state = jax.lax.fori_loop(
+                    0, inner_steps,
+                    lambda i, st: dyn.rk_step(P, st, dtime)[0], state)
+            else:
+                new_state, _ = dyn.rk_step(P, state, dtime)
             cfl = dyn.cfl_advective_max(P, new_state)
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
             return new_state, cfl, dmin, dmax
@@ -128,12 +137,17 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         itime: int = 0, rtime: float = 0.0,
         n_steps: Optional[int] = None, log_path: Optional[str] = None,
         checkpoint: bool = True, nan_abort: bool = True,
-        opr_check: bool = False, pstate=None, particle_props=None) -> DnsRun:
+        opr_check: bool = False, pstate=None, particle_props=None,
+        inner_steps: int = 1) -> DnsRun:
     case = sim.case
     n_steps = n_steps if n_steps is not None else (case.it_end - itime)
+    if inner_steps > 1 and (pstate is not None or case.flow_type == "spatial"
+                            or (sim.filter_matrices() is not None)):
+        inner_steps = 1                     # per-step host work required
     sim.attach_buffer(state)
     step, cfl_only = make_step_functions(
-        sim, particles=particle_props if pstate is not None else None)
+        sim, particles=particle_props if pstate is not None else None,
+        inner_steps=inner_steps)
 
     filt = sim.filter_matrices()
     filt_step = getattr(getattr(case, "filter", None), "step", 0)
@@ -152,6 +166,20 @@ def run(sim: Simulation, state: State, outdir: str = ".",
 
     obs_log = case.ini.get("Iteration", "ObsLog", "none").lower() != "none" \
         if getattr(case, "ini", None) else False
+    planes_cfg = getattr(case, "planes", None) or {}
+    plane_specs = []
+    if planes_cfg.get("step", -1) > 0:
+        from tlab_tpu.io.planes import PlaneSpec
+        for ax in ("i", "j", "k"):
+            if planes_cfg.get(ax):
+                plane_specs.append(PlaneSpec(axis=ax,
+                                             indices=planes_cfg[ax]))
+    towers_cfg = getattr(case, "towers", None) or {}
+    tower_acc = None
+    if towers_cfg.get("stride"):
+        from tlab_tpu.io.planes import TowerAccumulator
+        st = towers_cfg["stride"]
+        tower_acc = TowerAccumulator(stride=(st[0], st[-1]))
     spatial_stats = None
     if case.flow_type == "spatial":
         from tlab_tpu.stats.spatial import SpatialStats, state_fields
@@ -172,13 +200,13 @@ def run(sim: Simulation, state: State, outdir: str = ".",
              float(dmin0), float(dmax0))
 
     status = 0
-    for _ in range(n_steps):
+    for _ in range(0, n_steps, inner_steps):
         if pstate is not None:
             state, pstate, cmax_dev, dmin, dmax = step(state, pstate, dtime)
         else:
             state, cmax_dev, dmin, dmax = step(state, dtime)
-        itime += 1
-        rtime += dtime
+        itime += inner_steps
+        rtime += dtime * inner_steps
         if filter_fn is not None and itime % filt_step == 0:
             state = filter_fn(state)        # reference DNS_FILTER cadence
         cmax = float(cmax_dev)
@@ -204,6 +232,14 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             write_statistics(sim, state, outdir, itime, rtime)
         if obs_log and itime % case.it_log == 0:
             write_obs(sim, state, outdir, itime, rtime)
+        if plane_specs and itime % planes_cfg["step"] == 0:
+            from tlab_tpu.io.planes import write_planes
+            write_planes(outdir, itime, state, plane_specs)
+        if tower_acc is not None:
+            tower_acc.accumulate(itime, rtime, state)
+            if checkpoint and case.it_restart > 0 \
+                    and itime % case.it_restart == 0:
+                tower_acc.flush(outdir)
         if spatial_stats is not None:
             from tlab_tpu.stats.spatial import state_fields
             spatial_stats.accumulate(state_fields(state))
