@@ -326,6 +326,12 @@ def substep_rhs(P, state: State, hq, hs, dte):
         p, dpdy = pencil.pencil_poisson(P["ell"], div, P["comm"],
                                         bcs_b=bcs_b, bcs_t=bcs_t,
                                         d1y=P["d1y"])
+    elif P.get("ell_fac") is not None:
+        # reference-default factorized formulation: stage-consistent dpdy
+        # removes divergence to round-off (opr_elliptic.f90:108-110)
+        from tlab_tpu.ops import elliptic_factorize as fac
+        p, dpdy = fac.poisson_factorize(P["ell_fac"], div,
+                                        bcs_b=bcs_b, bcs_t=bcs_t)
     else:
         p, dpdy = elliptic.poisson(P["ell"], div, bcs_b=bcs_b, bcs_t=bcs_t,
                                    d1y=P["d1y"])

@@ -211,6 +211,13 @@ class Simulation:
                                    rk_name=case.time_order, dtype=dtype,
                                    bodyforce=bodyforce)
         P["ell_dd"] = ell_plans[BC.DD]
+        # EllipticOrder: reference default is the factorized formulation;
+        # 'compactdirect4/6' selects the direct pencil (our perf path)
+        if case.elliptic_order in ("", "factorize", "compactjacobian6") \
+                and grid.y.size > 4 and grid.x.periodic:
+            from tlab_tpu.ops import elliptic_factorize as fac
+            fac_plan = fac.build_factorize_plan(fdm)
+            P["ell_fac"] = fac.device_factorize_plan(fac_plan, dtype)
         if anelastic is not None:
             P["anelastic"] = {"rho": anelastic["rho"],
                               "rho_inv": anelastic["rho_inv"]}
