@@ -91,3 +91,43 @@ def test_dealiasing_runs_and_stays_close():
     out0 = jax.jit(lambda st: dyn.rk_step(sim0.P, st, 5e-3)[0])(state)
     diff = float(jnp.max(jnp.abs(out.u - out0.u)))
     assert 0 < diff < 1e-3, diff
+
+
+def test_adm_filter_properties():
+    from tlab_tpu.ops.filter import adm_matrix
+    n = 64
+    nodes = np.arange(n) / n
+    F = filters.tophat_matrix(nodes, 2, True)
+    A = adm_matrix(nodes, True)
+    ones = np.ones(n)
+    assert np.max(np.abs(A @ ones - ones)) < 1e-12
+    # ADM restores more of a smooth mode than plain top-hat (deconvolution)
+    x = np.arange(n) * 2 * np.pi / n
+    u = np.cos(5 * x)
+    g_top = np.dot(F @ u, u) / np.dot(u, u)
+    g_adm = np.dot(A @ u, u) / np.dot(u, u)
+    assert g_top < g_adm <= 1.0 + 1e-12
+
+
+def test_helmholtz_filter_smooths():
+    import jax.numpy as jnp
+    from tlab_tpu.config import load_case
+    from tlab_tpu.runtime import Simulation
+    from tlab_tpu.ops.filter import build_helmholtz_filter
+    import os
+    ini = os.path.join(os.path.dirname(__file__), "data", "case01_small.ini")
+    sim = Simulation.from_case(load_case(ini))
+    nx, ny, nz = sim.grid.shape
+    h = sim.grid.x.nodes[1] - sim.grid.x.nodes[0]
+    filt = build_helmholtz_filter(sim.P["ell"], width=4 * h)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((nx, ny, nz)))
+    uf = filt(u)
+    assert np.isfinite(np.asarray(uf)).all()
+    assert float(jnp.var(uf)) < 0.7 * float(jnp.var(u))
+    # long-wave content preserved
+    X = sim.grid.x.nodes[:, None, None]
+    k0 = 2 * np.pi / sim.grid.x.scale
+    m = jnp.asarray(np.sin(k0 * X) * np.ones((nx, ny, nz)))
+    mf = filt(m)
+    assert float(jnp.max(jnp.abs(mf - m))) < 0.05

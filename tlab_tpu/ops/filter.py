@@ -19,10 +19,18 @@ from tlab_tpu.ops.derivative import apply_along
 
 @dataclasses.dataclass(frozen=True)
 class FilterSpec:
-    type: str = "none"       # none|compact|explicit6|explicit4|tophat|spectralband|spectralerf|helmholtz
+    type: str = "none"       # none|compact|explicit6|explicit4|tophat|adm|helmholtz
     parameters: tuple = (0.49,)
     active: tuple = (True, True, True)
     step: int = 0            # domain-filter cadence (0 = off)
+
+
+def adm_matrix(nodes, periodic):
+    """Approximate deconvolution (ADM) regularization: G3 = 3G - 3G^2 + G^3
+    applied to the top-hat kernel (reference DNS_FILTER_ADM family)."""
+    G = flt.tophat_matrix(nodes, 2, periodic)
+    G2 = G @ G
+    return 3.0 * G - 3.0 * G2 + G2 @ G
 
 
 def build_filter_matrices(fdm: FdmPlan, spec: FilterSpec, dtype=jnp.float64):
@@ -45,13 +53,30 @@ def build_filter_matrices(fdm: FdmPlan, spec: FilterSpec, dtype=jnp.float64):
             M = flt.tophat_matrix(plan.nodes,
                                   int(spec.parameters[0]) if spec.parameters else 2,
                                   plan.periodic)
+        elif spec.type == "adm":
+            M = adm_matrix(plan.nodes, plan.periodic)
         else:
             raise NotImplementedError(f"filter type {spec.type}")
         out[name] = jnp.asarray(M, dtype)
     return out
 
 
+def build_helmholtz_filter(ell_dev: dict, width: float):
+    """3-D Helmholtz filter: (1 - w^2/24 Lap) uf = u (reference
+    DNS_FILTER_HELMHOLTZ): one implicit elliptic solve per field."""
+    alpha = -24.0 / max(width, 1e-30) ** 2
+
+    def apply(a):
+        from tlab_tpu.ops import elliptic
+        f = alpha * a
+        return elliptic.helmholtz(ell_dev, f, alpha)
+
+    return apply
+
+
 def apply_filter(mats: dict, a):
+    if callable(mats):
+        return mats(a)
     for name, axis in (("x", 0), ("y", 1), ("z", 2)):
         M = mats.get(name)
         if M is not None:

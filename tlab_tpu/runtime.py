@@ -265,10 +265,15 @@ class Simulation:
                                                ref_inflow=ref_inflow)
 
     def filter_matrices(self):
-        from tlab_tpu.ops.filter import build_filter_matrices
+        from tlab_tpu.ops.filter import (build_filter_matrices,
+                                         build_helmholtz_filter)
         spec = getattr(self.case, "filter", None)
         if spec is None or spec.type == "none":
             return None
+        if spec.type == "helmholtz":
+            width = spec.parameters[0] if spec.parameters else 2.0
+            # zero-gradient walls preserve the field at the boundary
+            return build_helmholtz_filter(self.P["ell"], width)
         return build_filter_matrices(self.fdm, spec, self.dtype)
 
     # -- convenience ops ----------------------------------------------------
