@@ -69,3 +69,37 @@ def test_trajectories(tmp_path):
     assert len(files) == 1
     d = np.load(files[0])
     assert d["x"].shape == (3, 4, 3)
+
+
+def test_spline_fill_cubic_exact():
+    """Filling a solid run inside a cubic field reproduces it exactly."""
+    from tlab_tpu.grid import uniform_grid
+    grid = uniform_grid(32, 8, 1, 1.0, 1.0, 1.0)
+    eps = np.zeros(grid.shape)
+    eps[10:15, :, :] = 1.0                   # solid run along x
+    fills = ibmmod.build_ibm_spline(eps, grid)
+    x = grid.x.nodes[:, None, None]
+    u = jnp.asarray((0.3 + 2 * x - x ** 2 + 0.5 * x ** 3)
+                    * np.ones(grid.shape))
+    u_broken = jnp.where(jnp.asarray(eps) > 0.5, 99.0, u)   # garbage in solid
+    filled = ibmmod.apply_spline_fill(u_broken, fills["x"], 0)
+    assert float(jnp.max(jnp.abs(filled - u))) < 1e-12
+
+
+def test_ibm_spline_step_stable():
+    sim = Simulation.from_case(load_case(Ini(text=INI_TEXT)))
+    nx, ny, nz = sim.grid.shape
+    eps = ibmmod.geometry_box(sim.grid, nx // 4, nx // 2, 0, ny // 3, 0, nz)
+    ib = ibmmod.build_ibm(eps, dtype=jnp.float64)
+    ib["fills"] = ibmmod.build_ibm_spline(eps, sim.grid, dtype=jnp.float64)
+    sim.P["ibm"] = ib
+    y = sim.grid.y.nodes
+    u0 = 0.5 * np.ones((nx, ny, nz)) * (y[None, :, None] * (1 - y[None, :, None]) * 4)
+    state = State(u=jnp.asarray(u0), v=jnp.zeros((nx, ny, nz)),
+                  w=jnp.zeros((nx, ny, nz)), s=jnp.zeros((1, nx, ny, nz)))
+    step = jax.jit(lambda st: dyn.rk_step(sim.P, st, 1e-3)[0])
+    for _ in range(20):
+        state = step(state)
+    solid = np.asarray(eps) > 0.5
+    assert float(jnp.max(jnp.abs(jnp.asarray(state.u)[solid]))) == 0.0
+    assert np.isfinite(np.asarray(state.u)).all()

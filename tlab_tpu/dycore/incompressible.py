@@ -226,6 +226,16 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
     if d12 is None:
         return jnp.zeros_like(fields)
     comm = _axis_comm(P, axis_name)
+    ibm = P.get("ibm")
+    if ibm is not None and comm is None and axis_name in ibm.get("fills", {}):
+        # replace solid regions by smooth interpolants before derivatives
+        # (reference ibm_burgers hook, opr_burgers.f90:468)
+        from tlab_tpu import ibm as ibmmod
+        fl = ibm["fills"][axis_name]
+        fl4 = {"idx": fl["idx"][None], "w": fl["w"][None],
+               "solid": fl["solid"][None]}
+        fields = ibmmod.apply_spline_fill(fields, fl4, axis + 1)
+        conv = ibmmod.apply_spline_fill(conv, fl, axis)
     if comm is not None:
         # the advecting velocity rides the same all-to-all as the fields
         from tlab_tpu.parallel import pencil

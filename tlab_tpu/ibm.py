@@ -43,6 +43,84 @@ def geometry_hill(grid, height: float, width: float, center: float) -> np.ndarra
     return (Y < surface).astype(np.float64) * np.ones((nx, ny, nz))
 
 
+def build_spline_fill(eps: np.ndarray, axis: int, nodes: np.ndarray):
+    """Per-direction solid-region fill (reference IBM_SPLINE_XYZ,
+    src/ibm/ibm_spline.f90): before taking derivatives along `axis`, solid
+    points are replaced by a cubic Lagrange interpolant through the two
+    fluid points on each side of the interval.
+
+    With a static geometry this is a fixed gather: returns (idx, w) with
+    shapes eps.shape + (4,) such that
+        filled = where(solid, sum_m w[..., m] * u[gather idx[..., m]], u).
+    """
+    shape = eps.shape
+    n = shape[axis]
+    idx = np.zeros(shape + (4,), dtype=np.int32)
+    w = np.zeros(shape + (4,))
+    solid = eps > 0.5
+
+    lines = np.moveaxis(solid, axis, -1).reshape(-1, n)
+    idx_l = np.moveaxis(idx, axis, -2).reshape(-1, n, 4)
+    w_l = np.moveaxis(w, axis, -2).reshape(-1, n, 4)
+    for li in range(lines.shape[0]):
+        s = lines[li]
+        if not s.any():
+            continue
+        fluid = np.where(~s)[0]
+        i = 0
+        while i < n:
+            if not s[i]:
+                i += 1
+                continue
+            j = i
+            while j < n and s[j]:
+                j += 1
+            # solid run [i, j); support = up to 2 fluid points on each side
+            below = fluid[fluid < i][-2:]
+            above = fluid[fluid >= j][:2]
+            sup = list(below) + list(above)
+            if not sup:
+                i = j                               # fully solid line -> 0
+                continue
+            xs = nodes[sup]
+            for p in range(i, j):
+                xp = nodes[p]
+                for a in range(len(sup)):
+                    wa = 1.0
+                    for b in range(len(sup)):
+                        if b != a:
+                            wa *= (xp - xs[b]) / (xs[a] - xs[b])
+                    w_l[li, p, a] = wa
+                    idx_l[li, p, a] = sup[a]
+            i = j
+    return idx, w
+
+
+def apply_spline_fill(u, fill, axis: int):
+    """filled field: fluid points unchanged, solid points interpolated."""
+    idx, w, solid = fill["idx"], fill["w"], fill["solid"]
+    parts = 0.0
+    for m in range(4):
+        parts = parts + w[..., m] * jnp.take_along_axis(
+            u, idx[..., m], axis=axis)
+    return jnp.where(solid, parts, u)
+
+
+def build_ibm_spline(eps: np.ndarray, grid, dtype=jnp.float64) -> dict:
+    """Fill plans for all three directions (consumed by the Burgers ops
+    when ibm mode is 'spline')."""
+    fills = {}
+    for name, axis, ax in (("x", 0, grid.x), ("y", 1, grid.y),
+                           ("z", 2, grid.z)):
+        if ax.size == 1:
+            continue
+        idx, w = build_spline_fill(eps, axis, ax.nodes)
+        fills[name] = {"idx": jnp.asarray(idx),
+                       "w": jnp.asarray(w, dtype),
+                       "solid": jnp.asarray(eps > 0.5)}
+    return fills
+
+
 def apply_ibm_state(ibm, state):
     """Zero velocity and pin scalars inside solids (direct forcing)."""
     if ibm is None:
