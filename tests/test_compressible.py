@@ -105,3 +105,33 @@ def test_walls_conserve_mass():
     assert np.isfinite(float(jnp.max(U.rho)))
     m1 = float(jnp.sum(U.rho))
     assert abs(m1 - m0) / m0 < 1e-6
+
+
+def test_nscbc_outflow_nonreflecting():
+    """A pressure pulse traveling toward an NSCBC outflow leaves the domain
+    with small reflection (vs near-total reflection at a solid wall)."""
+    from tlab_tpu.dycore.nscbc import NSCBCSpec
+    grid, nsp, P = _setup(nx=8, ny=256, nz=1, reynolds=1e9, y_periodic=False)
+    nx, ny, nz = grid.shape
+    Y = grid.y.nodes[None, :, None] * np.ones((nx, ny, nz))
+    amp = 1e-4
+    c = 1.0 / MACH
+    # right-moving (toward ymax) acoustic pulse centered at y = 0.5
+    g = np.exp(-(((Y - 0.5) / 0.05) ** 2))
+    rho = 1.0 + amp * g
+    v = c * amp * g
+    T = 1.0 + (GAMMA - 1.0) * amp * g
+    U = comp.from_primitive(jnp.asarray(rho), jnp.zeros((nx, ny, nz)),
+                            jnp.asarray(v), jnp.zeros((nx, ny, nz)),
+                            jnp.asarray(T), GAMMA, MACH)
+    spec = NSCBCSpec(ymin="outflow", ymax="outflow", p_inf=1.0 / (GAMMA * MACH ** 2))
+    dt = 2e-4
+    n = int(0.45 / (c * dt))            # pulse reaches and crosses ymax
+    step = jax.jit(lambda U: comp.rk_step_compressible(
+        P, U, dt, GAMMA, MACH, 0.0, 1.0, nscbc=spec, ly=1.0))
+    for _ in range(n + 400):
+        U = step(U)
+    rho_dev = np.asarray(U.rho) - 1.0
+    residual = np.max(np.abs(rho_dev)) / amp
+    assert np.isfinite(residual)
+    assert residual < 0.2, residual     # < 20% reflection (wall: ~100%)

@@ -82,3 +82,38 @@ def test_conditional_statistics():
     out = averages.conditional_flow_statistics(P, st, gate)
     assert np.all(np.asarray(out["cU"]) > 0)
     assert np.all(np.asarray(out["cU2"]) > 0)
+
+
+def test_apriori_subgrid():
+    from tlab_tpu.ops.filter import FilterSpec, build_filter_matrices
+    from tlab_tpu.tools.apriori import apriori_statistics
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    grid = uniform_grid(32, 24, 16, 2 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    nsp = NSParams(reynolds=100.0, schmidt=())
+    bcs = dyn.WallBCs.from_velocity_kind("freeslip", "freeslip", scalar_bcs=())
+    P = dyn.build_device_plans(fdm, nsp, bcs, dtype=jnp.float64,
+                               with_elliptic=False)
+    rng = np.random.default_rng(3)
+    st = State(u=jnp.asarray(rng.standard_normal(grid.shape)),
+               v=jnp.asarray(rng.standard_normal(grid.shape)),
+               w=jnp.asarray(rng.standard_normal(grid.shape)),
+               s=jnp.zeros((0,) + grid.shape))
+    mats = build_filter_matrices(
+        fdm, FilterSpec(type="tophat", parameters=(4,)), jnp.float64)
+    out = apriori_statistics(P, mats, st, delta=4 * 2 * np.pi / 32)
+    assert np.all(np.asarray(out["Ksgs"]) > 0)        # positive subgrid TKE
+    assert np.isfinite(np.asarray(out["Cs2"])).all()
+
+
+def test_cloud_mixing_diagram():
+    from tlab_tpu.physics import thermo
+    from tlab_tpu.tools.cloudstate import mixing_diagram
+    tp = thermo.ThermoParams(mixture="airwater")
+    # cloudy parcel (cool, moist) mixing with warm dry air above
+    d = mixing_diagram(tp, h1=0.96, qt1=0.012, h2=1.01, qt2=0.002, p=1.0)
+    assert d["ql"][0] > 0.0                   # cloudy end is saturated
+    assert d["ql"][-1] == 0.0                 # environment is clear
+    # liquid decreases monotonically-ish toward the clear end
+    assert d["ql"][0] == max(d["ql"])

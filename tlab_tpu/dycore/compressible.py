@@ -14,9 +14,9 @@ velocities by U0, temperature by T0, density by rho0; ideal gas
 with gamma = cp/cv and M the Mach number. Viscous stress with constant
 viscosity mu = 1/Re, Stokes hypothesis; heat conduction with Prandtl.
 
-Boundary conditions (round 1): periodic x/z; y walls free-slip adiabatic
-(v=0, d(tangential)/dy=0, dT/dy=0) imposed on the tendencies. Characteristic
-NSCBC open boundaries: round 2.
+Boundary conditions: periodic x/z; y walls free-slip adiabatic (v=0,
+d(tangential)/dy=0, dT/dy=0) imposed on the tendencies, or characteristic
+NSCBC open boundaries (dycore.nscbc) via the nscbc argument.
 """
 from __future__ import annotations
 
@@ -117,7 +117,8 @@ def _apply_wall_bcs(P, h: CompState):
 
 
 def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
-                         visc: float, prandtl: float):
+                         visc: float, prandtl: float, nscbc=None,
+                         ly: float = 1.0):
     kdt = P["rk"]["kdt"]
     kco = P["rk"]["kco"]
     h = CompState(*(jnp.zeros_like(x) for x in U))
@@ -125,7 +126,11 @@ def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
         dte = dtime * k
         dh = rhs_compressible(P, U, gamma, mach, visc, prandtl)
         h = CompState(*(a + b for a, b in zip(h, dh)))
-        h = _apply_wall_bcs(P, h)
+        if nscbc is not None:
+            from tlab_tpu.dycore.nscbc import apply_nscbc
+            h = apply_nscbc(P, U, h, gamma, mach, nscbc, ly)
+        else:
+            h = _apply_wall_bcs(P, h)
         U = CompState(*(q + dte * hq for q, hq in zip(U, h)))
         if i < len(kdt) - 1:
             a = kco[i]
