@@ -149,7 +149,15 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
     scals = []
     for i, prof in enumerate(sim.case.scal_profiles):
         base = jnp.broadcast_to(jnp.asarray(prof(y))[None, :, None],
-                                (nx, ny, nz))
-        scals.append(base.astype(sim.dtype))
+                                (nx, ny, nz)).astype(sim.dtype)
+        if sim.case.ini_scalar in ("layerbroadband", "planebroadband"):
+            # broadband scalar perturbation shaped by the IniK envelope
+            # (reference iniscal LayerBroadband mode)
+            pert = random_field(sim, rng)
+            pert -= pert.mean(axis=(0, 2), keepdims=True)
+            env = sim.case.profile_ini_k(y)[None, :, None]
+            amp = sim.case.normalize_k if sim.case.normalize_k > 0 else 1e-2
+            base = base + jnp.asarray(amp * env * pert, sim.dtype)
+        scals.append(base)
     s = jnp.stack(scals) if scals else jnp.zeros((0, nx, ny, nz), sim.dtype)
     return State(u=u, v=v, w=w, s=s)
