@@ -340,3 +340,47 @@ def test_spatial_jet(tmp_path):
     assert ss.n_samples == 60
     assert ss.mean("u").shape == (nx, ny)
     assert np.all(ss.variance("u") > -1e-12)
+
+
+def test_spatial_jet_unsteady_inflow(tmp_path):
+    """Unsteady inflow (reference boundary_inflow.f90 role): a stored box of
+    inflow planes swept past Imin drives a time-varying v at the inlet; the
+    perturbation propagates downstream without blow-up and the outlet state
+    differs from the steady-inflow run."""
+    from tlab_tpu.dycore.inflow import InflowBox
+
+    sim = Simulation.from_case(load_case(Ini(text=SPATIAL_JET)))
+    nx, ny, nz = sim.grid.shape
+    y = sim.grid.y.nodes
+    prof = sim.case.vel_profiles[0](y)
+    state = State(
+        u=jnp.asarray(np.broadcast_to(prof[None, :, None], (nx, ny, nz))),
+        v=jnp.zeros((nx, ny, nz)), w=jnp.zeros((nx, ny, nz)),
+        s=jnp.asarray(np.broadcast_to(
+            sim.case.scal_profiles[0](y)[None, :, None], (nx, ny, nz)))[None])
+
+    # inflow box: jet profile u + sinusoidal-in-x transverse forcing v that
+    # Taylor-sweeps past the inlet as v_in(t) = A g(y) sin(2 pi Uc t / Lx)
+    nbox = 32
+    amp, lx_box, uc = 0.03, 2.0, 1.0
+    g = np.exp(-((y - y[ny // 2]) / 0.2) ** 2)
+    phases = np.sin(2 * np.pi * np.arange(nbox) / nbox)
+    box = {
+        "u": np.broadcast_to(prof[None, :], (nbox, ny)).copy(),
+        "v": amp * phases[:, None] * g[None, :],
+        "w": np.zeros((nbox, ny)),
+        "s0": np.broadcast_to(sim.case.scal_profiles[0](y)[None, :],
+                              (nbox, ny)).copy(),
+    }
+    inflow = InflowBox(fields=box, u_convect=uc, lx=lx_box)
+
+    run = dns_tool.run(sim, state, outdir=str(tmp_path), n_steps=60,
+                       inflow=inflow)
+    out = run.state
+    assert np.isfinite(np.asarray(out.u)).all()
+    # the oscillating inflow imprints a nonzero v near the inlet strip
+    v_in = np.asarray(out.v[:10, :, 0])
+    assert np.max(np.abs(v_in)) > 1e-4
+    # jet survives downstream
+    U = np.asarray(out.u[:, :, 0])
+    assert U[nx // 2, ny // 2] > 0.5 * float(prof[ny // 2])

@@ -278,7 +278,7 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
     return res
 
 
-def substep_rhs(P, state: State, hq, hs, dte):
+def substep_rhs(P, state: State, hq, hs, dte, aux=None):
     u, v, w, s = state.u, state.v, state.w, state.s
     visc = P["visc"]
     h1, h2, h3 = hq
@@ -302,8 +302,13 @@ def substep_rhs(P, state: State, hq, hs, dte):
         h1, h2, h3, hs = P["bodyforce"](P, state, h1, h2, h3, hs)
 
     # buffer/sponge relaxation before the projection
-    # (reference rhs_global_incompressible_1.f90:172)
+    # (reference rhs_global_incompressible_1.f90:172); aux may carry
+    # time-dependent inflow-strip references (spatial mode, reference
+    # boundary_inflow.f90 role)
     buf = P.get("buffer")
+    if buf is not None and aux is not None and "refs_x" in aux:
+        buf = dict(buf)
+        buf["refs_x"] = aux["refs_x"]
     if buf is not None:
         from tlab_tpu.dycore import buffer as bufmod
         h1 = bufmod.relax(buf, "u", u, h1)
@@ -366,7 +371,7 @@ def substep_rhs(P, state: State, hq, hs, dte):
     return (h1, h2, h3), hs, p
 
 
-def rk_step(P, state: State, dtime):
+def rk_step(P, state: State, dtime, aux=None):
     """One full low-storage RK step; returns (new_state, last pressure)."""
     kdt = P["rk"]["kdt"]
     kco = P["rk"]["kco"]
@@ -377,7 +382,7 @@ def rk_step(P, state: State, dtime):
     bounds = P.get("scal_bounds")        # (mins, maxs) tuples or None
     for i, k in enumerate(kdt):
         dte = dtime * k
-        hq, hs, p = substep_rhs(P, state, hq, hs, dte)
+        hq, hs, p = substep_rhs(P, state, hq, hs, dte, aux=aux)
         s_new = state.s + dte * hs
         if bounds is not None and s_new.shape[0]:
             # per-substep scalar clipping (reference DNS_BOUNDS_LIMIT,

@@ -56,14 +56,25 @@ class DnsRun:
     pstate: object = None
 
 
-def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1):
+def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
+                        unsteady_inflow: bool = False):
     """inner_steps > 1 runs several RK steps per device dispatch (one
     lax.fori_loop) with a fixed dt, amortizing host-device latency; the
     CFL-based dt then updates every `inner_steps` steps instead of every
-    step (the reference syncs each step, TIME_COURANT)."""
+    step (the reference syncs each step, TIME_COURANT).
+
+    unsteady_inflow=True makes step() take an extra aux pytree of per-step
+    inflow-strip references (spatial mode, reference boundary_inflow.f90)."""
     P = sim.P
 
-    if particles is None:
+    if particles is None and unsteady_inflow:
+        @jax.jit
+        def step(state, dtime, aux):
+            new_state, _ = dyn.rk_step(P, state, dtime, aux=aux)
+            cfl = dyn.cfl_advective_max(P, new_state)
+            dmin, dmax = dyn.dilatation_minmax(P, new_state)
+            return new_state, cfl, dmin, dmax
+    elif particles is None:
         @jax.jit
         def step(state, dtime):
             if inner_steps > 1:
@@ -138,16 +149,18 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         n_steps: Optional[int] = None, log_path: Optional[str] = None,
         checkpoint: bool = True, nan_abort: bool = True,
         opr_check: bool = False, pstate=None, particle_props=None,
-        inner_steps: int = 1) -> DnsRun:
+        inner_steps: int = 1, inflow=None) -> DnsRun:
     case = sim.case
     n_steps = n_steps if n_steps is not None else (case.it_end - itime)
     if inner_steps > 1 and (pstate is not None or case.flow_type == "spatial"
                             or (sim.filter_matrices() is not None)):
         inner_steps = 1                     # per-step host work required
     sim.attach_buffer(state)
+    if inflow is not None and pstate is not None:
+        raise NotImplementedError("unsteady inflow with particles")
     step, cfl_only = make_step_functions(
         sim, particles=particle_props if pstate is not None else None,
-        inner_steps=inner_steps)
+        inner_steps=inner_steps, unsteady_inflow=inflow is not None)
 
     filt = sim.filter_matrices()
     filt_step = getattr(getattr(case, "filter", None), "step", 0)
@@ -203,6 +216,9 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     for _ in range(0, n_steps, inner_steps):
         if pstate is not None:
             state, pstate, cmax_dev, dmin, dmax = step(state, pstate, dtime)
+        elif inflow is not None:
+            aux = {"refs_x": inflow.refs_at(rtime, dtype=state.u.dtype)}
+            state, cmax_dev, dmin, dmax = step(state, dtime, aux)
         else:
             state, cmax_dev, dmin, dmax = step(state, dtime)
         itime += inner_steps
