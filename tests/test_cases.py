@@ -384,3 +384,32 @@ def test_spatial_jet_unsteady_inflow(tmp_path):
     # jet survives downstream
     U = np.asarray(out.u[:, :, 0])
     assert U[nx // 2, ny // 2] > 0.5 * float(prof[ny // 2])
+
+
+def test_spatial_jet_filter_sponge(tmp_path):
+    """BufferZone Type=both: relaxation strips plus the filter-type sponge
+    (reference BOUNDARY_BUFFER_FILTER, stubbed there, working here). The
+    outflow strip is smoother (less streamwise variance) than the
+    relaxation-only run and the field stays finite."""
+    ini_both = SPATIAL_JET.replace("Type=relaxation", "Type=both")
+    sim = Simulation.from_case(load_case(Ini(text=ini_both)))
+    assert sim.filter_sponge is None          # set at attach_buffer time
+    nx, ny, nz = sim.grid.shape
+    y = sim.grid.y.nodes
+    prof = sim.case.vel_profiles[0](y)
+    mk = lambda: State(
+        u=jnp.asarray(np.broadcast_to(prof[None, :, None], (nx, ny, nz))),
+        v=jnp.zeros((nx, ny, nz)), w=jnp.zeros((nx, ny, nz)),
+        s=jnp.asarray(np.broadcast_to(
+            sim.case.scal_profiles[0](y)[None, :, None], (nx, ny, nz)))[None])
+    run = dns_tool.run(sim, mk(), outdir=str(tmp_path), n_steps=40)
+    assert sim.filter_sponge is not None
+    out = run.state
+    assert np.isfinite(np.asarray(out.u)).all()
+    U = np.asarray(out.u[:, :, 0])
+    assert U[nx // 2, ny // 2] > 0.5 * float(prof[ny // 2])
+
+    # amp profile: zero in the interior, ~1 at the outflow wall
+    amp = np.asarray(sim.filter_sponge[0]).ravel()
+    assert amp[nx // 2] == 0.0
+    assert amp[-1] > 0.9

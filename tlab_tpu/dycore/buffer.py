@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class BufferSpec:
-    type: str = "none"           # none | relaxation (filter/both: round 2)
+    type: str = "none"           # none | relaxation | filter | both
     points_jmin: int = 0
     points_jmax: int = 0
     points_imin: int = 0         # streamwise strips (spatial mode)
@@ -95,3 +95,42 @@ def relax(buf, name: str, q, h):
         if ref is not None:
             h = h - buf["tau_x"] * (q - ref)
     return h
+
+
+# ---------------------------------------------------------------------------
+# Filter-type sponge (reference BOUNDARY_BUFFER_FILTER,
+# src/tools/dns/boundary_buffer.f90:627-760 -- stubbed DNS_ERROR_UNDEVELOP
+# there; this is a working implementation of the blend its dead code
+# describes: q := (1-amp) q + amp F(q), amp = (1+tanh(eta/2 delta))/2 with
+# delta = L_buffer/16 centered mid-strip)
+# ---------------------------------------------------------------------------
+
+def filter_sponge_amp(x: np.ndarray, points_imin: int, points_imax: int,
+                      dtype=jnp.float64):
+    """(nx,1,1) blend amplitude over the Imin/Imax strips, zero elsewhere."""
+    nx = x.shape[0]
+    amp = np.zeros(nx)
+    if points_imax > 1:
+        i0 = nx - points_imax
+        delta = (x[-1] - x[i0]) / 16.0
+        eta = x[i0:] - 0.5 * (x[-1] + x[i0])
+        amp[i0:] = 0.5 * (1.0 + np.tanh(0.5 * eta / delta))
+    if points_imin > 1:
+        i1 = points_imin - 1
+        delta = (x[i1] - x[0]) / 16.0
+        eta = x[: points_imin] - 0.5 * (x[0] + x[i1])
+        amp[: points_imin] = np.maximum(
+            amp[: points_imin], 0.5 * (1.0 - np.tanh(0.5 * eta / delta)))
+    return jnp.asarray(amp, dtype)[:, None, None]
+
+
+def apply_filter_sponge(amp, filt_mats, state):
+    """Post-step blend toward the filtered state inside the strips."""
+    from tlab_tpu.ops.filter import filter_state
+    f = filter_state(filt_mats, state)
+
+    def blend(q, qf):
+        return (1.0 - amp) * q + amp * qf
+
+    return type(state)(u=blend(state.u, f.u), v=blend(state.v, f.v),
+                       w=blend(state.w, f.w), s=blend(state.s, f.s))

@@ -179,6 +179,7 @@ class Simulation:
     P: dict                      # dycore device plans
     ell_plans: dict              # BC -> device elliptic plan (for ICs etc.)
     dtype: object
+    filter_sponge: object = None  # (amp, mats) for BufferZone Type=filter
 
     @classmethod
     def from_case(cls, case_or_path, dtype=None, grid: Optional[Grid] = None,
@@ -260,9 +261,20 @@ class Simulation:
                           "w": jnp.mean(state.w[0], axis=1)}
             for i in range(state.s.shape[0]):
                 ref_inflow[f"s{i}"] = jnp.mean(state.s[i][0], axis=1)
-        self.P["buffer"] = bufmod.build_buffer(self.grid.y.nodes, spec, refs,
-                                               self.dtype, x=x,
-                                               ref_inflow=ref_inflow)
+        if spec.type in ("relaxation", "both"):
+            self.P["buffer"] = bufmod.build_buffer(
+                self.grid.y.nodes, spec, refs, self.dtype, x=x,
+                ref_inflow=ref_inflow)
+        if spec.type in ("filter", "both"):
+            # filter-type sponge (reference BOUNDARY_BUFFER_FILTER — stubbed
+            # there; working here): post-step blend toward the filtered state
+            from tlab_tpu.ops.filter import FilterSpec, build_filter_matrices
+            mats = self.filter_matrices() or build_filter_matrices(
+                self.fdm, FilterSpec(type="explicit6"), self.dtype)
+            amp = bufmod.filter_sponge_amp(
+                self.grid.x.nodes, spec.points_imin, spec.points_imax,
+                self.dtype)
+            self.filter_sponge = (amp, mats)
 
     def filter_matrices(self):
         from tlab_tpu.ops.filter import (build_filter_matrices,

@@ -162,6 +162,12 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         sim, particles=particle_props if pstate is not None else None,
         inner_steps=inner_steps, unsteady_inflow=inflow is not None)
 
+    sponge_fn = None
+    if getattr(sim, "filter_sponge", None) is not None:
+        from tlab_tpu.dycore.buffer import apply_filter_sponge
+        s_amp, s_mats = sim.filter_sponge
+        sponge_fn = jax.jit(lambda st: apply_filter_sponge(s_amp, s_mats, st))
+
     filt = sim.filter_matrices()
     filt_step = getattr(getattr(case, "filter", None), "step", 0)
     if filt is not None and filt_step > 0:
@@ -223,6 +229,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             state, cmax_dev, dmin, dmax = step(state, dtime)
         itime += inner_steps
         rtime += dtime * inner_steps
+        if sponge_fn is not None:
+            state = sponge_fn(state)
         if filter_fn is not None and itime % filt_step == 0:
             state = filter_fn(state)        # reference DNS_FILTER cadence
         cmax = float(cmax_dev)
