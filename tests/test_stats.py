@@ -7,7 +7,39 @@ from tlab_tpu.dycore.state import State
 from tlab_tpu.fdm.plan import build_fdm_plan
 from tlab_tpu.grid import uniform_grid
 from tlab_tpu.physics.params import NSParams
+from tlab_tpu.config import load_case, Ini
+from tlab_tpu.runtime import Simulation
 from tlab_tpu.stats import averages, pdfs, spectra
+
+MINI_CASE = """
+[Main]
+Type=temporal
+Equations=incompressible
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit3
+[Parameters]
+Reynolds=100
+Schmidt=1.0
+[Control]
+ScalLimit=no
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=17
+scales_1=6.283185307
+[IniGridOy]
+periodic=no
+segments=1
+points_1=12
+scales_1=1.0
+opts_1=uniform
+[IniGridOz]
+periodic=yes
+segments=1
+points_1=9
+scales_1=3.141592653
+"""
+
 
 
 def _setup(nx=32, ny=24, nz=16):
@@ -117,3 +149,60 @@ def test_cloud_mixing_diagram():
     assert d["ql"][-1] == 0.0                 # environment is clear
     # liquid decreases monotonically-ish toward the clear end
     assert d["ql"][0] == max(d["ql"])
+
+
+def test_cross_spectra_and_2d():
+    """Cross-spectrum of two phase-shifted sinusoids: power concentrated in
+    the forced mode, phase equals the shift; 2-D spectrum localizes the
+    (kx,kz) forcing; Parseval holds for the y-blocked 2-D PSD."""
+    from tlab_tpu.stats import spectra
+    nx, ny, nz = 32, 5, 16
+    x = np.arange(nx) * 2 * np.pi / nx
+    z = np.arange(nz) * 2 * np.pi / nz
+    phi = 0.7
+    a = np.cos(3 * x)[:, None, None] * np.ones((1, ny, nz))
+    b = np.cos(3 * x - phi)[:, None, None] * np.ones((1, ny, nz))
+    power, phase = spectra.cross_phase_x(jnp.asarray(a), jnp.asarray(b))
+    k = int(np.argmax(np.asarray(power)[:, 0]))
+    assert k == 3
+    assert abs(float(phase[3, 0]) - phi) < 1e-6
+
+    c = (np.cos(3 * x)[:, None, None]
+         * np.cos(2 * z)[None, None, :] * np.ones((1, ny, 1)))
+    e2 = np.asarray(spectra.spectrum_2d(jnp.asarray(c), y_blocks=1))[..., 0]
+    i, j = np.unravel_index(np.argmax(e2), e2.shape)
+    assert (i, abs(j if j <= nz // 2 else j - nz)) == (3, 2)
+    # Parseval: sum of PSD = plane variance (mean removed by k=0 carry)
+    var = np.mean(c[:, 0, :] ** 2)
+    assert abs(e2.sum() - var) < 1e-12
+
+    cz = np.asarray(spectra.correlation_z(jnp.asarray(c)))
+    # correlation at zero shift = variance, periodic in z with period pi
+    assert abs(cz[0, 0] - var) < 1e-12
+    assert abs(cz[nz // 2, 0] - var) < 1e-12     # cos(2z): period nz/2
+
+
+def test_conditional_averages_tool(tmp_path):
+    """Gated averages via the offline tool: a two-layer field gated by the
+    scalar recovers the per-layer means and the intermittency profile."""
+    import os
+    from tlab_tpu.tools import postprocess as pp
+    from tlab_tpu.io import fields_io
+    from tlab_tpu.stats.averages import read_table
+
+    ini = Ini(text=MINI_CASE)
+    sim = Simulation.from_case(load_case(ini))
+    nx, ny, nz = sim.grid.shape
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal((nx, ny, nz))
+    s = (u > 0).astype(float)            # gate: exactly where u > 0
+    st = State(u=jnp.asarray(u), v=jnp.zeros((nx, ny, nz)),
+               w=jnp.zeros((nx, ny, nz)), s=jnp.asarray(s)[None])
+    fields_io.write_state(os.path.join(tmp_path, "flow"),
+                          os.path.join(tmp_path, "scal"), 5, st, 0.0, 1e-3)
+    pp.run_averages(sim, str(tmp_path), [5], gate_scalar=1, gate_level=0.5)
+    cond = read_table(os.path.join(tmp_path, "cavg5"))
+    gam = read_table(os.path.join(tmp_path, "int5"))
+    # gated mean of u must be positive everywhere; ungated mean ~ 0
+    assert np.all(cond["cU"] > 0.2)
+    assert np.all((gam["gamma"] > 0.3) & (gam["gamma"] < 0.7))

@@ -61,3 +61,38 @@ def radial_spectrum(a, lx, lz):
 
 def write_spectra(path: str, spec: np.ndarray, itime: int) -> None:
     np.savetxt(path, np.asarray(spec), header=f"it={itime} rows=k cols=y")
+
+
+def correlation_z(a, b=None):
+    """Two-point correlation along z from the PSD (Wiener-Khinchin)."""
+    ah = jnp.fft.rfft(a, axis=2)
+    bh = ah if b is None else jnp.fft.rfft(b, axis=2)
+    nz = a.shape[2]
+    c = jnp.fft.irfft(ah * jnp.conj(bh), n=nz, axis=2) / nz
+    return jnp.mean(c, axis=0).T
+
+
+def cross_phase_x(a, b):
+    """Cross-spectrum power and phase along x (reference spectra.f90
+    pow/pha outputs, opt_main=2): (nkx, ny) each."""
+    ah = jnp.fft.rfft(a, axis=0)
+    bh = jnp.fft.rfft(b, axis=0)
+    nx = a.shape[0]
+    cross = jnp.mean(ah * jnp.conj(bh), axis=2) / nx ** 2
+    return jnp.abs(cross), jnp.angle(cross)
+
+
+def spectrum_2d(a, b=None, y_blocks: int = 1):
+    """Full 2-D cross-PSD E(kx, kz) averaged inside y blocks:
+    (nkx, nkz, y_blocks) (reference spectra.f90 opt_block y-averaging of the
+    2-D spectral density before the radial reduction)."""
+    nx, ny, nz = a.shape
+    ah = jnp.fft.fft(jnp.fft.rfft(a, axis=0), axis=2)
+    bh = ah if b is None else jnp.fft.fft(jnp.fft.rfft(b, axis=0), axis=2)
+    e = jnp.real(ah * jnp.conj(bh)) / (nx * nz) ** 2
+    e = e.at[1:-1].multiply(2.0)
+    nb = max(1, min(y_blocks, ny))
+    edges = np.linspace(0, ny, nb + 1).astype(int)
+    blocks = [jnp.mean(e[:, j0:j1, :], axis=1) for j0, j1 in
+              zip(edges[:-1], edges[1:])]
+    return jnp.stack(blocks, axis=-1)

@@ -33,6 +33,15 @@ def main(argv=None):
                     help="comma-separated snapshot iterations for postprocessing")
     ap.add_argument("--fields", default="Enstrophy",
                     help="comma-separated derived fields for visuals")
+    ap.add_argument("--cross", action="store_true",
+                    help="spectra: add pair cross-spectra (pow/pha)")
+    ap.add_argument("--correlations", action="store_true",
+                    help="spectra: add two-point correlations (xcr/zcr)")
+    ap.add_argument("--y-blocks", type=int, default=0,
+                    help="spectra: write 2-D (kx,kz) spectra in y blocks")
+    ap.add_argument("--gate-scalar", type=int, default=0,
+                    help="averages: condition on scalar # > gate level")
+    ap.add_argument("--gate-level", type=float, default=0.0)
     args = ap.parse_args(argv)
 
     import jax
@@ -128,9 +137,13 @@ def main(argv=None):
         from tlab_tpu.tools import postprocess as pp
         its = [int(t) for t in args.files.split(",") if t]
         if args.command == "averages":
-            pp.run_averages(sim, args.outdir, its)
+            pp.run_averages(sim, args.outdir, its,
+                            gate_scalar=args.gate_scalar,
+                            gate_level=args.gate_level)
         elif args.command == "spectra":
-            pp.run_spectra(sim, args.outdir, its)
+            pp.run_spectra(sim, args.outdir, its, cross=args.cross,
+                           correlations=args.correlations,
+                           y_blocks=args.y_blocks)
         elif args.command == "pdfs":
             pp.run_pdfs(sim, args.outdir, its)
         else:

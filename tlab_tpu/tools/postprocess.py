@@ -28,7 +28,12 @@ def load_snapshot(sim: Simulation, outdir: str, itime: int) -> State:
     return st, rtime
 
 
-def run_averages(sim: Simulation, outdir: str, iterations) -> None:
+def run_averages(sim: Simulation, outdir: str, iterations,
+                 gate_scalar: int = 0, gate_level: float = 0.0) -> None:
+    """Plane-averaged statistics tables; gate_scalar>0 additionally writes
+    gate-conditioned statistics and the intermittency profile, gated on
+    scalar #gate_scalar exceeding gate_level (reference averages.f90
+    conditional analysis, igate/gate_level)."""
     for it in iterations:
         st, rtime = load_snapshot(sim, outdir, it)
         flow = averages.flow_statistics(sim.P, st, sim.nsp.visc)
@@ -39,15 +44,35 @@ def run_averages(sim: Simulation, outdir: str, iterations) -> None:
                                             sim.nsp.diffusivity(i), i)
             averages.write_table(os.path.join(outdir, f"avg{it}s{i + 1}"),
                                  sim.grid.y.nodes, sc, it, rtime)
+        if gate_scalar > 0:
+            gate = st.s[gate_scalar - 1] > gate_level
+            cond = averages.conditional_flow_statistics(sim.P, st, gate)
+            averages.write_table(os.path.join(outdir, f"cavg{it}"),
+                                 sim.grid.y.nodes, cond, it, rtime)
+            gamma = averages.intermittency(gate)
+            averages.write_table(
+                os.path.join(outdir, f"int{it}"), sim.grid.y.nodes,
+                {"gamma": gamma}, it, rtime)
 
 
-def run_spectra(sim: Simulation, outdir: str, iterations) -> None:
-    """xsp/zsp auto-spectra of u,v,w,s (reference spectra.f90 outputs)."""
+def _snapshot_fields(sim, st):
+    comps = {"u": st.u, "v": st.v, "w": st.w}
+    for i in range(sim.nsp.n_scalars):
+        comps[f"s{i + 1}"] = st.s[i]
+    return comps
+
+
+def run_spectra(sim: Simulation, outdir: str, iterations,
+                cross: bool = False, correlations: bool = False,
+                y_blocks: int = 0) -> None:
+    """xsp/zsp auto-spectra of u,v,w,s; cross=True adds the velocity and
+    velocity-scalar pair cross-spectra with pow/pha decomposition;
+    correlations=True writes xcr/zcr two-point correlations; y_blocks>0
+    writes the 2-D (kx,kz) spectral density averaged in y blocks
+    (reference spectra.f90 opt_main=1..4 + opt_block)."""
     for it in iterations:
         st, _ = load_snapshot(sim, outdir, it)
-        comps = {"u": st.u, "v": st.v, "w": st.w}
-        for i in range(sim.nsp.n_scalars):
-            comps[f"s{i + 1}"] = st.s[i]
+        comps = _snapshot_fields(sim, st)
         for name, a in comps.items():
             ex = spectra.spectrum_x(a)
             spectra.write_spectra(os.path.join(outdir, f"xsp{it}.{name}"),
@@ -56,6 +81,39 @@ def run_spectra(sim: Simulation, outdir: str, iterations) -> None:
                 ez = spectra.spectrum_z(a)
                 spectra.write_spectra(os.path.join(outdir, f"zsp{it}.{name}"),
                                       np.asarray(ez), it)
+            if correlations:
+                cx = spectra.correlation_x(a)
+                spectra.write_spectra(os.path.join(outdir, f"xcr{it}.{name}"),
+                                      np.asarray(cx), it)
+                if sim.grid.z.size > 1:
+                    cz = spectra.correlation_z(a)
+                    spectra.write_spectra(
+                        os.path.join(outdir, f"zcr{it}.{name}"),
+                        np.asarray(cz), it)
+            if y_blocks > 0:
+                e2 = spectra.spectrum_2d(a, y_blocks=y_blocks)
+                np.savez(os.path.join(outdir, f"sp2d{it}.{name}.npz"),
+                         e=np.asarray(e2), itime=it)
+        if cross:
+            names = list(comps)
+            pairs = [("u", "v"), ("u", "w"), ("v", "w")] +                 [("v", n) for n in names if n.startswith("s")]
+            for na, nb in pairs:
+                ex = spectra.spectrum_x(comps[na], comps[nb])
+                spectra.write_spectra(
+                    os.path.join(outdir, f"xsp{it}.{na}{nb}"),
+                    np.asarray(ex), it)
+                power, phase = spectra.cross_phase_x(comps[na], comps[nb])
+                spectra.write_spectra(
+                    os.path.join(outdir, f"pow{it}.{na}{nb}"),
+                    np.asarray(power), it)
+                spectra.write_spectra(
+                    os.path.join(outdir, f"pha{it}.{na}{nb}"),
+                    np.asarray(phase), it)
+                if correlations:
+                    cx = spectra.correlation_x(comps[na], comps[nb])
+                    spectra.write_spectra(
+                        os.path.join(outdir, f"xcr{it}.{na}{nb}"),
+                        np.asarray(cx), it)
 
 
 def run_pdfs(sim: Simulation, outdir: str, iterations, nbins=64) -> None:
