@@ -16,7 +16,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="tlab-tpu")
     ap.add_argument("command", choices=["inigrid", "inirand", "iniflow",
                                         "iniscal", "ini", "inipart", "dns",
-                                        "averages", "spectra", "pdfs",
+                                        "averages", "spectra", "pdfs", "superlayer",
                                         "visuals", "transfields"])
     ap.add_argument("--ini2", default="",
                     help="target-case ini for transfields remeshing")
@@ -133,7 +133,7 @@ def main(argv=None):
         print(f"remeshed {its} onto {grid2.shape}")
         return 0
 
-    if args.command in ("averages", "spectra", "pdfs", "visuals"):
+    if args.command in ("averages", "spectra", "pdfs", "superlayer", "visuals"):
         from tlab_tpu.tools import postprocess as pp
         its = [int(t) for t in args.files.split(",") if t]
         if args.command == "averages":
@@ -146,6 +146,8 @@ def main(argv=None):
                            y_blocks=args.y_blocks)
         elif args.command == "pdfs":
             pp.run_pdfs(sim, args.outdir, its)
+        elif args.command == "superlayer":
+            pp.run_superlayer(sim, args.outdir, its)
         else:
             pp.run_visuals(sim, args.outdir, its,
                            which=tuple(args.fields.split(",")))

@@ -172,3 +172,46 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                 raise ValueError(name)
             fields_io.write_field(os.path.join(outdir, f"vis{it}.{name}"),
                                   np.asarray(fld), it, (rtime,), dtype="<f4")
+
+
+def run_superlayer(sim: Simulation, outdir: str, iterations,
+                   indicator: str = "vorticity", threshold: float = 0.01,
+                   samples=("Enstrophy",), nbins: int = 64) -> None:
+    """Superlayer extraction (reference sl_boundary.f90 + sl_normal/pdf
+    tools): upper/lower interface heights of `indicator` (vorticity |
+    scalargradient) at threshold*global-max, surface statistics, height
+    PDFs, and fields sampled on both surfaces; written to sl{it}.npz."""
+    from tlab_tpu.stats import superlayer as sl
+    y = sim.grid.y.nodes
+    for it in iterations:
+        st, _ = load_snapshot(sim, outdir, it)
+        if indicator == "vorticity":
+            a = mappings.vorticity_magnitude2(sim.P, st.u, st.v, st.w)
+        elif indicator == "scalargradient":
+            a = mappings.gradient_magnitude2(sim.P, st.s[0])
+        else:
+            raise ValueError(indicator)
+        amin = threshold * float(jnp.max(a))
+        y_up = sl.upper_boundary(y, a, amin)
+        y_lo = sl.lower_boundary(y, a, amin)
+        out = {"y_upper": np.asarray(y_up), "y_lower": np.asarray(y_lo),
+               "threshold": amin, "itime": it}
+        for tag, ysl in (("up", y_up), ("lo", y_lo)):
+            stats = sl.surface_statistics(ysl)
+            for k, v in stats.items():
+                out[f"{tag}_{k}"] = float(v)
+            counts, edges = sl.height_pdf(ysl, nbins=nbins)
+            out[f"{tag}_pdf"] = counts
+            out[f"{tag}_pdf_edges"] = edges
+            for name in samples:
+                if name == "Enstrophy":
+                    fld = a if indicator == "vorticity" else \
+                        mappings.vorticity_magnitude2(sim.P, st.u, st.v, st.w)
+                elif name.startswith("Scalar"):
+                    fld = st.s[int(name[6:]) - 1]
+                else:
+                    fld = {"VelocityX": st.u, "VelocityY": st.v,
+                           "VelocityZ": st.w}[name]
+                out[f"{tag}_{name}"] = np.asarray(
+                    sl.sample_at_surface(fld, y, ysl))[0]
+        np.savez(os.path.join(outdir, f"sl{it}.npz"), **out)
