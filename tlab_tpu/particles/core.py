@@ -31,9 +31,10 @@ class ParticleState(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class ParticleProps:
-    type: str = "tracer"          # tracer | inertia
+    type: str = "tracer"          # tracer | inertia | bil_cloud_3 | bil_cloud_4
     stokes: float = 0.0
     settling: float = 0.0
+    bil_cloud: object = None      # BilCloudParams for the bil_cloud types
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +148,9 @@ def particle_rhs(props: ParticleProps, pstate: ParticleState, locate,
     uf = jnp.stack([interpolate_to_particles(u, loc),
                     interpolate_to_particles(v, loc),
                     interpolate_to_particles(w, loc)], axis=1)
-    if props.type == "tracer":
+    if props.type == "tracer" or props.type.startswith("bil_cloud"):
+        # bil_cloud droplets advect as tracers; their droplet scalars are
+        # integrated separately (bil_cloud.droplet_rhs)
         return uf, jnp.zeros_like(pstate.v)
     # inertia: Stokes drag + settling
     acc = (uf - pstate.v) / max(props.stokes, 1e-30)
