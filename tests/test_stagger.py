@@ -1,0 +1,113 @@
+"""Horizontally staggered pressure grid (reference stagger_on)."""
+import numpy as np
+import jax.numpy as jnp
+
+from tlab_tpu.config import load_case, Ini
+from tlab_tpu.dycore import incompressible as dyn
+from tlab_tpu.dycore.state import State
+from tlab_tpu.fdm import stagger
+from tlab_tpu.runtime import Simulation
+
+CASE = """
+[Main]
+Type=temporal
+Equations=incompressible
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit3
+TimeCFL=0.8
+[Control]
+ScalLimit=no
+[Staggering]
+StaggerHorizontalPressure=yes
+[Parameters]
+Reynolds=400
+Schmidt=1.0
+[Flow]
+ProfileVelocityX=Tanh
+ThickVelocityX=0.08
+DeltaVelocityX=1.0
+[BoundaryConditions]
+VelocityJmin=freeslip
+VelocityJmax=freeslip
+Scalar1Jmin=neumann
+Scalar1Jmax=neumann
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=33
+scales_1=4.0
+[IniGridOy]
+periodic=no
+segments=1
+points_1=49
+scales_1=2.0
+opts_1=uniform
+[IniGridOz]
+periodic=yes
+segments=1
+points_1=16
+scales_1=2.0
+"""
+
+
+def test_interp_roundtrip_order():
+    """ivp then ipv is high-order identity on smooth data."""
+    n, L = 64, 2 * np.pi
+    ops = stagger.build_stagger_ops(n, L / n)
+    x = np.arange(n) * L / n
+    u = np.sin(3 * x) + 0.3 * np.cos(5 * x)
+    back = ops["ipv"] @ (ops["ivp"] @ u)
+    assert np.max(np.abs(back - u)) < 1e-5
+
+
+def test_staggered_projection_divergence():
+    """After one substep the STAGGERED divergence of the forcing update is
+    at solver accuracy (the staggered projection annihilates it)."""
+    sim = Simulation.from_case(load_case(Ini(text=CASE)),
+                               dtype=jnp.float64)
+    P = sim.P
+    assert "stag" in P and "ell_stag" in P
+    nx, ny, nz = sim.grid.shape
+    y = sim.grid.y.nodes
+    x = sim.grid.x.nodes[:, None, None]
+    zc = sim.grid.z.nodes[None, None, :]
+    kx = 2 * np.pi / sim.grid.x.scale
+    kz = 2 * np.pi / sim.grid.z.scale
+    env = np.sin(np.pi * y / y[-1])[None, :, None]
+    # smooth (well-resolved) divergent field: the staggered projection is
+    # spectrally exact only where the interpolation transfer ~ 1 (same
+    # approximation as the reference's stagger_on scheme at high k)
+    u = (np.sin(kx * x) + 0.3 * np.cos(2 * kx * x + kz * zc)) * env
+    v = 0.2 * np.sin(2 * np.pi * y / y[-1])[None, :, None]         * np.cos(kx * x) * np.ones_like(zc)
+    w = 0.4 * np.sin(kz * zc) * np.cos(kx * x) * env
+    state = State(u=jnp.asarray(u * np.ones_like(zc)), v=jnp.asarray(v),
+                  w=jnp.asarray(w * np.ones((nx, 1, 1))),
+                  s=jnp.zeros((1, nx, ny, nz)))
+    div0 = np.asarray(dyn.divergence_staggered(P, state.u, state.v, state.w))
+    dte = 0.01
+    z = jnp.zeros_like(state.u)
+    hq, hs, p = dyn.substep_rhs(P, state, (z, z, z), jnp.zeros_like(state.s),
+                                dte)
+    unew = state.u + dte * hq[0]
+    vnew = state.v + dte * hq[1]
+    wnew = state.w + dte * hq[2]
+    div = np.asarray(dyn.divergence_staggered(P, unew, vnew, wnew))
+    red = np.max(np.abs(div[:, 1:-1, :])) / np.max(np.abs(div0[:, 1:-1, :]))
+    assert red < 2e-3, red
+    assert np.isfinite(np.asarray(p)).all()
+
+
+def test_staggered_shear_run():
+    """A short staggered-pressure shear-layer run stays finite and keeps
+    the collocated divergence bounded."""
+    from tlab_tpu.tools.initialize import initial_state
+    sim = Simulation.from_case(load_case(Ini(text=CASE)))
+    state = initial_state(sim, seed=1)
+    step = lambda st: dyn.rk_step(sim.P, st, 0.02)[0]
+    import jax
+    stepj = jax.jit(step)
+    for _ in range(10):
+        state = stepj(state)
+    assert np.isfinite(np.asarray(state.u)).all()
+    dmin, dmax = dyn.dilatation_minmax(sim.P, state)
+    assert max(abs(float(dmin)), abs(float(dmax))) < 0.1

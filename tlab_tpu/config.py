@@ -138,6 +138,7 @@ class CaseSetup:
     towers: dict                   # [SaveTowers]
     dealias: object                # FilterSpec for advection dealiasing
     ini: Ini
+    stagger: bool = False          # [Staggering] StaggerHorizontalPressure
 
 
 def _read_profile(ini: Ini, section: str, tag: str, yscale: float) -> Profile:
@@ -346,4 +347,6 @@ def load_case(path_or_ini) -> CaseSetup:
         towers=towers_cfg,
         dealias=dealias_spec,
         ini=ini,
+        stagger=ini.get_bool("Staggering", "StaggerHorizontalPressure",
+                             False),
     )

@@ -192,6 +192,25 @@ def divergence(P, u, v, w):
     return _d1(P, "x", 0, u) + _d1(P, "y", 1, v) + _d1(P, "z", 2, w)
 
 
+def _stag(stag, axis_name: str, which: str, a):
+    """Apply a staggered-grid operator (ivp/ipv/dvp/dpv) along x or z;
+    identity when the axis has no extent (2-D runs)."""
+    M = stag.get(f"{which}{axis_name}")
+    if M is None:
+        return a
+    return der1(M, a, 0 if axis_name == "x" else 2)
+
+
+def divergence_staggered(P, u, v, w):
+    """Divergence on the staggered pressure nodes (what the staggered
+    projection annihilates)."""
+    stag = P["stag"]
+    return (_stag(stag, "z", "ivp", _stag(stag, "x", "dvp", u))
+            + _stag(stag, "z", "ivp",
+                    _stag(stag, "x", "ivp", _d1(P, "y", 1, v)))
+            + _stag(stag, "x", "ivp", _stag(stag, "z", "dvp", w)))
+
+
 def _apply_wall_rows(h, rows):
     """Set the j=0 / j=ny-1 rows of the tendency per its BC type."""
     if rows is None:
@@ -328,19 +347,34 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
     if ane is not None:
         rho = ane["rho"][None, :, None]
         fx, fy, fz = fx * rho, fy * rho, fz * rho
-    div = _d1(P, "y", 1, fy) + _d1(P, "x", 0, fx) + _d1(P, "z", 2, fz)
+    stag = P.get("stag")
+    if stag is not None:
+        # horizontally staggered pressure (reference stagger_on branch,
+        # rhs_global_incompressible_1.f90:216-320): forcing divergence
+        # assembled on the pressure nodes with the VP operators
+        div = (_stag(stag, "z", "ivp", _stag(stag, "x", "dvp", fx))
+               + _stag(stag, "z", "ivp",
+                       _stag(stag, "x", "ivp", _d1(P, "y", 1, fy)))
+               + _stag(stag, "x", "ivp", _stag(stag, "z", "dvp", fz)))
+        h2_s = _stag(stag, "z", "ivp", _stag(stag, "x", "ivp", h2))
+    else:
+        div = _d1(P, "y", 1, fy) + _d1(P, "x", 0, fx) + _d1(P, "z", 2, fz)
+        h2_s = h2
 
     if ane is not None:
-        bcs_b = h2[:, 0, :] * ane["rho"][0]
-        bcs_t = h2[:, -1, :] * ane["rho"][-1]
+        bcs_b = h2_s[:, 0, :] * ane["rho"][0]
+        bcs_t = h2_s[:, -1, :] * ane["rho"][-1]
     else:
-        bcs_b = h2[:, 0, :]
-        bcs_t = h2[:, -1, :]
+        bcs_b = h2_s[:, 0, :]
+        bcs_t = h2_s[:, -1, :]
     if P.get("comm") is not None:
         from tlab_tpu.parallel import pencil
         p, dpdy = pencil.pencil_poisson(P["ell"], div, P["comm"],
                                         bcs_b=bcs_b, bcs_t=bcs_t,
                                         d1y=P["d1y"])
+    elif stag is not None:
+        p, dpdy = elliptic.poisson(P["ell_stag"], div, bcs_b=bcs_b,
+                                   bcs_t=bcs_t, d1y=P["d1y"])
     elif P.get("ell_fac") is not None:
         # reference-default factorized formulation: stage-consistent dpdy
         # removes divergence to round-off (opr_elliptic.f90:108-110)
@@ -350,15 +384,25 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
     else:
         p, dpdy = elliptic.poisson(P["ell"], div, bcs_b=bcs_b, bcs_t=bcs_t,
                                    d1y=P["d1y"])
+    if stag is not None:
+        # pressure gradient back on velocity nodes with the PV operators
+        # (reference rhs_global_incompressible_1.f90:307-320)
+        dpdx = _stag(stag, "z", "ipv", _stag(stag, "x", "dpv", p))
+        dpdy_v = _stag(stag, "x", "ipv", _stag(stag, "z", "ipv", dpdy))
+        dpdz = _stag(stag, "x", "ipv", _stag(stag, "z", "dpv", p))
+    else:
+        dpdx = _d1(P, "x", 0, p)
+        dpdy_v = dpdy
+        dpdz = _d1(P, "z", 2, p)
     if ane is not None:
         ri = ane["rho_inv"][None, :, None]
-        h1 = h1 - ri * _d1(P, "x", 0, p)
-        h2 = h2 - ri * dpdy
-        h3 = h3 - ri * _d1(P, "z", 2, p)
+        h1 = h1 - ri * dpdx
+        h2 = h2 - ri * dpdy_v
+        h3 = h3 - ri * dpdz
     else:
-        h1 = h1 - _d1(P, "x", 0, p)
-        h2 = h2 - dpdy
-        h3 = h3 - _d1(P, "z", 2, p)
+        h1 = h1 - dpdx
+        h2 = h2 - dpdy_v
+        h3 = h3 - dpdz
 
     # wall rows of the tendencies
     rows = P["bc_rows"]

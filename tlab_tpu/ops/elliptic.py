@@ -152,7 +152,11 @@ class EllipticPlan:
 
 
 def build_elliptic_plan(fdm: FdmPlan, ibc: BC = BC.NN,
-                        shift: float = 1.0) -> EllipticPlan:
+                        shift: float = 1.0,
+                        lam_x=None, lam_z=None) -> EllipticPlan:
+    """lam_x/lam_z override the horizontal modal eigenvalues (staggered
+    pressure grid uses the squared staggered-derivative wavenumbers,
+    reference opr_elliptic.f90:144-147)."""
     plan_y = fdm.y
     n = plan_y.size
     M0, M1, R = build_pencil(plan_y, ibc)
@@ -172,11 +176,10 @@ def build_elliptic_plan(fdm: FdmPlan, ibc: BC = BC.NN,
     # horizontal modal eigenvalues from der2 modified wavenumbers
     # (cf. reference opr_elliptic.f90:225-231, TYPE_DIRECT)
     nx = fdm.x.size
-    lam_x = fdm.x.mwn2[: nx // 2 + 1] if fdm.x.periodic else np.zeros(1)
-    if fdm.z.size > 1:
-        lam_z = fdm.z.mwn2
-    else:
-        lam_z = np.zeros(1)
+    if lam_x is None:
+        lam_x = fdm.x.mwn2[: nx // 2 + 1] if fdm.x.periodic else np.zeros(1)
+    if lam_z is None:
+        lam_z = fdm.z.mwn2 if fdm.z.size > 1 else np.zeros(1)
 
     # singular (mean) mode: Dirichlet-bottom/Neumann-top with lambda = 0
     # (compatibility constraint; reference opr_elliptic.f90:233-238,419-421)

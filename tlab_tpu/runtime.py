@@ -219,6 +219,35 @@ class Simulation:
             from tlab_tpu.ops import elliptic_factorize as fac
             fac_plan = fac.build_factorize_plan(fdm)
             P["ell_fac"] = fac.device_factorize_plan(fac_plan, dtype)
+        if getattr(case, "stagger", False):
+            # horizontally staggered pressure ([Staggering]
+            # StaggerHorizontalPressure=yes; reference
+            # tlab_initialize_parameters.f90:112-117)
+            from tlab_tpu.fdm import stagger as stg
+            if not grid.x.periodic:
+                raise ValueError("staggered pressure needs periodic x")
+            if "ell_fac" in P:
+                del P["ell_fac"]         # staggered solve replaces it
+            sd = {}
+            nx = grid.x.size
+            hx = grid.x.scale / nx
+            for k, M in stg.build_stagger_ops(nx, hx).items():
+                sd[f"{k}x"] = jnp.asarray(M, dtype)
+            lam_x = stg.modified_wavenumber(nx, grid.x.scale) ** 2
+            if grid.z.size > 1:
+                nz = grid.z.size
+                hz = grid.z.scale / nz
+                for k, M in stg.build_stagger_ops(nz, hz).items():
+                    sd[f"{k}z"] = jnp.asarray(M, dtype)
+                wz = stg.modified_wavenumber(nz, grid.z.scale)
+                k = np.arange(nz)
+                lam_z = wz[np.minimum(k, nz - k)] ** 2   # full-fft ordering
+            else:
+                lam_z = None
+            ell_st = elliptic.build_elliptic_plan(fdm, ibc=BC.NN,
+                                                  lam_x=lam_x, lam_z=lam_z)
+            P["stag"] = sd
+            P["ell_stag"] = elliptic.device_elliptic_plan(ell_st, dtype)
         if anelastic is not None:
             P["anelastic"] = {"rho": anelastic["rho"],
                               "rho_inv": anelastic["rho_inv"]}
