@@ -54,8 +54,13 @@ def _div(P, fx, fy, fz):
 
 
 def rhs_compressible(P, U: CompState, gamma: float, mach: float,
-                     visc: float, prandtl: float):
-    """Tendency of the conservative state (divergence form)."""
+                     visc: float, prandtl: float, gas=None):
+    """Tendency of the conservative state (divergence form).
+
+    gas: optional physics.eos.GasParams enabling a variable transport law
+    mu(T) (reference THERMO_VISCOSITY powerlaw/sutherland); the stress and
+    conduction coefficients then vary pointwise with temperature.
+    """
     rho = U.rho
     u, v, w, T, p = primitive(P, U, gamma, mach)
 
@@ -75,19 +80,23 @@ def rhs_compressible(P, U: CompState, gamma: float, mach: float,
                   dyn._d1(P, "z", 2, w))
     divu = ux + vy + wz
     lam = -2.0 / 3.0
-    txx = visc * (2.0 * ux + lam * divu)
-    tyy = visc * (2.0 * vy + lam * divu)
-    tzz = visc * (2.0 * wz + lam * divu)
-    txy = visc * (uy + vx)
-    txz = visc * (uz + wx)
-    tyz = visc * (vz + wy)
+    mu = visc
+    if gas is not None and gas.transport != "none":
+        from tlab_tpu.physics import eos
+        mu = visc * eos.viscosity(gas, T)
+    txx = mu * (2.0 * ux + lam * divu)
+    tyy = mu * (2.0 * vy + lam * divu)
+    tzz = mu * (2.0 * wz + lam * divu)
+    txy = mu * (uy + vx)
+    txz = mu * (uz + wx)
+    tyz = mu * (vz + wy)
 
     h_ru = h_ru + _div(P, txx, txy, txz)
     h_rv = h_rv + _div(P, txy, tyy, tyz)
     h_rw = h_rw + _div(P, txz, tyz, tzz)
 
     # viscous work + conduction (k = cp mu/Pr; nondimensional form)
-    cond = visc / (prandtl * (gamma - 1.0) * mach ** 2)
+    cond = mu / (prandtl * (gamma - 1.0) * mach ** 2)
     qx = cond * dyn._d1(P, "x", 0, T)
     qy = cond * dyn._d1(P, "y", 1, T)
     qz = cond * dyn._d1(P, "z", 2, T)
@@ -118,13 +127,13 @@ def _apply_wall_bcs(P, h: CompState):
 
 def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
                          visc: float, prandtl: float, nscbc=None,
-                         ly: float = 1.0):
+                         ly: float = 1.0, gas=None):
     kdt = P["rk"]["kdt"]
     kco = P["rk"]["kco"]
     h = CompState(*(jnp.zeros_like(x) for x in U))
     for i, k in enumerate(kdt):
         dte = dtime * k
-        dh = rhs_compressible(P, U, gamma, mach, visc, prandtl)
+        dh = rhs_compressible(P, U, gamma, mach, visc, prandtl, gas=gas)
         h = CompState(*(a + b for a, b in zip(h, dh)))
         if nscbc is not None:
             from tlab_tpu.dycore.nscbc import apply_nscbc
