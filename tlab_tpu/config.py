@@ -139,6 +139,7 @@ class CaseSetup:
     dealias: object                # FilterSpec for advection dealiasing
     ini: Ini
     stagger: bool = False          # [Staggering] StaggerHorizontalPressure
+    discrete: dict = None          # [Discrete] mode perturbation spec
 
 
 def _read_profile(ini: Ini, section: str, tag: str, yscale: float) -> Profile:
@@ -349,4 +350,13 @@ def load_case(path_or_ini) -> CaseSetup:
         ini=ini,
         stagger=ini.get_bool("Staggering", "StaggerHorizontalPressure",
                              False),
+        discrete={
+            "amplitude": ini.get_floats("Discrete", "Amplitude", (1e-2,)),
+            "modex": tuple(int(v) for v in
+                           ini.get_floats("Discrete", "ModeX", (1,))),
+            "modez": tuple(int(v) for v in
+                           ini.get_floats("Discrete", "ModeZ", (0,))),
+            "phasex": ini.get_floats("Discrete", "PhaseX", (0.0,)),
+            "phasez": ini.get_floats("Discrete", "PhaseZ", (0.0,)),
+        },
     )

@@ -128,6 +128,57 @@ def velocity_broadband_vorticity(sim: Simulation, rng: np.random.Generator):
     return uj, vj, wj
 
 
+def velocity_discrete(sim: Simulation):
+    """Discrete-mode velocity perturbation (reference VELOCITY_DISCRETE,
+    flow_local.f90:177-238): wall-normal v = sum_m A_m cos(wx x+px)
+    cos(wz z+pz) g(y), wall-parallel components from -g' with the 1/w
+    factors imposing the solenoidal constraint."""
+    nx, ny, nz = sim.grid.shape
+    spec = getattr(sim.case, "discrete", None) or {}
+    amps = spec.get("amplitude", (1e-2,))
+    n_m = len(amps)
+
+    def pad(key, default):
+        vals = tuple(spec.get(key) or ())
+        if len(vals) < n_m:
+            vals = vals + tuple(default(i) for i in range(len(vals), n_m))
+        return vals
+    modex = pad("modex", lambda i: i + 1)
+    modez = pad("modez", lambda i: 0)
+    phasex = pad("phasex", lambda i: 0.0)
+    phasez = pad("phasez", lambda i: 0.0)
+    x = sim.grid.x.nodes[:, None]
+    zc = sim.grid.z.nodes[None, :]
+    wx1 = 2.0 * np.pi / sim.grid.x.scale
+    wz1 = 2.0 * np.pi / sim.grid.z.scale if nz > 1 else 0.0
+    fshape, dfshape = _flow_shape(sim)
+    pv = np.zeros((nx, nz))
+    pu = np.zeros((nx, nz))
+    pw = np.zeros((nx, nz))
+    for A, mx, mz, px_, pz_ in zip(amps, modex, modez, phasex, phasez):
+        wx = mx * wx1
+        wz = mz * wz1
+        if mx == 0 and mz == 0:
+            break
+        elif mz == 0:
+            fx, fz = 1.0 / wx, 0.0
+        elif mx == 0:
+            fx, fz = 0.0, 1.0 / wz
+        else:
+            fx, fz = 0.5 / wx, 0.5 / wz
+        cx = np.cos(wx * x + px_)
+        sx = np.sin(wx * x + px_)
+        cz = np.cos(wz * zc + pz_)
+        sz = np.sin(wz * zc + pz_)
+        pv += A * cx * cz
+        pu += A * sx * cz * fx
+        pw += A * cx * sz * fz
+    u = jnp.asarray(pu[:, None, :] * dfshape[None, :, None], sim.dtype)
+    v = jnp.asarray(pv[:, None, :] * fshape[None, :, None], sim.dtype)
+    w = jnp.asarray(pw[:, None, :] * dfshape[None, :, None], sim.dtype)
+    return u, v, w
+
+
 def initial_state(sim: Simulation, seed: int = 7) -> State:
     """Full IC: mean profiles + perturbations per [IniFields]."""
     rng = np.random.default_rng(seed)
@@ -136,6 +187,8 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
 
     if sim.case.ini_velocity in ("vorticitybroadband", "velocitybroadband"):
         u, v, w = velocity_broadband_vorticity(sim, rng)
+    elif sim.case.ini_velocity == "velocitydiscrete":
+        u, v, w = velocity_discrete(sim)
     else:
         z = jnp.zeros((nx, ny, nz), sim.dtype)
         u, v, w = z, z, z
