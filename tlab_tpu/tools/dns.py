@@ -176,6 +176,7 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     else:
         filter_fn = None
 
+    write_tlab_log(sim, outdir)
     log = RunLog(path=log_path)
     if opr_check:
         # startup operator self-test + micro-benchmark (reference OPR_CHECK)
@@ -280,3 +281,37 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                               itime, state, rtime, visc)
     return DnsRun(sim=sim, state=state, itime=itime, rtime=rtime, log=log,
                   pstate=pstate)
+
+
+def write_tlab_log(sim: Simulation, outdir: str, extra: str = "") -> None:
+    """Run-provenance narrative log (reference tlab.log written by
+    TLab_Write_ASCII during initialization: banner, option echo, sizes)."""
+    import datetime
+    import jax as _jax
+    case = sim.case
+    nx, ny, nz = sim.grid.shape
+    lines = [
+        "########################################",
+        "# tlab_tpu DNS",
+        f"# started {datetime.datetime.now().isoformat(timespec='seconds')}",
+        "########################################",
+        f"Devices          : {[str(d) for d in _jax.devices()]}",
+        f"Precision        : {np.dtype(sim.dtype).name}",
+        f"Grid             : {nx} x {ny} x {nz}",
+        f"Scales           : {sim.grid.x.scale:g} x {sim.grid.y.nodes[-1] - sim.grid.y.nodes[0]:g} x {sim.grid.z.scale:g}",
+        f"Periodicity      : x={sim.grid.x.periodic} y={sim.grid.y.periodic} z={sim.grid.z.periodic}",
+        f"Type             : {case.flow_type}",
+        f"Equations        : {case.equations}",
+        f"SpaceOrder       : {case.space_order1} / {case.space_order2}",
+        f"TimeOrder        : {case.time_order}",
+        f"Reynolds         : {case.reynolds:g}  (visc={sim.nsp.visc:g})",
+        f"Schmidt          : {tuple(case.schmidt)}",
+        f"VelocityBCs      : jmin={case.velocity_bc[0]} jmax={case.velocity_bc[1]}",
+        f"Buffer           : {getattr(getattr(case, 'buffer', None), 'type', 'none')}",
+        f"Stagger          : {getattr(case, 'stagger', False)}",
+        f"EllipticOrder    : {case.elliptic_order or 'factorize (default)'}",
+    ]
+    if extra:
+        lines.append(extra)
+    with open(os.path.join(outdir, "tlab.log"), "a") as fh:
+        fh.write("\n".join(lines) + "\n")
