@@ -131,3 +131,23 @@ def test_helmholtz_filter_smooths():
     m = jnp.asarray(np.sin(k0 * X) * np.ones((nx, ny, nz)))
     mf = filt(m)
     assert float(jnp.max(jnp.abs(mf - m))) < 0.05
+
+
+def test_spectral_filters():
+    """Circulant spectral filters: band keeps exactly the in-band modes;
+    erf rolls off around the cutoff (reference spectral band/erf)."""
+    from tlab_tpu.fdm.filters import spectral_matrix
+    n = 64
+    x = np.arange(n) * 2 * np.pi / n
+    # band-pass in grid units: modes 3..6 (k = m*2pi/n)
+    lo, hi = 2.5 * 2 * np.pi / n, 6.5 * 2 * np.pi / n
+    M = spectral_matrix(n, "band", (lo, hi))
+    f = np.cos(2 * x) + np.sin(4 * x) + np.cos(10 * x)
+    g = M @ f
+    gh = np.abs(np.fft.rfft(g)) / n * 2
+    assert gh[4] > 0.99 and gh[2] < 1e-12 and gh[10] < 1e-12
+
+    Me = spectral_matrix(n, "erf", (8 * 2 * np.pi / n, 2 * 2 * np.pi / n))
+    ge = np.abs(np.fft.rfft(Me @ f)) / n * 2
+    assert ge[2] > 0.99          # well below cutoff: untouched
+    assert ge[10] < 0.35         # above cutoff: strongly damped

@@ -146,7 +146,21 @@ def spectral_matrix_gain(mwn1_grid_units: np.ndarray, kind: str, params):
         lo, hi = params[0], params[1]
         return ((k >= lo) & (k <= hi)).astype(float)
     if kind == "erf":
-        from scipy.special import erf
+        import math
+        erf = np.vectorize(math.erf)
         kc, delta = params[0], params[1]
         return 0.5 * (1.0 - erf((k - kc) / max(delta, 1e-30)))
     raise ValueError(kind)
+
+
+def spectral_matrix(n: int, kind: str, params) -> np.ndarray:
+    """Dense circulant filter matrix realizing a spectral gain G(k) on a
+    periodic axis (reference opr_filter.f90 spectral band/erf applied in
+    Fourier space; here one MXU matmul: M = F^-1 diag(G) F, real)."""
+    k = np.arange(n // 2 + 1) * (2.0 * np.pi / n)   # grid-units wavenumber
+    gain = spectral_matrix_gain(k, kind, params)
+    row = np.fft.irfft(gain, n)
+    M = np.empty((n, n))
+    for i in range(n):
+        M[i] = np.roll(row, i)
+    return M

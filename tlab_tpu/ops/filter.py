@@ -55,6 +55,13 @@ def build_filter_matrices(fdm: FdmPlan, spec: FilterSpec, dtype=jnp.float64):
                                   plan.periodic)
         elif spec.type == "adm":
             M = adm_matrix(plan.nodes, plan.periodic)
+        elif spec.type in ("spectralband", "spectralerf"):
+            if not plan.periodic:
+                out[name] = None          # spectral filters: periodic only
+                continue
+            M = flt.spectral_matrix(plan.size,
+                                    "band" if spec.type.endswith("band")
+                                    else "erf", spec.parameters)
         else:
             raise NotImplementedError(f"filter type {spec.type}")
         out[name] = jnp.asarray(M, dtype)
