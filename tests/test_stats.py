@@ -206,3 +206,29 @@ def test_conditional_averages_tool(tmp_path):
     # gated mean of u must be positive everywhere; ungated mean ~ 0
     assert np.all(cond["cU"] > 0.2)
     assert np.all((gam["gamma"] > 0.3) & (gam["gamma"] < 0.7))
+
+
+def test_visuals_extended(tmp_path):
+    """Extended visuals quantities write finite single-precision fields."""
+    import os
+    from tlab_tpu.tools import postprocess as pp
+    from tlab_tpu.io import fields_io
+
+    sim = Simulation.from_case(load_case(Ini(text=MINI_CASE)))
+    nx, ny, nz = sim.grid.shape
+    rng = np.random.default_rng(5)
+    st = State(u=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+               v=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+               w=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+               s=jnp.asarray(rng.standard_normal((1, nx, ny, nz))))
+    fields_io.write_state(os.path.join(tmp_path, "flow"),
+                          os.path.join(tmp_path, "scal"), 3, st, 0.0, 1e-3)
+    pp.run_visuals(sim, str(tmp_path), [3],
+                   which=("VelocityMagnitude", "Pressure",
+                          "HorizontalDivergence", "LogEnstrophy",
+                          "ScalarGradientVector"))
+    for tag in ("VelocityMagnitude", "Pressure", "HorizontalDivergence",
+                "LogEnstrophy", "Gx", "Gy", "Gz"):
+        a, _, _ = fields_io.read_field(os.path.join(tmp_path, f"vis3.{tag}"),
+                                       dtype="<f4")
+        assert np.isfinite(a).all(), tag

@@ -130,7 +130,9 @@ def run_pdfs(sim: Simulation, outdir: str, iterations, nbins=64) -> None:
 
 _VISUAL_FIELDS = ("VelocityX", "VelocityY", "VelocityZ", "Scalar1",
                   "Vorticity", "Enstrophy", "Strain", "InvariantQ",
-                  "InvariantR", "Dilatation", "Dissipation", "ScalarGradient")
+                  "InvariantR", "Dilatation", "Dissipation", "ScalarGradient",
+                  "VelocityMagnitude", "Pressure", "HorizontalDivergence",
+                  "Buoyancy", "LogEnstrophy", "ScalarGradientVector")
 
 
 def run_visuals(sim: Simulation, outdir: str, iterations,
@@ -156,6 +158,32 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                 fld = mappings.dissipation(P, st.u, st.v, st.w, sim.nsp.visc)
             elif name == "ScalarGradient":
                 fld = mappings.gradient_magnitude2(P, st.s[0])
+            elif name == "VelocityMagnitude":
+                fld = st.u ** 2 + st.v ** 2 + st.w ** 2
+            elif name == "Pressure":
+                from tlab_tpu.dycore.pressure import pressure_boussinesq
+                fld = pressure_boussinesq(P, st)
+            elif name == "HorizontalDivergence":
+                fld = dyn._d1(P, "x", 0, st.u) + dyn._d1(P, "z", 2, st.w)
+            elif name == "Buoyancy":
+                from tlab_tpu.physics.gravity import buoyancy_field
+                props = getattr(sim.case, "buoyancy", None)
+                if props is None:
+                    raise ValueError("Buoyancy visual needs [BodyForce]")
+                ref = jnp.zeros(sim.grid.y.nodes.shape[0])
+                fld = buoyancy_field(props, st.s, ref)
+            elif name == "LogEnstrophy":
+                fld = jnp.log10(jnp.maximum(
+                    mappings.vorticity_magnitude2(P, st.u, st.v, st.w),
+                    1e-30))
+            elif name == "ScalarGradientVector":
+                for tag, ax, ai in (("x", "x", 0), ("y", "y", 1),
+                                    ("z", "z", 2)):
+                    fields_io.write_field(
+                        os.path.join(outdir, f"vis{it}.G{tag}"),
+                        np.asarray(dyn._d1(P, ax, ai, st.s[0])), it,
+                        (rtime,), dtype="<f4")
+                continue
             elif name == "Vorticity":
                 ox, oy, oz = mappings.curl(P, st.u, st.v, st.w)
                 for tag, comp in (("x", ox), ("y", oy), ("z", oz)):
