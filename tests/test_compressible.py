@@ -135,3 +135,46 @@ def test_nscbc_outflow_nonreflecting():
     residual = np.max(np.abs(rho_dev)) / amp
     assert np.isfinite(residual)
     assert residual < 0.2, residual     # < 20% reflection (wall: ~100%)
+
+
+def test_nscbc_outflow_x_direction():
+    """x-direction NSCBC (reference boundary_bcs_compressible.f90 x-variant):
+    a pulse traveling toward the xmax open boundary leaves with small
+    reflection. Non-periodic x, periodic y."""
+    from tlab_tpu.grid import make_axis, Grid
+    from tlab_tpu.dycore.nscbc import NSCBCSpec
+    nx, ny, nz = 256, 8, 1
+    gx = make_axis(np.linspace(0, 1, nx), periodic=False)
+    gy = make_axis(np.arange(ny) * (1.0 / ny), periodic=True)
+    gz = make_axis(np.zeros(1), False)
+    grid = Grid(gx, gy, gz)
+    fdm = build_fdm_plan(grid)
+    nsp = NSParams(reynolds=1e9, schmidt=())
+    bcs = dyn.WallBCs.from_velocity_kind("freeslip", "freeslip",
+                                         scalar_bcs=())
+    P = dyn.build_device_plans(fdm, nsp, bcs, dtype=jnp.float64,
+                               with_elliptic=False)
+    P["y_periodic"] = True
+    X = grid.x.nodes[:, None, None] * np.ones((nx, ny, nz))
+    amp = 1e-4
+    c = 1.0 / MACH
+    g = np.exp(-(((X - 0.5) / 0.05) ** 2))
+    rho = 1.0 + amp * g
+    u = c * amp * g                       # right-moving toward xmax
+    T = 1.0 + (GAMMA - 1.0) * amp * g
+    U = comp.from_primitive(jnp.asarray(rho), jnp.asarray(u),
+                            jnp.zeros((nx, ny, nz)),
+                            jnp.zeros((nx, ny, nz)),
+                            jnp.asarray(T), GAMMA, MACH)
+    spec = NSCBCSpec(ymin="wall", ymax="wall", xmin="outflow",
+                     xmax="outflow", p_inf=1.0 / (GAMMA * MACH ** 2))
+    dt = 2e-4
+    n = int(0.45 / (c * dt))
+    step = jax.jit(lambda U: comp.rk_step_compressible(
+        P, U, dt, GAMMA, MACH, 0.0, 1.0, nscbc=spec, ly=1.0, lx=1.0))
+    for _ in range(n + 400):
+        U = step(U)
+    rho_dev = np.asarray(U.rho) - 1.0
+    residual = np.max(np.abs(rho_dev)) / amp
+    assert np.isfinite(residual)
+    assert residual < 0.2, residual

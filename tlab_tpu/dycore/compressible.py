@@ -127,7 +127,7 @@ def _apply_wall_bcs(P, h: CompState):
 
 def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
                          visc: float, prandtl: float, nscbc=None,
-                         ly: float = 1.0, gas=None):
+                         ly: float = 1.0, gas=None, lx: float = 1.0):
     kdt = P["rk"]["kdt"]
     kco = P["rk"]["kco"]
     h = CompState(*(jnp.zeros_like(x) for x in U))
@@ -137,7 +137,7 @@ def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
         h = CompState(*(a + b for a, b in zip(h, dh)))
         if nscbc is not None:
             from tlab_tpu.dycore.nscbc import apply_nscbc
-            h = apply_nscbc(P, U, h, gamma, mach, nscbc, ly)
+            h = apply_nscbc(P, U, h, gamma, mach, nscbc, ly, lx=lx)
         else:
             h = _apply_wall_bcs(P, h)
         U = CompState(*(q + dte * hq for q, hq in zip(U, h)))
