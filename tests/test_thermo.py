@@ -73,3 +73,26 @@ def test_buoyancy_sign():
                         jnp.full((2, ny, 2), 0.005)])
     b = thermo.buoyancy_explicit(TP, s_warm, bg)
     assert float(jnp.min(b)) > 0.0
+
+
+def test_vapor_table_and_reversal():
+    """smooth.x/reversal.x equivalents: the vapor table partitions qt into
+    ql + qv consistently with qsat, and a cloudy/clear mixing line shows
+    buoyancy reversal (negatively buoyant intermediate mixtures)."""
+    from tlab_tpu.tools import cloudstate
+    tp = TP
+    p = 1.0
+    # cloudy parcel (1): cold, moist; environment (2): warm, dry
+    h1, qt1 = 0.95, 0.02
+    h2, qt2 = 1.01, 0.004
+    tab = cloudstate.vapor_table(tp, p, h1, np.linspace(0.0, 0.03, 31))
+    assert np.all(tab["ql"] >= -1e-14)
+    assert np.allclose(tab["qt"], tab["ql"] + tab["qv"], atol=1e-12)
+    # where unsaturated, ql = 0 and qv = qt < qs
+    unsat = tab["qv"] < 0.98 * tab["qs"]
+    assert np.all(tab["ql"][unsat] < 1e-10)
+
+    d = cloudstate.buoyancy_reversal(tp, h1, qt1, h2, qt2, p)
+    assert 0.0 <= d["chi_star"] <= 1.0
+    assert d["b_star"] <= d["b"][-1] + 1e-12
+    assert np.isfinite(d["chi_s"])

@@ -39,3 +39,40 @@ def saturation_curve(tp: thermo.ThermoParams, T_range, p: float):
     """qsat(T) at fixed pressure."""
     T = jnp.asarray(T_range)
     return np.asarray(tp.qsat(T, jnp.asarray(p)))
+
+
+def vapor_table(tp: thermo.ThermoParams, p: float, h: float, qt_range,
+                path: str = None):
+    """Sweep qt at fixed (p, h) and tabulate the equilibrium partition
+    (reference smooth.x p-h case, src/tools/cloud/smooth.f90:86-95:
+    vapor.dat columns qt, ql, qv, qs(T), T)."""
+    qt = np.asarray(qt_range, float)
+    n = qt.shape[0]
+    pj = jnp.full(n, p)
+    ep = jnp.zeros(n)
+    T, ql = thermo.equilibrium_T_ql(tp, jnp.full(n, h), jnp.asarray(qt),
+                                    pj, ep)
+    qs = np.asarray(tp.qsat(jnp.asarray(T), jnp.asarray(p)))
+    out = {"qt": qt, "ql": np.asarray(ql), "qv": qt - np.asarray(ql),
+           "qs": qs, "T": np.asarray(T)}
+    if path is not None:
+        cols = np.column_stack([out[k] for k in ("qt", "ql", "qv", "qs",
+                                                 "T")])
+        np.savetxt(path, cols, header="qt ql qv qs T")
+    return out
+
+
+def buoyancy_reversal(tp: thermo.ThermoParams, h1, qt1, h2, qt2, p: float,
+                      n: int = 201):
+    """Buoyancy-reversal diagnostics of the mixing line (reference
+    reversal.x): returns the mixing diagram plus the minimum-buoyancy
+    mixture (chi_star, b_star) and the saturation crossing chi_s where
+    ql -> 0 (cloud-top evaporative cooling instability criterion)."""
+    d = mixing_diagram(tp, h1, qt1, h2, qt2, p, n=n)
+    i_min = int(np.argmin(d["b"]))
+    sat = d["ql"] > 1e-12
+    # last saturated index along the line from the cloudy end (chi = 0)
+    chi_s = d["chi"][np.max(np.where(sat)[0])] if sat.any() else 0.0
+    d.update({"chi_star": float(d["chi"][i_min]),
+              "b_star": float(d["b"][i_min]), "chi_s": float(chi_s)})
+    return d
