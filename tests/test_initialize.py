@@ -87,3 +87,23 @@ PhaseX=0.0,0.5
     assert np.max(np.abs(div)) < 5e-2 * np.max(np.abs(gy))
     st = initial_state(sim, seed=0)
     assert np.isfinite(np.asarray(st.u)).all()
+
+
+def test_potential_broadband_solenoidal():
+    """u = curl(A) is divergence-free to operator accuracy without any
+    projection (reference PERT_BROADBAND_POTENTIAL)."""
+    ini_txt = BROADBAND_CASE.replace("Velocity=VelocityBroadband",
+                                     "Velocity=PotentialBroadband")
+    sim = Simulation.from_case(load_case(Ini(text=ini_txt)))
+    from tlab_tpu.tools.initialize import velocity_potential_broadband
+    from tlab_tpu.dycore import incompressible as dyn
+    rng = np.random.default_rng(2)
+    u, v, w = velocity_potential_broadband(sim, rng)
+    div = np.asarray(dyn.divergence(sim.P, u, v, w))
+    grad = max(np.max(np.abs(np.asarray(dyn._d1(sim.P, a, i, f))))
+               for a, i, f in (("x", 0, u), ("y", 1, v), ("z", 2, w)))
+    assert np.max(np.abs(div)) < 2e-2 * grad
+    # normalized TKE matches NormalizeK at the peak
+    tke = 0.5 * (np.asarray(u)**2 + np.asarray(v)**2
+                 + np.asarray(w)**2).mean(axis=(0, 2))
+    assert abs(tke.max() - 0.001) / 0.001 < 0.05

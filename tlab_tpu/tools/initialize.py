@@ -128,6 +128,34 @@ def velocity_broadband_vorticity(sim: Simulation, rng: np.random.Generator):
     return uj, vj, wj
 
 
+def velocity_potential_broadband(sim: Simulation,
+                                 rng: np.random.Generator):
+    """Velocity from a random vector potential: u = curl(A) with A the
+    PSD-shaped random fields times the IniK envelope (reference
+    PERT_BROADBAND_POTENTIAL, flow_local.f90:279-300) -- solenoidal by
+    construction."""
+    nx, ny, nz = sim.grid.shape
+    ax = random_field(sim, rng)
+    ay = random_field(sim, rng)
+    az = random_field(sim, rng) if nz > 1 else np.zeros((nx, ny, nz))
+    for a in (ax, ay, az):
+        a -= a.mean(axis=(0, 2), keepdims=True)
+    fshape, dfshape = _flow_shape(sim)
+    axj = jnp.asarray(ax) * jnp.asarray(fshape)[None, :, None]
+    ayj = jnp.asarray(ay) * jnp.asarray(dfshape)[None, :, None]
+    azj = jnp.asarray(az) * jnp.asarray(fshape)[None, :, None]
+    uj, vj, wj = sim.curl(axj, ayj, azj)
+    if nz == 1:
+        wj = jnp.zeros_like(uj)
+    if sim.case.normalize_k >= 0.0:
+        tke_prof = 0.5 * (jnp.mean(uj ** 2, axis=(0, 2))
+                          + jnp.mean(vj ** 2, axis=(0, 2))
+                          + jnp.mean(wj ** 2, axis=(0, 2)))
+        amp = jnp.sqrt(sim.case.normalize_k / jnp.max(tke_prof))
+        uj, vj, wj = uj * amp, vj * amp, wj * amp
+    return uj, vj, wj
+
+
 def velocity_discrete(sim: Simulation):
     """Discrete-mode velocity perturbation (reference VELOCITY_DISCRETE,
     flow_local.f90:177-238): wall-normal v = sum_m A_m cos(wx x+px)
@@ -189,6 +217,8 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
         u, v, w = velocity_broadband_vorticity(sim, rng)
     elif sim.case.ini_velocity == "velocitydiscrete":
         u, v, w = velocity_discrete(sim)
+    elif sim.case.ini_velocity == "potentialbroadband":
+        u, v, w = velocity_potential_broadband(sim, rng)
     else:
         z = jnp.zeros((nx, ny, nz), sim.dtype)
         u, v, w = z, z, z
