@@ -413,3 +413,84 @@ def test_spatial_jet_filter_sponge(tmp_path):
     amp = np.asarray(sim.filter_sponge[0]).ravel()
     assert amp[nx // 2] == 0.0
     assert amp[-1] > 0.9
+
+
+def test_interactive_surface_bc():
+    """Linear (interactive) surface BC: the wall scalar value picks up the
+    local flux anomaly (reference BOUNDARY_BCS_SURFACE_Y SfcType=linear),
+    while the plane-mean wall value is unchanged (only the anomaly
+    couples). A static wall stays exactly pinned."""
+    ini_txt = TAYLOR_GREEN_INI if False else """
+[Main]
+Type=temporal
+Equations=incompressible
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit3
+TimeCFL=0.8
+[Control]
+ScalLimit=no
+[Parameters]
+Reynolds=100
+Schmidt=1.0
+[Flow]
+ProfileVelocityX=none
+[Scalar]
+ProfileScalar1=Linear
+ThickScalar1=1.0
+DeltaScalar1=1.0
+[BoundaryConditions]
+VelocityJmin=noslip
+VelocityJmax=noslip
+Scalar1Jmin=dirichlet
+Scalar1Jmax=dirichlet
+Scalar1SfcTypeJmin=linear
+Scalar1CouplingJmin=0.5
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=32
+scales_1=2.0
+[IniGridOy]
+periodic=no
+segments=1
+points_1=33
+scales_1=1.0
+opts_1=uniform
+[IniGridOz]
+periodic=yes
+segments=1
+points_1=8
+scales_1=1.0
+"""
+    sim = Simulation.from_case(load_case(Ini(text=ini_txt)),
+                               dtype=jnp.float64)
+    assert "surface_bc" in sim.P
+    nx, ny, nz = sim.grid.shape
+    y = sim.grid.y.nodes
+    x = sim.grid.x.nodes[:, None, None]
+    # scalar with an x-varying near-wall gradient -> flux anomaly at jmin
+    s0 = (y[None, :, None] * (1.0 + 0.3 * np.cos(2 * np.pi * x / 2.0))
+          * np.ones((1, 1, nz)))
+    state = State(u=jnp.zeros((nx, ny, nz)), v=jnp.zeros((nx, ny, nz)),
+                  w=jnp.zeros((nx, ny, nz)),
+                  s=jnp.asarray(s0)[None])
+    wall0 = np.asarray(state.s[0, :, 0, :]).copy()
+    new_state, _ = dyn.rk_step(sim.P, state, 1e-3)
+    wall1 = np.asarray(new_state.s[0, :, 0, :])
+    dw = wall1 - wall0
+    # anomaly-coupled: plane mean unchanged, but x-variation imprinted
+    assert abs(dw.mean()) < 1e-12
+    assert np.max(np.abs(dw)) > 1e-4
+    # sign: where the gradient (flux) is larger than average, wall warms
+    flux = np.asarray(s0[:, 1, :] - s0[:, 0, :])
+    corr = np.corrcoef(dw.ravel(), (flux - flux.mean()).ravel())[0, 1]
+    assert corr > 0.99
+
+    # static surface stays pinned
+    ini2 = ini_txt.replace("Scalar1SfcTypeJmin=linear\n", "") \
+                  .replace("Scalar1CouplingJmin=0.5\n", "")
+    sim2 = Simulation.from_case(load_case(Ini(text=ini2)),
+                                dtype=jnp.float64)
+    assert "surface_bc" not in sim2.P
+    ns2, _ = dyn.rk_step(sim2.P, state, 1e-3)
+    assert np.max(np.abs(np.asarray(ns2.s[0, :, 0, :]) - wall0)) < 1e-14

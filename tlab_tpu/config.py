@@ -140,6 +140,7 @@ class CaseSetup:
     ini: Ini
     stagger: bool = False          # [Staggering] StaggerHorizontalPressure
     discrete: dict = None          # [Discrete] mode perturbation spec
+    surface_bc: tuple = ()         # per-scalar interactive surface BC spec
 
 
 def _read_profile(ini: Ini, section: str, tag: str, yscale: float) -> Profile:
@@ -194,6 +195,17 @@ def load_case(path_or_ini) -> CaseSetup:
     scalar_bc = tuple(
         (ini.get("BoundaryConditions", f"Scalar{i+1}Jmin", "none").lower(),
          ini.get("BoundaryConditions", f"Scalar{i+1}Jmax", "none").lower())
+        for i in range(n_scal))
+    # interactive (linear) surface BCs (reference dns_read_local.f90:216-219)
+    surface_bc = tuple(
+        {"jmin": ini.get("BoundaryConditions", f"Scalar{i+1}SfcTypeJmin",
+                         "static").lower(),
+         "jmax": ini.get("BoundaryConditions", f"Scalar{i+1}SfcTypeJmax",
+                         "static").lower(),
+         "cpl_jmin": ini.get_float("BoundaryConditions",
+                                   f"Scalar{i+1}CouplingJmin", 0.0),
+         "cpl_jmax": ini.get_float("BoundaryConditions",
+                                   f"Scalar{i+1}CouplingJmax", 0.0)}
         for i in range(n_scal))
 
     from tlab_tpu.physics.gravity import BuoyancyProps
@@ -327,6 +339,7 @@ def load_case(path_or_ini) -> CaseSetup:
         velocity_bc=(ini.get("BoundaryConditions", "VelocityJmin", "freeslip").lower(),
                      ini.get("BoundaryConditions", "VelocityJmax", "freeslip").lower()),
         scalar_bc=scalar_bc,
+        surface_bc=surface_bc,
         ini_velocity=ini.get("IniFields", "Velocity", "None").lower(),
         ini_scalar=ini.get("IniFields", "Scalar", "None").lower(),
         force_dilatation=ini.get_bool("IniFields", "ForceDilatation", True),

@@ -415,6 +415,32 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
     return (h1, h2, h3), hs, p
 
 
+def surface_bc_update(P, s):
+    """Interactive (linear) surface BC: the scalar's wall value responds to
+    the local flux anomaly, ref += cpl (hfx - <hfx>)  (reference
+    BOUNDARY_BCS_SURFACE_Y, boundary_bcs.f90:478-545; SfcType=linear)."""
+    sbc = P.get("surface_bc")
+    if sbc is None or s.shape[0] == 0:
+        return s
+    d1y = P["d1y"]
+    dsdy_b = jnp.einsum("b,sibk->sik", d1y[0], s)
+    dsdy_t = jnp.einsum("b,sibk->sik", d1y[-1], s)
+    diff = jnp.asarray(P["diff"], s.dtype)[:, None, None]
+    cplb = sbc.get("cpl_jmin")
+    if cplb is not None:
+        hfx = diff * dsdy_b
+        anom = hfx - jnp.mean(hfx, axis=(1, 2), keepdims=True)
+        s = s.at[:, :, 0, :].add(
+            jnp.asarray(cplb, s.dtype)[:, None, None] * anom)
+    cplt = sbc.get("cpl_jmax")
+    if cplt is not None:
+        hfx = -diff * dsdy_t
+        anom = hfx - jnp.mean(hfx, axis=(1, 2), keepdims=True)
+        s = s.at[:, :, -1, :].add(
+            jnp.asarray(cplt, s.dtype)[:, None, None] * anom)
+    return s
+
+
 def rk_step(P, state: State, dtime, aux=None):
     """One full low-storage RK step; returns (new_state, last pressure)."""
     kdt = P["rk"]["kdt"]
@@ -435,6 +461,8 @@ def rk_step(P, state: State, dtime, aux=None):
             lo = jnp.asarray(mins, s_new.dtype)[:, None, None, None]
             hi = jnp.asarray(maxs, s_new.dtype)[:, None, None, None]
             s_new = jnp.clip(s_new, lo, hi)
+        if s_new.shape[0]:
+            s_new = surface_bc_update(P, s_new)
         state = State(u=state.u + dte * hq[0],
                       v=state.v + dte * hq[1],
                       w=state.w + dte * hq[2],

@@ -248,6 +248,15 @@ class Simulation:
                                                   lam_x=lam_x, lam_z=lam_z)
             P["stag"] = sd
             P["ell_stag"] = elliptic.device_elliptic_plan(ell_st, dtype)
+        sfc = getattr(case, "surface_bc", ())
+        if any(d["jmin"] == "linear" or d["jmax"] == "linear" for d in sfc):
+            P["surface_bc"] = {
+                "cpl_jmin": tuple(
+                    d["cpl_jmin"] if d["jmin"] == "linear" else 0.0
+                    for d in sfc),
+                "cpl_jmax": tuple(
+                    d["cpl_jmax"] if d["jmax"] == "linear" else 0.0
+                    for d in sfc)}
         if anelastic is not None:
             P["anelastic"] = {"rho": anelastic["rho"],
                               "rho_inv": anelastic["rho_inv"]}
