@@ -313,5 +313,6 @@ def write_tlab_log(sim: Simulation, outdir: str, extra: str = "") -> None:
     ]
     if extra:
         lines.append(extra)
+    os.makedirs(outdir, exist_ok=True)
     with open(os.path.join(outdir, "tlab.log"), "a") as fh:
         fh.write("\n".join(lines) + "\n")
