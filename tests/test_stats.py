@@ -232,3 +232,27 @@ def test_visuals_extended(tmp_path):
         a, _, _ = fields_io.read_field(os.path.join(tmp_path, f"vis3.{tag}"),
                                        dtype="<f4")
         assert np.isfinite(a).all(), tag
+
+
+def test_phase_average():
+    """Phase-locked averaging: a field oscillating with period 4 steps is
+    recovered per phase slot with the cycle-mean removed correctly."""
+    from tlab_tpu.stats.phaseavg import PhaseAverage
+    nx, ny, nz = 6, 5, 8
+    pa = PhaseAverage.create(stride=1, restart=4, nx=nx, ny=ny,
+                             n_scalars=0, with_pressure=False)
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((4, nx, ny))       # per-phase signal
+    for it in range(1, 25):
+        ph = it % 4
+        u = base[ph][:, :, None] + 0.01 * rng.standard_normal((nx, ny, nz))
+        fields = {"u": jnp.asarray(np.broadcast_to(u, (nx, ny, nz)).copy()),
+                  "v": jnp.zeros((nx, ny, nz)),
+                  "w": jnp.zeros((nx, ny, nz))}
+        pa.accumulate(it, fields)
+    for slot in range(4):
+        got = pa.mean("u", slot)
+        ph = slot % 4
+        assert np.max(np.abs(got - base[ph])) < 0.02, slot
+    # stress of a zero field is ~0
+    assert np.max(np.abs(pa.stress("v", "w", 0))) < 1e-12

@@ -200,6 +200,14 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         from tlab_tpu.io.planes import TowerAccumulator
         st = towers_cfg["stride"]
         tower_acc = TowerAccumulator(stride=(st[0], st[-1]))
+    ph_stride = case.ini.get_int("Iteration", "PhaseAvg", 0) \
+        if getattr(case, "ini", None) else 0
+    phavg = None
+    if ph_stride > 0:
+        from tlab_tpu.stats.phaseavg import PhaseAverage
+        nxp, nyp, _ = sim.grid.shape
+        phavg = PhaseAverage.create(ph_stride, max(case.it_restart, ph_stride),
+                                    nxp, nyp, n_scalars=sim.nsp.n_scalars)
     spatial_stats = None
     if case.flow_type == "spatial":
         from tlab_tpu.stats.spatial import SpatialStats, state_fields
@@ -265,6 +273,16 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             if checkpoint and case.it_restart > 0 \
                     and itime % case.it_restart == 0:
                 tower_acc.flush(outdir)
+        if phavg is not None and phavg.wants(itime):
+            from tlab_tpu.dycore.pressure import pressure_boussinesq
+            pfields = {"u": state.u, "v": state.v, "w": state.w,
+                       "p": pressure_boussinesq(sim.P, state)}
+            for i in range(sim.nsp.n_scalars):
+                pfields[f"s{i + 1}"] = state.s[i]
+            phavg.accumulate(itime, pfields)
+            if checkpoint and case.it_restart > 0 \
+                    and itime % case.it_restart == 0:
+                phavg.save(os.path.join(outdir, f"phavg{itime}.npz"), itime)
         if spatial_stats is not None:
             from tlab_tpu.stats.spatial import state_fields
             spatial_stats.accumulate(state_fields(state))
