@@ -90,3 +90,39 @@ def test_subsidence_source():
     src = forcing.subsidence_source(props, P, grid.y.nodes, a)
     expect = 0.3 * Y * np.pi * np.cos(np.pi * Y)
     assert np.max(np.abs(np.asarray(src) - expect)) < 1e-5
+
+
+def test_gray_radiation_limits():
+    """Gray RTE with emission: (a) zero emission reduces to the
+    absorption-only grayliquid formula; (b) isothermal optically-thick
+    equilibrium has zero interior source (F_up = F_dn = b)."""
+    from tlab_tpu.physics import radiation as rad
+    ny = 129
+    y = np.linspace(0.0, 1.0, ny)
+    nx, nz = 4, 3
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nz))) + 0.5)
+
+    # (a) no emission -> S = a F_top exp(-tau_top) (downward only)
+    props = rad.RadiationProps(type="gray", kappa=1.0, flux_top=2.0,
+                               flux_bottom=0.0)
+    src = rad.infrared_gray_source(props, y, a, jnp.zeros_like(a),
+                                   emissivity=1.0)
+    Jt, Jb = rad.cumulative_matrices(y)
+    tau_top = np.einsum("ab,ibk->iak", Jt, np.asarray(a))
+    ref = np.asarray(a) * 2.0 * np.exp(-tau_top)
+    # both use trapezoid integrals -> should agree to discretization error
+    rel = np.max(np.abs(src - ref)) / np.max(np.abs(ref))
+    assert rel < 5e-3, rel
+
+    # (b) isothermal equilibrium: b = const = flux_top, black surface
+    b0 = 1.7
+    b = jnp.full((nx, ny, nz), b0)
+    props = rad.RadiationProps(type="gray", flux_top=b0)
+    src, fdn, fup = rad.infrared_gray_source(props, y, a, b,
+                                             emissivity=1.0,
+                                             return_fluxes=True)
+    # equilibrium to trapezoid discretization accuracy O((a dy)^2)
+    assert np.max(np.abs(np.asarray(fdn) - b0)) < 1e-3
+    assert np.max(np.abs(np.asarray(fup) - b0)) < 1e-3
+    assert np.max(np.abs(np.asarray(src))) < 5e-3

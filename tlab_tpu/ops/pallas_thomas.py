@@ -70,9 +70,11 @@ def thomas_solve(factors, rhs, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n, m), rhs.dtype),
         grid=(m // tile,),
         in_specs=[
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            # factors are read as dynamic scalars inside the recurrence ->
+            # SMEM (VMEM lane-dim dynamic indexing is not expressible)
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n, tile), lambda i: (0, i),

@@ -54,3 +54,60 @@ def infrared_source(props: RadiationProps, Jt, Jb, ql, rho_bar):
         tau_bot = jnp.einsum("ab,ibk->iak", Jb, a)
         src = src + a * props.flux_bottom * jnp.exp(-tau_bot)
     return src
+
+
+def infrared_gray_source(props: RadiationProps, y, a, b,
+                         emissivity: float = 1.0, return_fluxes=False):
+    """Gray two-stream RTE with emission (reference IR_RTE1_Incremental,
+    radiation.f90:448-541): absorption field a(x,y,z), emission function
+    b = sigma T^4 (already scaled); downward flux from F_top at ymax,
+    upward flux from the surface (emissivity-mixed reflection); source
+    S = a (F_up + F_down) - 2 a b.
+
+    The level-to-level recurrences F(j) = T(j) (F(j+1) + E(j)) are linear
+    scans along y (lax.scan over ny with (nx, nz)-vector carries).
+    """
+    import jax
+    yv = jnp.asarray(y, a.dtype)
+    dy = yv[1:] - yv[:-1]                            # (ny-1,)
+    ab = a * b                                       # absorption * emission
+    # optical depth from the bottom (trapezoid) and transmission factors
+    tau_inc = 0.5 * (a[:, 1:, :] + a[:, :-1, :]) * dy[None, :, None]
+    trans = jnp.exp(-tau_inc)                        # I_{j-1,j} (nx,ny-1,nz)
+
+    # downward flux: F(ny-1) = flux_top;
+    # F(j) = trans(j) (F(j+1) + 0.5 dy (ab(j)/trans(j) + ab(j+1)))
+    emis_dn = 0.5 * dy[None, :, None] * (ab[:, :-1, :] / trans
+                                         + ab[:, 1:, :])
+
+    def down(carry, inp):
+        tr, em = inp
+        fd = tr * (carry + em)
+        return fd, fd
+
+    f_top = jnp.full_like(a[:, 0, :], props.flux_top)
+    _, fd_scan = jax.lax.scan(
+        down, f_top,
+        (jnp.moveaxis(trans, 1, 0)[::-1], jnp.moveaxis(emis_dn, 1, 0)[::-1]))
+    flux_dn = jnp.concatenate(
+        [jnp.moveaxis(fd_scan[::-1], 0, 1), f_top[:, None, :]], axis=1)
+
+    # bottom boundary: upward flux = eps b_sfc + (1-eps) reflected
+    f_bot = emissivity * b[:, 0, :] + (1.0 - emissivity) * flux_dn[:, 0, :]
+    emis_up = 0.5 * dy[None, :, None] * (ab[:, :-1, :]
+                                         + ab[:, 1:, :] / trans)
+
+    def up(carry, inp):
+        tr, em = inp
+        fu = tr * (carry + em)
+        return fu, fu
+
+    _, fu_scan = jax.lax.scan(
+        up, f_bot, (jnp.moveaxis(trans, 1, 0), jnp.moveaxis(emis_up, 1, 0)))
+    flux_up = jnp.concatenate(
+        [f_bot[:, None, :], jnp.moveaxis(fu_scan, 0, 1)], axis=1)
+
+    src = a * (flux_up + flux_dn) - 2.0 * ab
+    if return_fluxes:
+        return src, flux_dn, flux_up
+    return src
