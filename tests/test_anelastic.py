@@ -143,3 +143,28 @@ def test_warm_bubble_rises():
     ix = np.argmin(np.abs(sim.grid.x.nodes - 1.0))
     v_at_bubble = float(jnp.max(state.v[ix, :, 0]))
     assert v_at_bubble > 0.5 * vmax
+
+
+def test_gray_radiation_run():
+    """Anelastic run with the gray (emitting) radiation variant stays
+    finite and heats/cools the enthalpy scalar."""
+    txt = INI_TEXT + """
+[Infrared]
+Type=gray
+Scalar=1
+Kappa=5.0
+KappaVapor=0.1
+KappaGas=0.01
+Beta=0.1
+FluxTop=0.2
+"""
+    from tlab_tpu.tools.initialize import initial_state
+    sim = Simulation.from_case(load_case(Ini(text=txt)))
+    state = initial_state(sim, seed=3)
+    s0 = np.asarray(state.s[0]).copy()
+    st = state
+    for _ in range(3):
+        st, _ = dyn.rk_step(sim.P, st, 5e-4)
+    assert np.isfinite(np.asarray(st.s)).all()
+    ds = np.asarray(st.s[0]) - s0
+    assert np.max(np.abs(ds)) > 0.0

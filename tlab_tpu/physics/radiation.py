@@ -22,10 +22,14 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class RadiationProps:
-    type: str = "none"            # none | grayliquid
+    type: str = "none"            # none | grayliquid | gray
     scalar: int = 0               # index of the heated scalar (h)
     ql_scalar: int = -1           # index of liquid-water scalar; -1 => diagnostic
-    kappa: float = 1.0            # mass absorption coefficient (nondim)
+    kappa: float = 1.0            # liquid mass absorption coefficient (nondim)
+    kappa_v: float = 0.0          # vapor absorption (gray variant)
+    kappa_g: float = 0.0          # background-gas absorption (gray variant)
+    beta: float = 1.0             # emission scale (sigma T_ref^4 nondim)
+    emissivity: float = 1.0       # surface emissivity (gray variant)
     flux_top: float = 1.0         # downward flux at ymax
     flux_bottom: float = 0.0      # upward flux at ymin
 

@@ -70,6 +70,10 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                      ini.get("Radiation", "Type", "none")).lower(),
         scalar=ini.get_int("Infrared", "Scalar", 1) - 1,
         kappa=ini.get_float("Infrared", "Kappa", 1.0),
+        kappa_v=ini.get_float("Infrared", "KappaVapor", 0.0),
+        kappa_g=ini.get_float("Infrared", "KappaGas", 0.0),
+        beta=ini.get_float("Infrared", "Beta", 1.0),
+        emissivity=ini.get_float("Infrared", "Emissivity", 1.0),
         flux_top=ini.get_float("Infrared", "FluxTop", 1.0),
         flux_bottom=ini.get_float("Infrared", "FluxBottom", 0.0))
     mic = micmod.MicrophysicsProps(
@@ -136,7 +140,19 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                 ql = state.s[-1]
                 rho_b = jnp.ones_like(y_dev)
             if rad_on:
-                src = radmod.infrared_source(rad, Jt, Jb, ql, rho_b)
+                if rad.type == "gray" and anelastic is not None:
+                    # gray RTE with emission b = beta T^4 (nondim), vapor +
+                    # background-gas absorption (reference TYPE_IR_GRAY)
+                    qv = diag["qv"] if "qv" in diag else \
+                        state.s[-1] - ql
+                    T_f = diag["T"]
+                    a_f = (rad.kappa * ql + rad.kappa_v * qv) \
+                        * rho_b[None, :, None] + rad.kappa_g
+                    b_f = rad.beta * T_f ** 4
+                    src = radmod.infrared_gray_source(
+                        rad, y_dev, a_f, b_f, emissivity=rad.emissivity)
+                else:
+                    src = radmod.infrared_source(rad, Jt, Jb, ql, rho_b)
                 hs = hs.at[rad.scalar].add(src)
             if mic_on:
                 sed = micmod.sedimentation_source(mic, P, ql)
