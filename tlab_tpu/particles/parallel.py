@@ -123,3 +123,78 @@ def migrate(p: ShardedParticles, grid, axis_name: str, n_dev: int
     p = _exchange_dir(p, p.mask & (dist(p) == 1), axis_name, +1)
     p = _exchange_dir(p, p.mask & (dist(p) == n_dev - 1), axis_name, -1)
     return p
+
+
+# ---------------------------------------------------------------------------
+# Field -> particle interpolation on the mesh (reference
+# particle_interpolate.f90 Create_Halo_K/I_IK: one-sided halo layers so the
+# trilinear stencil of edge-cell particles can close; here the halo plane
+# rides one lax.ppermute per sharded direction)
+# ---------------------------------------------------------------------------
+
+def halo_exchange(f, axes=("x", "z")):
+    """Append the neighbor's first plane along each sharded axis:
+    (nxl, ny, nzl) -> (nxl+1, ny, nzl+1). Periodic ring."""
+    if "x" in axes:
+        n = lax.axis_size("x")
+        perm = [(i, (i - 1) % n) for i in range(n)]
+        halo = lax.ppermute(f[0:1], "x", perm)
+        f = jnp.concatenate([f, halo], axis=0)
+    if "z" in axes:
+        n = lax.axis_size("z")
+        perm = [(i, (i - 1) % n) for i in range(n)]
+        halo = lax.ppermute(f[:, :, 0:1], "z", perm)
+        f = jnp.concatenate([f, halo], axis=2)
+    return f
+
+
+def make_block_locator(grid, px: int, pz: int):
+    """Locator for a device's (x, z) block with +1 halo: positions ->
+    (i0, i1, fx, j0, j1, fy, k0, k1, fz) with indices LOCAL to the
+    halo-extended block. y handled as in the global locator."""
+    from tlab_tpu.particles.core import _locate_nonuniform
+    nx_l = grid.x.size // px
+    nz_l = grid.z.size // pz if grid.z.size > 1 else 1
+    dx = grid.x.scale / grid.x.size
+    dz = grid.z.scale / max(grid.z.size, 1)
+    x0_g = grid.x.nodes[0]
+    z0_g = grid.z.nodes[0] if grid.z.size > 1 else 0.0
+    y_nodes = jnp.asarray(grid.y.nodes)
+
+    def locate(pos):
+        ix_blk = lax.axis_index("x")
+        iz_blk = lax.axis_index("z") if pz > 1 else 0
+        xl = pos[:, 0] - (x0_g + ix_blk * nx_l * dx)
+        xi = jnp.clip(xl / dx, 0.0, nx_l - 1e-6)
+        i0 = jnp.floor(xi).astype(jnp.int32)
+        fx = xi - i0
+        j0, j1, fy = _locate_nonuniform(pos[:, 1], y_nodes)
+        if grid.z.size > 1:
+            zl = pos[:, 2] - (z0_g + iz_blk * nz_l * dz)
+            zi = jnp.clip(zl / dz, 0.0, nz_l - 1e-6)
+            k0 = jnp.floor(zi).astype(jnp.int32)
+            fz = zi - k0
+        else:
+            k0 = jnp.zeros_like(i0)
+            fz = jnp.zeros_like(fx)
+        return (i0, i0 + 1, fx, j0, j1, fy, k0, k0 + 1, fz)
+
+    return locate
+
+
+def interpolate_block(f_halo, loc):
+    """Trilinear gather on the halo-extended block (same weights layout as
+    particles.core.interpolate_to_particles)."""
+    i0, i1, fx, j0, j1, fy, k0, k1, fz = loc
+
+    def g(ii, jj, kk):
+        return f_halo[ii, jj, kk]
+
+    return ((1 - fx) * ((1 - fy) * ((1 - fz) * g(i0, j0, k0)
+                                    + fz * g(i0, j0, k1))
+                        + fy * ((1 - fz) * g(i0, j1, k0)
+                                + fz * g(i0, j1, k1)))
+            + fx * ((1 - fy) * ((1 - fz) * g(i1, j0, k0)
+                                + fz * g(i1, j0, k1))
+                    + fy * ((1 - fz) * g(i1, j1, k0)
+                            + fz * g(i1, j1, k1))))
