@@ -129,3 +129,23 @@ def test_dns_run_with_particles(tmp_path):
     assert np.isfinite(x).all()
     # particles moved
     assert np.max(np.abs(x - np.asarray(ps.x))) > 1e-6
+
+
+def test_particle_pdfs():
+    """Per-slab particle-property histograms: counts land in the right y
+    slab and value bin."""
+    from tlab_tpu.particles.io import particle_pdfs
+    import jax.numpy as jnp
+    from tlab_tpu.particles.core import ParticleState
+    n = 200
+    rng = np.random.default_rng(0)
+    x = np.column_stack([rng.uniform(0, 1, n), rng.uniform(0, 1, n),
+                         rng.uniform(0, 1, n)])
+    props = np.where(x[:, 1:2] < 0.5, 0.25, 0.75)   # property tied to slab
+    ps = ParticleState(x=jnp.asarray(x), v=jnp.zeros((n, 3)),
+                       props=jnp.asarray(props), tags=jnp.arange(n))
+    counts, edges = particle_pdfs(ps, 0, [0.0, 0.5, 1.0], 0.0, 1.0,
+                                  nbins=4)
+    assert counts.shape == (2, 4)
+    assert counts[0, 1] == counts[0].sum() > 0      # lower slab: all 0.25
+    assert counts[1, 3] == counts[1].sum() > 0      # upper slab: all 0.75

@@ -70,3 +70,28 @@ class TrajectoryAccumulator:
             v=np.stack([b[3] for b in self.buffer]),
             tags=self.tag_ids)
         self.buffer.clear()
+
+
+def particle_pdfs(pstate, prop_index, y_edges, vmin: float, vmax: float,
+                  nbins: int = 64):
+    """Per-y-slab histograms of one particle property (reference
+    src/particles/particle_pdf.f90): returns (n_slabs, nbins) counts and
+    the value bin edges."""
+    import numpy as np
+    y = np.asarray(pstate.x[:, 1])
+    if prop_index < 0:          # velocity magnitude convenience
+        vals = np.linalg.norm(np.asarray(pstate.v), axis=1)
+    else:
+        vals = np.asarray(pstate.props[:, prop_index])
+    n_slabs = len(y_edges) - 1
+    counts = np.zeros((n_slabs, nbins), np.int64)
+    edges = np.linspace(vmin, vmax, nbins + 1)
+    for j in range(n_slabs):
+        sel = (y >= y_edges[j]) & (y < y_edges[j + 1])
+        counts[j], _ = np.histogram(vals[sel], bins=edges)
+    return counts, edges
+
+
+def write_particle_pdfs(path: str, counts, edges, itime: int) -> None:
+    import numpy as np
+    np.savez(path, counts=counts, edges=edges, itime=itime)
