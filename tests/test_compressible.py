@@ -178,3 +178,41 @@ def test_nscbc_outflow_x_direction():
     residual = np.max(np.abs(rho_dev)) / amp
     assert np.isfinite(residual)
     assert residual < 0.2, residual
+
+
+def test_skewsymmetric_form():
+    """Skew-symmetric Euler advection (RHS_FLOW_EULER_SKEWSYMMETRIC):
+    tracks the divergence form for smooth flow and conserves mass/energy
+    in the inviscid fully periodic limit."""
+    grid, nsp, P = _setup(nx=32, ny=16, nz=1, reynolds=1e12,
+                          y_periodic=True)
+    nx, ny, nz = grid.shape
+    rng = np.random.default_rng(3)
+    x = grid.x.nodes[:, None, None]
+    y = grid.y.nodes[None, :, None]
+    amp = 1e-2
+    rho = 1.0 + amp * np.sin(x) * np.cos(2 * np.pi * y)
+    u = amp * np.cos(x) * np.ones((1, ny, nz))
+    v = amp * np.sin(2 * np.pi * y) * np.ones((nx, 1, nz))
+    T = 1.0 + amp * np.cos(x)
+    U0 = comp.from_primitive(jnp.asarray(rho), jnp.asarray(u * np.ones_like(rho)),
+                             jnp.asarray(v * np.ones_like(rho)),
+                             jnp.zeros((nx, ny, nz)), jnp.asarray(T),
+                             GAMMA, MACH)
+    dt = 1e-3
+    Ud = Us = U0
+    for _ in range(50):
+        Ud = comp.rk_step_compressible(P, Ud, dt, GAMMA, MACH, 0.0, 1.0)
+        Us = comp.rk_step_compressible(P, Us, dt, GAMMA, MACH, 0.0, 1.0,
+                                       form="skewsymmetric")
+    # both stay finite and close for smooth resolved flow
+    for f in Us:
+        assert np.isfinite(np.asarray(f)).all()
+    rel = np.max(np.abs(np.asarray(Us.rhou) - np.asarray(Ud.rhou))) / amp
+    assert rel < 5e-3, rel
+    # conservation: mass and total energy drift at round-off/flux-form level
+    for U1 in (Ud, Us):
+        dm = abs(float(jnp.mean(U1.rho)) - float(jnp.mean(U0.rho)))
+        dE = abs(float(jnp.mean(U1.rhoE)) - float(jnp.mean(U0.rhoE)))
+        assert dm < 1e-10
+        assert dE < 1e-8

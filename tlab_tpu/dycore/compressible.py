@@ -53,10 +53,20 @@ def _div(P, fx, fy, fz):
         + dyn._d1(P, "z", 2, fz)
 
 
-def rhs_compressible(P, U: CompState, gamma: float, mach: float,
-                     visc: float, prandtl: float, gas=None):
-    """Tendency of the conservative state (divergence form).
+def _grad(P, a):
+    return (dyn._d1(P, "x", 0, a), dyn._d1(P, "y", 1, a),
+            dyn._d1(P, "z", 2, a))
 
+
+def rhs_compressible(P, U: CompState, gamma: float, mach: float,
+                     visc: float, prandtl: float, gas=None,
+                     form: str = "divergence"):
+    """Tendency of the conservative state.
+
+    form: 'divergence' (reference RHS_FLOW_EULER_DIVERGENCE) or
+    'skewsymmetric' (RHS_FLOW_EULER_SKEWSYMMETRIC: the advective terms are
+    the average of divergence and convective forms, which conserves
+    discrete kinetic energy in the inviscid limit).
     gas: optional physics.eos.GasParams enabling a variable transport law
     mu(T) (reference THERMO_VISCOSITY powerlaw/sutherland); the stress and
     conduction coefficients then vary pointwise with temperature.
@@ -64,12 +74,28 @@ def rhs_compressible(P, U: CompState, gamma: float, mach: float,
     rho = U.rho
     u, v, w, T, p = primitive(P, U, gamma, mach)
 
-    # Euler fluxes, divergence form (reference RHS_FLOW_EULER_DIVERGENCE)
     h_rho = -_div(P, U.rhou, U.rhov, U.rhow)
-    h_ru = -_div(P, U.rhou * u + p, U.rhou * v, U.rhou * w)
-    h_rv = -_div(P, U.rhov * u, U.rhov * v + p, U.rhov * w)
-    h_rw = -_div(P, U.rhow * u, U.rhow * v, U.rhow * w + p)
-    h_rE = -_div(P, (U.rhoE + p) * u, (U.rhoE + p) * v, (U.rhoE + p) * w)
+    if form == "skewsymmetric":
+        # 0.5 [ div(rho u phi) + rho u . grad phi + phi div(rho u) ]
+        px_, py_, pz_ = _grad(P, p)
+
+        def skew(phi, rphi):
+            dv = _div(P, rphi * u, rphi * v, rphi * w)
+            gx, gy, gz = _grad(P, phi)
+            conv = U.rhou * gx + U.rhov * gy + U.rhow * gz
+            return -0.5 * (dv + conv - phi * h_rho)
+        h_ru = skew(u, rho * u) - px_
+        h_rv = skew(v, rho * v) - py_
+        h_rw = skew(w, rho * w) - pz_
+        E_sp = U.rhoE / rho
+        h_rE = skew(E_sp, U.rhoE) - _div(P, p * u, p * v, p * w)
+    else:
+        # Euler fluxes, divergence form
+        h_ru = -_div(P, U.rhou * u + p, U.rhou * v, U.rhou * w)
+        h_rv = -_div(P, U.rhov * u, U.rhov * v + p, U.rhov * w)
+        h_rw = -_div(P, U.rhow * u, U.rhow * v, U.rhow * w + p)
+        h_rE = -_div(P, (U.rhoE + p) * u, (U.rhoE + p) * v,
+                     (U.rhoE + p) * w)
 
     # viscous stress (explicit, constant mu; reference RHS_FLOW_VISCOUS_EXPLICIT)
     ux, uy, uz = (dyn._d1(P, "x", 0, u), dyn._d1(P, "y", 1, u),
@@ -127,13 +153,15 @@ def _apply_wall_bcs(P, h: CompState):
 
 def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
                          visc: float, prandtl: float, nscbc=None,
-                         ly: float = 1.0, gas=None, lx: float = 1.0):
+                         ly: float = 1.0, gas=None, lx: float = 1.0,
+                         form: str = "divergence"):
     kdt = P["rk"]["kdt"]
     kco = P["rk"]["kco"]
     h = CompState(*(jnp.zeros_like(x) for x in U))
     for i, k in enumerate(kdt):
         dte = dtime * k
-        dh = rhs_compressible(P, U, gamma, mach, visc, prandtl, gas=gas)
+        dh = rhs_compressible(P, U, gamma, mach, visc, prandtl, gas=gas,
+                              form=form)
         h = CompState(*(a + b for a, b in zip(h, dh)))
         if nscbc is not None:
             from tlab_tpu.dycore.nscbc import apply_nscbc
