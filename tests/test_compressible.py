@@ -216,3 +216,44 @@ def test_skewsymmetric_form():
         dE = abs(float(jnp.mean(U1.rhoE)) - float(jnp.mean(U0.rhoE)))
         assert dm < 1e-10
         assert dE < 1e-8
+
+
+def test_internal_energy_formulation():
+    """Internal-energy form (DNS_EQNS_INTERNAL): acoustic propagation
+    matches the total-energy form, and the GLOBAL energy (internal +
+    kinetic) is conserved inviscid (the -p div u + momentum work terms
+    close the budget)."""
+    grid, nsp, P = _setup(nx=128, ny=8, nz=1, reynolds=1e12,
+                          y_periodic=True)
+    nx, ny, nz = grid.shape
+    x = grid.x.nodes[:, None, None]
+    amp = 1e-4
+    c = 1.0 / MACH
+    g = np.exp(-(np.sin((x - np.pi) / 2) / 0.2) ** 2)
+    rho = 1.0 + amp * g * np.ones((1, ny, nz))
+    u = c * amp * g * np.ones((1, ny, nz))
+    T = 1.0 + (GAMMA - 1.0) * amp * g * np.ones((1, ny, nz))
+    U_tot = comp.from_primitive(jnp.asarray(rho), jnp.asarray(u),
+                                jnp.zeros((nx, ny, nz)),
+                                jnp.zeros((nx, ny, nz)),
+                                jnp.asarray(T), GAMMA, MACH)
+    # internal-energy state: rhoE = rho e (no kinetic part)
+    e = jnp.asarray(T) / (GAMMA * (GAMMA - 1.0) * MACH ** 2)
+    U_int = comp.CompState(rho=U_tot.rho, rhou=U_tot.rhou,
+                           rhov=U_tot.rhov, rhow=U_tot.rhow,
+                           rhoE=U_tot.rho * e)
+    ke0 = float(jnp.mean(0.5 * (U_int.rhou ** 2) / U_int.rho))
+    E0 = float(jnp.mean(U_int.rhoE)) + ke0
+    dt = 2e-4
+    for _ in range(100):
+        U_tot = comp.rk_step_compressible(P, U_tot, dt, GAMMA, MACH,
+                                          0.0, 1.0)
+        U_int = comp.rk_step_compressible(P, U_int, dt, GAMMA, MACH,
+                                          0.0, 1.0, energy="internal")
+    # density fields agree between formulations
+    diff = np.max(np.abs(np.asarray(U_int.rho) - np.asarray(U_tot.rho)))
+    assert diff / amp < 1e-3, diff / amp
+    ke1 = float(jnp.mean(0.5 * (U_int.rhou ** 2 + U_int.rhov ** 2)
+                         / U_int.rho))
+    E1 = float(jnp.mean(U_int.rhoE)) + ke1
+    assert abs(E1 - E0) / abs(E0) < 1e-8

@@ -134,6 +134,62 @@ def rhs_compressible(P, U: CompState, gamma: float, mach: float,
     return CompState(h_rho, h_ru, h_rv, h_rw, h_rE)
 
 
+def primitive_internal(P, U: CompState, gamma: float, mach: float):
+    """Primitive recovery when rhoE carries INTERNAL energy rho e
+    (reference DNS_EQNS_INTERNAL formulation)."""
+    rho = U.rho
+    u = U.rhou / rho
+    v = U.rhov / rho
+    w = U.rhow / rho
+    e = U.rhoE / rho
+    T = e * gamma * (gamma - 1.0) * mach ** 2
+    p = rho * T / (gamma * mach ** 2)
+    return u, v, w, T, p
+
+
+def rhs_compressible_internal(P, U: CompState, gamma: float, mach: float,
+                              visc: float, prandtl: float, gas=None):
+    """Internal-energy formulation (reference rhs_flow_global_2.f90 /
+    DNS_EQNS_INTERNAL): d(rho e)/dt = -div(rho e u) - p div u + Phi +
+    div(k grad T), with Phi = tau : grad u the viscous dissipation."""
+    rho = U.rho
+    u, v, w, T, p = primitive_internal(P, U, gamma, mach)
+
+    h_rho = -_div(P, U.rhou, U.rhov, U.rhow)
+    h_ru = -_div(P, U.rhou * u + p, U.rhou * v, U.rhou * w)
+    h_rv = -_div(P, U.rhov * u, U.rhov * v + p, U.rhov * w)
+    h_rw = -_div(P, U.rhow * u, U.rhow * v, U.rhow * w + p)
+
+    ux, uy, uz = _grad(P, u)
+    vx, vy, vz = _grad(P, v)
+    wx, wy, wz = _grad(P, w)
+    divu = ux + vy + wz
+    lam = -2.0 / 3.0
+    mu = visc
+    if gas is not None and gas.transport != "none":
+        from tlab_tpu.physics import eos
+        mu = visc * eos.viscosity(gas, T)
+    txx = mu * (2.0 * ux + lam * divu)
+    tyy = mu * (2.0 * vy + lam * divu)
+    tzz = mu * (2.0 * wz + lam * divu)
+    txy = mu * (uy + vx)
+    txz = mu * (uz + wx)
+    tyz = mu * (vz + wy)
+    h_ru = h_ru + _div(P, txx, txy, txz)
+    h_rv = h_rv + _div(P, txy, tyy, tyz)
+    h_rw = h_rw + _div(P, txz, tyz, tzz)
+
+    phi = (txx * ux + tyy * vy + tzz * wz
+           + txy * (uy + vx) + txz * (uz + wx) + tyz * (vz + wy))
+    cond = mu / (prandtl * (gamma - 1.0) * mach ** 2)
+    h_re = (-_div(P, U.rhoE * u, U.rhoE * v, U.rhoE * w)
+            - p * divu + phi
+            + _div(P, cond * dyn._d1(P, "x", 0, T),
+                   cond * dyn._d1(P, "y", 1, T),
+                   cond * dyn._d1(P, "z", 2, T)))
+    return CompState(h_rho, h_ru, h_rv, h_rw, h_re)
+
+
 def _apply_wall_bcs(P, h: CompState):
     """Free-slip adiabatic walls at jmin/jmax: zero normal-momentum tendency;
     tangential/energy/density tendencies take their Neumann wall values."""
@@ -154,14 +210,18 @@ def _apply_wall_bcs(P, h: CompState):
 def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
                          visc: float, prandtl: float, nscbc=None,
                          ly: float = 1.0, gas=None, lx: float = 1.0,
-                         form: str = "divergence"):
+                         form: str = "divergence", energy: str = "total"):
     kdt = P["rk"]["kdt"]
     kco = P["rk"]["kco"]
     h = CompState(*(jnp.zeros_like(x) for x in U))
     for i, k in enumerate(kdt):
         dte = dtime * k
-        dh = rhs_compressible(P, U, gamma, mach, visc, prandtl, gas=gas,
-                              form=form)
+        if energy == "internal":
+            dh = rhs_compressible_internal(P, U, gamma, mach, visc,
+                                           prandtl, gas=gas)
+        else:
+            dh = rhs_compressible(P, U, gamma, mach, visc, prandtl,
+                                  gas=gas, form=form)
         h = CompState(*(a + b for a, b in zip(h, dh)))
         if nscbc is not None:
             from tlab_tpu.dycore.nscbc import apply_nscbc
