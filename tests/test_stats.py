@@ -256,3 +256,39 @@ def test_phase_average():
         assert np.max(np.abs(got - base[ph])) < 0.02, slot
     # stress of a zero field is ~0
     assert np.max(np.abs(pa.stress("v", "w", 0))) < 1e-12
+
+
+def test_tke_budget_closure():
+    """The plane-averaged TKE budget terms approximately close for a
+    statistically generated field: Prod - Eps + Trp + PresTrp + ViscTrp
+    integrates over y to Prod - Eps (transport terms integrate to ~0 for
+    fields vanishing at walls)."""
+    from tlab_tpu.dycore.incompressible import WallBCs, build_device_plans
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.physics.params import NSParams
+
+    grid = uniform_grid(32, 49, 16, 2 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    nsp = NSParams(reynolds=100.0, schmidt=())
+    P = build_device_plans(fdm, nsp, WallBCs(s=()), dtype=jnp.float64)
+    nx, ny, nz = grid.shape
+    rng = np.random.default_rng(0)
+    y = grid.y.nodes
+    env = (np.sin(np.pi * y) ** 2)[None, :, None]
+    st = State(u=jnp.asarray(env * rng.standard_normal((nx, ny, nz))),
+               v=jnp.asarray(env * rng.standard_normal((nx, ny, nz))),
+               w=jnp.asarray(env * rng.standard_normal((nx, ny, nz))),
+               s=jnp.zeros((0, nx, ny, nz)))
+    out = averages.flow_statistics(P, st, nsp.visc)
+    for key in ("PxxC", "Exx", "PIxx", "PresTrp", "ViscTrp", "Exy"):
+        assert key in out and np.isfinite(np.asarray(out[key])).all(), key
+    # transport terms integrate to ~0 over the channel (flux form,
+    # envelope vanishes at walls)
+    w_int = np.trapezoid(np.asarray(out["Trp"]), y)
+    scale = np.trapezoid(np.abs(np.asarray(out["Eps"])), y)
+    assert abs(w_int) < 0.05 * scale
+    # trace of pressure-strain is ~0 (incompressibility) -- here the field
+    # is NOT solenoidal, so only check finiteness of the trace
+    tr = np.asarray(out["PIxx"] + out["PIyy"] + out["PIzz"])
+    assert np.isfinite(tr).all()

@@ -85,6 +85,44 @@ def flow_statistics(P, state, visc):
         m = _pavg(om)
         out[f"W{name}"] = m
         out[f"W{name}2"] = _pavg((om - m[None, :, None]) ** 2)
+
+    # -- Reynolds-stress budget terms (reference avg_flow_xz.f90 budget
+    # groups: per-component production, dissipation, pressure-strain,
+    # turbulent/viscous/pressure transport of the TKE) ---------------------
+    d1y = P.get("d1y")
+    if d1y is not None:
+        fl = {"u": uf, "v": vf, "w": wf}
+        gfl = {}
+        for cname in ("u", "v", "w"):
+            for aname in ("x", "y", "z"):
+                g = grads[cname + aname]
+                mg = mean_grad.get((cname, aname))
+                gfl[cname + aname] = g - mg[None, :, None] \
+                    if mg is not None else g - _pavg(g)[None, :, None]
+        # per-component production against the mean shear
+        out["PxxC"] = -2.0 * out["Rxy"] * dUdy
+        out["PzzC"] = -2.0 * out["Ryz"] * dWdy
+        out["PxyC"] = -out["Ryy"] * dUdy
+        # per-component dissipation eps_ij = 2 nu <du'_i/dx_k du'_j/dx_k>
+        for tag, (ci, cj) in (("Exx", ("u", "u")), ("Eyy", ("v", "v")),
+                              ("Ezz", ("w", "w")), ("Exy", ("u", "v"))):
+            acc = 0.0
+            for aname in ("x", "y", "z"):
+                acc = acc + _pavg(gfl[ci + aname] * gfl[cj + aname])
+            out[tag] = 2.0 * visc * acc
+        # pressure fluctuation terms (diagnostic Boussinesq pressure)
+        from tlab_tpu.dycore.pressure import pressure_boussinesq
+        p = pressure_boussinesq(P, state)
+        pf = p - _pavg(p)[None, :, None]
+        out["PresTrp"] = -(d1y @ _pavg(vf * pf))
+        for tag, (ci, ai, cj, aj) in (
+                ("PIxx", ("u", "x", "u", "x")),
+                ("PIyy", ("v", "y", "v", "y")),
+                ("PIzz", ("w", "z", "w", "z")),
+                ("PIxy", ("u", "y", "v", "x"))):
+            out[tag] = _pavg(pf * (gfl[ci + ai] + gfl[cj + aj]))
+        # viscous transport of TKE: nu d2<k>/dy2 via two first derivatives
+        out["ViscTrp"] = visc * (d1y @ (d1y @ out["Tke"]))
     return out
 
 
