@@ -103,3 +103,15 @@ def test_ibm_spline_step_stable():
     solid = np.asarray(eps) > 0.5
     assert float(jnp.max(jnp.abs(jnp.asarray(state.u)[solid]))) == 0.0
     assert np.isfinite(np.asarray(state.u)).all()
+
+
+def test_valley_geometry():
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu import ibm as ibmmod
+    grid = uniform_grid(32, 33, 8, 2 * np.pi, 1.0, 1.0)
+    eps = ibmmod.geometry_valley(grid, height_pts=8, slope=1)
+    # tallest at x=0 (cos=1 -> height 8), zero at x=pi
+    assert eps[0, :8, 0].all() and not eps[0, 8:, 0].any()
+    assert not eps[16, :, 0].any()
+    # z-invariant
+    assert np.array_equal(eps[:, :, 0], eps[:, :, -1])

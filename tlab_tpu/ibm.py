@@ -43,6 +43,21 @@ def geometry_hill(grid, height: float, width: float, center: float) -> np.ndarra
     return (Y < surface).astype(np.float64) * np.ones((nx, ny, nz))
 
 
+def geometry_valley(grid, height_pts: int, slope: int = 1) -> np.ndarray:
+    """Cosine valley/hill profile on the bottom wall (reference
+    ibm_generate_geometry_valley.f90:  solid where
+    j < (h/2^s)(1 + cos(2 pi x / Lx))^s)."""
+    nx, ny, nz = grid.shape
+    eps = np.zeros((nx, ny, nz), bool)
+    dx = 2.0 * np.pi / nx
+    i = np.arange(nx)[:, None]
+    j = np.arange(ny)[None, :]
+    prof = (height_pts / 2 ** slope) * (1.0 + np.cos(dx * i)) ** slope
+    eps2d = j < prof
+    eps[:] = eps2d[:, :, None]
+    return eps
+
+
 def build_spline_fill(eps: np.ndarray, axis: int, nodes: np.ndarray):
     """Per-direction solid-region fill (reference IBM_SPLINE_XYZ,
     src/ibm/ibm_spline.f90): before taking derivatives along `axis`, solid
