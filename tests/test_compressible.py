@@ -257,3 +257,73 @@ def test_internal_energy_formulation():
                          / U_int.rho))
     E1 = float(jnp.mean(U_int.rhoE)) + ke1
     assert abs(E1 - E0) / abs(E0) < 1e-8
+
+
+def test_compressible_from_ini(tmp_path):
+    """Compressible DNS driven entirely from the INI through Simulation +
+    dns.run: a shear layer at Mach 0.3 runs, logs, and checkpoints the
+    conservative state (reference dns.x DNS_EQNS_TOTAL path)."""
+    from tlab_tpu.config import load_case, Ini
+    from tlab_tpu.runtime import Simulation
+    from tlab_tpu.tools import dns as dns_tool
+    from tlab_tpu.tools.initialize import compressible_initial_state
+    from tlab_tpu.io.fields_io import read_comp_state
+    import os
+
+    ini = """
+[Main]
+Type=temporal
+Equations=compressible
+TermAdvection=skewsymmetric
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit3
+TimeCFL=0.5
+[Control]
+ScalLimit=no
+[Parameters]
+Reynolds=500
+Mach=0.3
+Gamma=1.4
+Prandtl=0.7
+[Iteration]
+Start=0
+End=10
+Restart=10
+IteraLog=5
+Statistics=0
+[Flow]
+ProfileVelocityX=Tanh
+ThickVelocityX=0.1
+DeltaVelocityX=0.5
+[BoundaryConditions]
+VelocityJmin=freeslip
+VelocityJmax=freeslip
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=33
+scales_1=4.0
+[IniGridOy]
+periodic=no
+segments=1
+points_1=33
+scales_1=2.0
+opts_1=uniform
+[IniGridOz]
+periodic=yes
+segments=1
+points_1=8
+scales_1=1.0
+"""
+    sim = Simulation.from_case(load_case(Ini(text=ini)))
+    assert sim.comp is not None
+    assert sim.comp["form"] == "skewsymmetric"
+    U = compressible_initial_state(sim, seed=1)
+    run = dns_tool.run(sim, U, outdir=str(tmp_path), n_steps=10)
+    out = run.state
+    for f in out:
+        assert np.isfinite(np.asarray(f)).all()
+    assert os.path.exists(os.path.join(tmp_path, "flow.10.5"))
+    U2, rtime, visc = read_comp_state(os.path.join(tmp_path, "flow"), 10)
+    assert np.allclose(np.asarray(U2.rho), np.asarray(out.rho))
+    assert abs(visc - sim.nsp.visc) < 1e-12

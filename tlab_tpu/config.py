@@ -107,6 +107,8 @@ class CaseSetup:
     reynolds: float
     schmidt: tuple
     prandtl: float
+    mach: float
+    gamma: float
     froude: float
     rossby: float
     # [Grid]
@@ -323,6 +325,8 @@ def load_case(path_or_ini) -> CaseSetup:
         reynolds=ini.get_float("Parameters", "Reynolds", 100.0),
         schmidt=schmidt,
         prandtl=ini.get_float("Parameters", "Prandtl", 1.0),
+        mach=ini.get_float("Parameters", "Mach", 0.3),
+        gamma=ini.get_float("Parameters", "Gamma", 1.4),
         froude=ini.get_float("Parameters", "Froude", 1.0),
         rossby=ini.get_float("Parameters", "Rossby", 1.0),
         imax=ini.get_int("Grid", "Imax", 1),

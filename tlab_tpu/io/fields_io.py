@@ -90,3 +90,30 @@ def read_state(prefix_flow: str, prefix_scal: str, itime: int, n_scalars: int):
     rtime = params[0] if len(params) > 0 else 0.0
     visc = params[1] if len(params) > 1 else 0.0
     return u, v, w, s, rtime, visc
+
+
+def write_comp_state(prefix_flow: str, itime: int, U, rtime: float,
+                     visc: float) -> None:
+    """Compressible restart: conservative components as flow.<it>.1..5
+    (reference file-per-variable convention; 4=rho, 5=rhoE follow the
+    q-array ordering rho u, rho v, rho w, rho, rho e)."""
+    import numpy as np
+    comps = (U.rhou, U.rhov, U.rhow, U.rho, U.rhoE)
+    for tag, comp in zip("12345", comps):
+        write_field(f"{prefix_flow}.{itime}.{tag}", np.asarray(comp),
+                    itime, (rtime, visc))
+
+
+def read_comp_state(prefix_flow: str, itime: int):
+    """Inverse of write_comp_state: returns (CompState, rtime, visc)."""
+    from tlab_tpu.dycore.compressible import CompState
+    import jax.numpy as jnp
+    arrs = []
+    rtime = visc = 0.0
+    for tag in "12345":
+        a, params, _ = read_field(f"{prefix_flow}.{itime}.{tag}")
+        arrs.append(jnp.asarray(a))
+        if len(params) >= 2:
+            rtime, visc = float(params[0]), float(params[1])
+    return CompState(rhou=arrs[0], rhov=arrs[1], rhow=arrs[2],
+                     rho=arrs[3], rhoE=arrs[4]), rtime, visc

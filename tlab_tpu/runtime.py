@@ -196,6 +196,7 @@ class Simulation:
     ell_plans: dict              # BC -> device elliptic plan (for ICs etc.)
     dtype: object
     filter_sponge: object = None  # (amp, mats) for BufferZone Type=filter
+    comp: dict = None             # compressible-mode parameters
 
     @classmethod
     def from_case(cls, case_or_path, dtype=None, grid: Optional[Grid] = None,
@@ -217,6 +218,38 @@ class Simulation:
         bcs = dyn.WallBCs.from_velocity_kind(case.velocity_bc[0],
                                              case.velocity_bc[1],
                                              scalar_bcs=scal_bcs)
+        if case.equations in ("compressible", "total", "internal"):
+            # compressible path: no pressure Poisson, acoustic integration
+            # (reference DNS_EQNS_TOTAL/INTERNAL)
+            from tlab_tpu.physics.eos import GasParams
+            tcfg = getattr(case, "thermo", {}) or {}
+            gas = GasParams(gamma=case.gamma, mach=case.mach,
+                            transport=tcfg.get("transport", "none"))
+            bodyforce = None
+            P = dyn.build_device_plans(fdm, nsp, bcs,
+                                       rk_name=case.time_order, dtype=dtype,
+                                       with_elliptic=False)
+            P["y_periodic"] = grid.y.periodic
+            nscbc = None
+            vb = case.velocity_bc
+            if any(k in ("outflow", "inflow") for k in vb):
+                from tlab_tpu.dycore.nscbc import NSCBCSpec
+                nscbc = NSCBCSpec(
+                    ymin=vb[0] if vb[0] in ("outflow", "inflow") else "wall",
+                    ymax=vb[1] if vb[1] in ("outflow", "inflow") else "wall",
+                    p_inf=1.0 / (case.gamma * case.mach ** 2))
+            comp = {"gamma": case.gamma, "mach": case.mach,
+                    "prandtl": case.prandtl, "gas": gas,
+                    "form": ("skewsymmetric"
+                             if case.term_advection == "skewsymmetric"
+                             else "divergence"),
+                    "energy": ("internal" if case.equations == "internal"
+                               else "total"),
+                    "nscbc": nscbc,
+                    "ly": float(grid.y.nodes[-1] - grid.y.nodes[0]),
+                    "lx": float(grid.x.scale)}
+            return cls(case=case, grid=grid, fdm=fdm, nsp=nsp, P=P,
+                       ell_plans={}, dtype=dtype, comp=comp)
         ell_nn = elliptic.build_elliptic_plan(fdm, ibc=BC.NN)
         ell_dd = elliptic.build_elliptic_plan(fdm, ibc=BC.DD)
         ell_plans = {BC.NN: elliptic.device_elliptic_plan(ell_nn, dtype),

@@ -14,6 +14,7 @@ from typing import Optional
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from tlab_tpu.dycore import incompressible as dyn
 from tlab_tpu.dycore.state import State
@@ -66,6 +67,31 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
     unsteady_inflow=True makes step() take an extra aux pytree of per-step
     inflow-strip references (spatial mode, reference boundary_inflow.f90)."""
     P = sim.P
+
+    if getattr(sim, "comp", None) is not None:
+        # compressible: acoustic CFL, conservative state (reference
+        # TIME_SUBSTEP_COMPRESSIBLE path)
+        from tlab_tpu.dycore import compressible as comp_mod
+        c = sim.comp
+
+        @jax.jit
+        def step(U, dtime):
+            new_U = comp_mod.rk_step_compressible(
+                P, U, dtime, c["gamma"], c["mach"], sim.nsp.visc,
+                c["prandtl"], nscbc=c["nscbc"], ly=c["ly"], lx=c["lx"],
+                gas=c["gas"], form=c["form"], energy=c["energy"])
+            cfl = comp_mod.acoustic_cfl_max(P, new_U, c["gamma"], c["mach"])
+            u = new_U.rhou / new_U.rho
+            v = new_U.rhov / new_U.rho
+            w = new_U.rhow / new_U.rho
+            div = dyn.divergence(P, u, v, w)
+            return new_U, cfl, jnp.min(div), jnp.max(div)
+
+        @jax.jit
+        def cfl_only(U):
+            return comp_mod.acoustic_cfl_max(P, U, c["gamma"], c["mach"])
+
+        return step, cfl_only
 
     if particles is None and unsteady_inflow:
         @jax.jit
@@ -155,7 +181,9 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     if inner_steps > 1 and (pstate is not None or case.flow_type == "spatial"
                             or (sim.filter_matrices() is not None)):
         inner_steps = 1                     # per-step host work required
-    sim.attach_buffer(state)
+    is_comp = getattr(sim, "comp", None) is not None
+    if not is_comp:
+        sim.attach_buffer(state)
     if inflow is not None and pstate is not None:
         raise NotImplementedError("unsteady inflow with particles")
     step, cfl_only = make_step_functions(
@@ -168,7 +196,7 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         s_amp, s_mats = sim.filter_sponge
         sponge_fn = jax.jit(lambda st: apply_filter_sponge(s_amp, s_mats, st))
 
-    filt = sim.filter_matrices()
+    filt = sim.filter_matrices() if not is_comp else None
     filt_step = getattr(getattr(case, "filter", None), "step", 0)
     if filt is not None and filt_step > 0:
         from tlab_tpu.ops.filter import filter_state
@@ -196,12 +224,12 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                                              indices=planes_cfg[ax]))
     towers_cfg = getattr(case, "towers", None) or {}
     tower_acc = None
-    if towers_cfg.get("stride"):
+    if towers_cfg.get("stride") and not is_comp:
         from tlab_tpu.io.planes import TowerAccumulator
         st = towers_cfg["stride"]
         tower_acc = TowerAccumulator(stride=(st[0], st[-1]))
     ph_stride = case.ini.get_int("Iteration", "PhaseAvg", 0) \
-        if getattr(case, "ini", None) else 0
+        if (getattr(case, "ini", None) and not is_comp) else 0
     phavg = None
     if ph_stride > 0:
         from tlab_tpu.stats.phaseavg import PhaseAverage
@@ -223,7 +251,10 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     # initial dt + step-0 log line
     cmax = float(cfl_only(state))
     dtime = fixed_dt or dyn.next_dt(sim.P, cmax, cfla, cfld)
-    dmin0, dmax0 = dyn.dilatation_minmax(sim.P, state)
+    if is_comp:
+        dmin0 = dmax0 = 0.0
+    else:
+        dmin0, dmax0 = dyn.dilatation_minmax(sim.P, state)
     log.step(0, itime, rtime, dtime, dtime * cmax, dtime * dconst, visc,
              float(dmin0), float(dmax0))
 
@@ -254,18 +285,22 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             log.step(status, itime, rtime, new_dt, new_dt * cmax,
                      new_dt * dconst, visc, dmin, dmax)
         if checkpoint and case.it_restart > 0 and itime % case.it_restart == 0:
-            fields_io.write_state(os.path.join(outdir, "flow"),
-                                  os.path.join(outdir, "scal"),
-                                  itime, state, rtime, visc)
+            if is_comp:
+                fields_io.write_comp_state(os.path.join(outdir, "flow"),
+                                           itime, state, rtime, visc)
+            else:
+                fields_io.write_state(os.path.join(outdir, "flow"),
+                                      os.path.join(outdir, "scal"),
+                                      itime, state, rtime, visc)
             if pstate is not None:
                 from tlab_tpu.particles.io import write_particles
                 write_particles(os.path.join(outdir, f"part.{itime}"),
                                 pstate, itime)
-        if case.it_stats > 0 and itime % case.it_stats == 0:
+        if case.it_stats > 0 and itime % case.it_stats == 0 and not is_comp:
             write_statistics(sim, state, outdir, itime, rtime)
-        if obs_log and itime % case.it_log == 0:
+        if obs_log and itime % case.it_log == 0 and not is_comp:
             write_obs(sim, state, outdir, itime, rtime)
-        if plane_specs and itime % planes_cfg["step"] == 0:
+        if plane_specs and itime % planes_cfg["step"] == 0 and not is_comp:
             from tlab_tpu.io.planes import write_planes
             write_planes(outdir, itime, state, plane_specs)
         if tower_acc is not None:

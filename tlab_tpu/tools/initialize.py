@@ -244,3 +244,15 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
         scals.append(base)
     s = jnp.stack(scals) if scals else jnp.zeros((0, nx, ny, nz), sim.dtype)
     return State(u=u, v=v, w=w, s=s)
+
+
+def compressible_initial_state(sim: Simulation, seed: int = 7):
+    """Compressible ICs: velocity mean profiles + perturbations as in the
+    incompressible path, uniform rho = T = 1 thermodynamics (reference
+    iniflow compressible default; pressure consistent with the uniform
+    background)."""
+    from tlab_tpu.dycore.compressible import from_primitive
+    st = initial_state(sim, seed=seed)
+    one = jnp.ones_like(st.u)
+    return from_primitive(one, st.u, st.v, st.w, one,
+                          sim.comp["gamma"], sim.comp["mach"])
