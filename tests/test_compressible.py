@@ -207,7 +207,8 @@ def test_skewsymmetric_form():
                                        form="skewsymmetric")
     # both stay finite and close for smooth resolved flow
     for f in Us:
-        assert np.isfinite(np.asarray(f)).all()
+        if f is not None:
+            assert np.isfinite(np.asarray(f)).all()
     rel = np.max(np.abs(np.asarray(Us.rhou) - np.asarray(Ud.rhou))) / amp
     assert rel < 5e-3, rel
     # conservation: mass and total energy drift at round-off/flux-form level
@@ -282,6 +283,7 @@ TimeCFL=0.5
 ScalLimit=no
 [Parameters]
 Reynolds=500
+Schmidt=1.0
 Mach=0.3
 Gamma=1.4
 Prandtl=0.7
@@ -295,9 +297,15 @@ Statistics=0
 ProfileVelocityX=Tanh
 ThickVelocityX=0.1
 DeltaVelocityX=0.5
+[Scalar]
+ProfileScalar1=Tanh
+ThickScalar1=0.1
+DeltaScalar1=1.0
 [BoundaryConditions]
 VelocityJmin=freeslip
 VelocityJmax=freeslip
+Scalar1Jmin=neumann
+Scalar1Jmax=neumann
 [IniGridOx]
 periodic=yes
 segments=1
@@ -322,8 +330,42 @@ scales_1=1.0
     run = dns_tool.run(sim, U, outdir=str(tmp_path), n_steps=10)
     out = run.state
     for f in out:
-        assert np.isfinite(np.asarray(f)).all()
+        if f is not None:
+            assert np.isfinite(np.asarray(f)).all()
     assert os.path.exists(os.path.join(tmp_path, "flow.10.5"))
+    assert out.rhos is not None and out.rhos.shape[0] == 1
+    assert np.isfinite(np.asarray(out.rhos)).all()
     U2, rtime, visc = read_comp_state(os.path.join(tmp_path, "flow"), 10)
     assert np.allclose(np.asarray(U2.rho), np.asarray(out.rho))
     assert abs(visc - sim.nsp.visc) < 1e-12
+
+
+def test_compressible_scalar_transport():
+    """Compressible scalar: a passive tanh layer advects with the flow and
+    diffuses; total integral of rho s is conserved in a periodic box."""
+    grid, nsp, P = _setup(nx=64, ny=8, nz=1, reynolds=1e3, y_periodic=True)
+    P = dict(P)
+    P["diff"] = (nsp.visc / 1.0,)           # one scalar, Sc = 1
+    nx, ny, nz = grid.shape
+    x = grid.x.nodes[:, None, None]
+    rho = np.ones((nx, ny, nz))
+    u = 0.1 * np.ones((nx, ny, nz))
+    s = 0.5 * (1 + np.tanh(np.sin(x) / 0.3)) * np.ones((1, ny, nz))
+    U = comp.from_primitive(jnp.asarray(rho), jnp.asarray(u),
+                            jnp.zeros((nx, ny, nz)),
+                            jnp.zeros((nx, ny, nz)),
+                            jnp.ones((nx, ny, nz)), GAMMA, MACH,
+                            s=jnp.asarray(s)[None])
+    m0 = float(jnp.mean(U.rhos))
+    dt = 1e-3
+    for _ in range(100):
+        U = comp.rk_step_compressible(P, U, dt, GAMMA, MACH, nsp.visc, 1.0)
+    assert np.isfinite(np.asarray(U.rhos)).all()
+    m1 = float(jnp.mean(U.rhos))
+    assert abs(m1 - m0) < 1e-10            # conservative transport
+    # the layer has moved downstream: phase of the first Fourier mode
+    ph0 = np.angle(np.fft.rfft(np.asarray(s[:, 0, 0]))[1])
+    ph1 = np.angle(np.fft.rfft(np.asarray(U.rhos[0, :, 0, 0]
+                                          / U.rho[:, 0, 0]))[1])
+    shift = np.mod(ph0 - ph1, 2 * np.pi)
+    assert abs(shift - 0.1 * dt * 100) < 0.02

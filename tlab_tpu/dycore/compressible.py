@@ -34,6 +34,7 @@ class CompState(NamedTuple):
     rhov: jax.Array
     rhow: jax.Array
     rhoE: jax.Array          # total energy rho (e + |u|^2/2)
+    rhos: jax.Array = None   # optional scalars (ns, nx, ny, nz) as rho*s
 
 
 def primitive(P, U: CompState, gamma: float, mach: float):
@@ -131,7 +132,8 @@ def rhs_compressible(P, U: CompState, gamma: float, mach: float,
                        u * txy + v * tyy + w * tyz + qy,
                        u * txz + v * tyz + w * tzz + qz)
 
-    return CompState(h_rho, h_ru, h_rv, h_rw, h_rE)
+    h_rs = _rhs_scalars(P, U, u, v, w, visc) if U.rhos is not None else None
+    return CompState(h_rho, h_ru, h_rv, h_rw, h_rE, h_rs)
 
 
 def primitive_internal(P, U: CompState, gamma: float, mach: float):
@@ -187,7 +189,24 @@ def rhs_compressible_internal(P, U: CompState, gamma: float, mach: float,
             + _div(P, cond * dyn._d1(P, "x", 0, T),
                    cond * dyn._d1(P, "y", 1, T),
                    cond * dyn._d1(P, "z", 2, T)))
-    return CompState(h_rho, h_ru, h_rv, h_rw, h_re)
+    h_rs = _rhs_scalars(P, U, u, v, w, visc) if U.rhos is not None else None
+    return CompState(h_rho, h_ru, h_rv, h_rw, h_re, h_rs)
+
+
+def _rhs_scalars(P, U: CompState, u, v, w, visc: float):
+    """Compressible scalar transport d(rho s)/dt = -div(rho s u) +
+    div(rho D grad s) (reference rhs_scal_* divergence form)."""
+    rhos = U.rhos
+    s = rhos / U.rho[None]
+    h = -(dyn._d1(P, "x", 1, rhos * u[None])
+          + dyn._d1(P, "y", 2, rhos * v[None])
+          + dyn._d1(P, "z", 3, rhos * w[None]))
+    diff = jnp.asarray(P["diff"], rhos.dtype)[:, None, None, None]
+    rho4 = U.rho[None]
+    h = h + (dyn._d1(P, "x", 1, diff * rho4 * dyn._d1(P, "x", 1, s))
+             + dyn._d1(P, "y", 2, diff * rho4 * dyn._d1(P, "y", 2, s))
+             + dyn._d1(P, "z", 3, diff * rho4 * dyn._d1(P, "z", 3, s)))
+    return h
 
 
 def _apply_wall_bcs(P, h: CompState):
@@ -204,7 +223,13 @@ def _apply_wall_bcs(P, h: CompState):
     nn = rows["u"]     # reuse the NN rows for scalars-like fields
     hrho = dyn._apply_wall_rows(h.rho, nn)
     hE = dyn._apply_wall_rows(h.rhoE, nn)
-    return CompState(hrho, hu, hv, hw, hE)
+    hs = h.rhos
+    if hs is not None:
+        srows = rows.get("s", ())
+        hs = jnp.stack([
+            dyn._apply_wall_rows(hs[i], srows[i] if i < len(srows) else nn)
+            for i in range(hs.shape[0])])
+    return CompState(hrho, hu, hv, hw, hE, hs)
 
 
 def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
@@ -213,7 +238,8 @@ def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
                          form: str = "divergence", energy: str = "total"):
     kdt = P["rk"]["kdt"]
     kco = P["rk"]["kco"]
-    h = CompState(*(jnp.zeros_like(x) for x in U))
+    h = CompState(*(jnp.zeros_like(x) if x is not None else None
+                    for x in U))
     for i, k in enumerate(kdt):
         dte = dtime * k
         if energy == "internal":
@@ -222,16 +248,18 @@ def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
         else:
             dh = rhs_compressible(P, U, gamma, mach, visc, prandtl,
                                   gas=gas, form=form)
-        h = CompState(*(a + b for a, b in zip(h, dh)))
+        h = CompState(*(a + b if a is not None else None
+                        for a, b in zip(h, dh)))
         if nscbc is not None:
             from tlab_tpu.dycore.nscbc import apply_nscbc
             h = apply_nscbc(P, U, h, gamma, mach, nscbc, ly, lx=lx)
         else:
             h = _apply_wall_bcs(P, h)
-        U = CompState(*(q + dte * hq for q, hq in zip(U, h)))
+        U = CompState(*(q + dte * hq if q is not None else None
+                        for q, hq in zip(U, h)))
         if i < len(kdt) - 1:
             a = kco[i]
-            h = CompState(*(a * x for x in h))
+            h = CompState(*(a * x if x is not None else None for x in h))
     return U
 
 
@@ -250,8 +278,10 @@ def acoustic_cfl_max(P, U: CompState, gamma: float, mach: float):
     return jnp.max(acc)
 
 
-def from_primitive(rho, u, v, w, T, gamma: float, mach: float) -> CompState:
+def from_primitive(rho, u, v, w, T, gamma: float, mach: float,
+                   s=None) -> CompState:
     e = T / (gamma * (gamma - 1.0) * mach ** 2)
     ke = 0.5 * (u * u + v * v + w * w)
     return CompState(rho=rho, rhou=rho * u, rhov=rho * v, rhow=rho * w,
-                     rhoE=rho * (e + ke))
+                     rhoE=rho * (e + ke),
+                     rhos=rho[None] * s if s is not None else None)

@@ -102,6 +102,10 @@ def write_comp_state(prefix_flow: str, itime: int, U, rtime: float,
     for tag, comp in zip("12345", comps):
         write_field(f"{prefix_flow}.{itime}.{tag}", np.asarray(comp),
                     itime, (rtime, visc))
+    if getattr(U, "rhos", None) is not None:
+        for i in range(U.rhos.shape[0]):
+            write_field(f"{prefix_flow}.{itime}.s{i + 1}",
+                        np.asarray(U.rhos[i]), itime, (rtime, visc))
 
 
 def read_comp_state(prefix_flow: str, itime: int):
@@ -115,5 +119,13 @@ def read_comp_state(prefix_flow: str, itime: int):
         arrs.append(jnp.asarray(a))
         if len(params) >= 2:
             rtime, visc = float(params[0]), float(params[1])
+    import os
+    rhos = []
+    i = 1
+    while os.path.exists(f"{prefix_flow}.{itime}.s{i}"):
+        a, _, _ = read_field(f"{prefix_flow}.{itime}.s{i}")
+        rhos.append(jnp.asarray(a))
+        i += 1
     return CompState(rhou=arrs[0], rhov=arrs[1], rhow=arrs[2],
-                     rho=arrs[3], rhoE=arrs[4]), rtime, visc
+                     rho=arrs[3], rhoE=arrs[4],
+                     rhos=jnp.stack(rhos) if rhos else None), rtime, visc

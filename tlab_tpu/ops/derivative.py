@@ -22,6 +22,13 @@ _EINSUM = {
     2: "ab,ijb->ija",
 }
 
+# 4-D variants (leading stacked-field axis, e.g. (ns, nx, ny, nz))
+_EINSUM4 = {
+    1: "ab,fbjk->fajk",
+    2: "ab,fibk->fiak",
+    3: "ab,fijb->fija",
+}
+
 
 _PRECISION_BY_NAME = {
     "default": jax.lax.Precision.DEFAULT,
@@ -50,7 +57,8 @@ def op_precision(dtype):
 def apply_along(M, u, axis: int):
     """out = M @ u along `axis`, accumulating in f32 for low-precision inputs."""
     pref = jnp.float32 if u.dtype in (jnp.bfloat16, jnp.float16) else u.dtype
-    return jnp.einsum(_EINSUM[axis], M, u, preferred_element_type=pref,
+    eins = _EINSUM4[axis] if u.ndim == 4 else _EINSUM[axis]
+    return jnp.einsum(eins, M, u, preferred_element_type=pref,
                       precision=op_precision(u.dtype)).astype(u.dtype)
 
 

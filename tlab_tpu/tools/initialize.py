@@ -254,5 +254,6 @@ def compressible_initial_state(sim: Simulation, seed: int = 7):
     from tlab_tpu.dycore.compressible import from_primitive
     st = initial_state(sim, seed=seed)
     one = jnp.ones_like(st.u)
+    s = st.s if st.s.shape[0] else None
     return from_primitive(one, st.u, st.v, st.w, one,
-                          sim.comp["gamma"], sim.comp["mach"])
+                          sim.comp["gamma"], sim.comp["mach"], s=s)
