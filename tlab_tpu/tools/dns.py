@@ -147,6 +147,20 @@ def write_statistics(sim: Simulation, state: State, outdir: str,
         sc = avg.scalar_statistics(sim.P, state, sim.nsp.diffusivity(i), i)
         avg.write_table(os.path.join(outdir, f"avg{itime}s{i + 1}"), y, sc,
                         itime, rtime)
+    ini = getattr(sim.case, "ini", None)
+    if ini is not None and ini.get_bool("Statistics", "Pdfs", False):
+        # in-run PDFs (reference DNS_STATISTICS_TEMPORAL pdf branch)
+        from tlab_tpu.stats import pdfs as pdfmod
+        for name, a in (("u", state.u), ("v", state.v), ("w", state.w)):
+            counts, edges = pdfmod.pdf_per_plane(a)
+            pdfmod.write_pdf(os.path.join(outdir, f"pdf{itime}.{name}"),
+                             counts, edges, itime)
+    if ini is not None and sim.nsp.n_scalars \
+            and ini.get_bool("Statistics", "Intermittency", False):
+        gate_level = ini.get_float("Statistics", "GateLevel", 0.5)
+        gamma = avg.intermittency(state.s[0] > gate_level)
+        avg.write_table(os.path.join(outdir, f"int{itime}"), y,
+                        {"gamma": gamma}, itime, rtime)
 
 
 def write_obs(sim: Simulation, state: State, outdir: str, itime: int,
