@@ -115,3 +115,17 @@ def infrared_gray_source(props: RadiationProps, y, a, b,
     if return_fluxes:
         return src, flux_dn, flux_up
     return src
+
+
+def infrared_band_source(props: RadiationProps, y, a_bands, T,
+                         beta_bands, emissivity: float = 1.0):
+    """Multi-band RTE (reference TYPE_IR_BAND, radiation.f90:341): each band
+    carries its own absorption field and a quadratic-in-T emission fraction
+    b_band = beta T^4 (b0 + T (b1 + T b2)); band sources add."""
+    src = None
+    for a_b, (b0, b1, b2) in zip(a_bands, beta_bands):
+        emis = props.beta * T ** 4 * (b0 + T * (b1 + T * b2))
+        s = infrared_gray_source(props, y, a_b, emis,
+                                 emissivity=emissivity)
+        src = s if src is None else src + s
+    return src
