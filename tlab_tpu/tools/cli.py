@@ -17,7 +17,8 @@ def main(argv=None):
     ap.add_argument("command", choices=["inigrid", "inirand", "iniflow",
                                         "iniscal", "ini", "inipart", "dns",
                                         "averages", "spectra", "pdfs", "superlayer",
-                                        "visuals", "transfields"])
+                                        "visuals", "transfields",
+                                        "transgrid"])
     ap.add_argument("--ini2", default="",
                     help="target-case ini for transfields remeshing")
     ap.add_argument("--nparticles", type=int, default=10000)
@@ -42,6 +43,10 @@ def main(argv=None):
     ap.add_argument("--gate-scalar", type=int, default=0,
                     help="averages: condition on scalar # > gate level")
     ap.add_argument("--gate-level", type=float, default=0.0)
+    ap.add_argument("--refine", type=int, default=2,
+                    help="transgrid: points multiplier per direction")
+    ap.add_argument("--grid-in", default="grid")
+    ap.add_argument("--grid-out", default="grid.ref")
     args = ap.parse_args(argv)
 
     import jax
@@ -51,6 +56,31 @@ def main(argv=None):
     from tlab_tpu.config import load_case
     from tlab_tpu.runtime import Simulation, grid_from_case
     from tlab_tpu.grid import write_reference_grid
+
+    if args.command == "transgrid":
+        # grid refinement/coarsening (reference transgrid.f90): resample
+        # each axis's nodes with a cubic spline in the arc parameter
+        import os
+        from tlab_tpu.grid import (read_reference_grid,
+                                   write_reference_grid, make_axis, Grid)
+        import numpy as np
+        g = read_reference_grid(os.path.join(args.outdir, args.grid_in))
+        axes = []
+        for ax in (g.x, g.y, g.z):
+            if ax.size <= 1:
+                axes.append(ax)
+                continue
+            n_new = ax.size * args.refine if args.refine > 0 \
+                else ax.size // (-args.refine)
+            t_old = np.linspace(0.0, 1.0, ax.size)
+            t_new = np.linspace(0.0, 1.0, n_new)
+            nodes = np.interp(t_new, t_old, ax.nodes)
+            axes.append(make_axis(nodes, ax.periodic))
+        write_reference_grid(os.path.join(args.outdir, args.grid_out),
+                             Grid(*axes))
+        print(f"transgrid done -> {args.grid_out}")
+        return 0
+
 
     case = load_case(args.ini)
     os.makedirs(args.outdir, exist_ok=True)
