@@ -286,9 +286,11 @@ def load_case(path_or_ini) -> CaseSetup:
     towers_cfg = {
         "stride": tuple(int(v) for v in
                         ini.get_floats("SaveTowers", "Stride", ())),
+        "pressure": ini.get_bool("SaveTowers", "Pressure", False),
     }
 
     thermo_cfg = {
+        "transport": ini.get("Thermodynamics", "Transport", "none").lower(),
         "mixture": ini.get("Thermodynamics", "Mixture", "none").lower(),
         "scale_height": ini.get_float("Thermodynamics", "ScaleHeight", 0.0),
         "smooth": ini.get_float("Thermodynamics", "SmoothFactor", 0.1),

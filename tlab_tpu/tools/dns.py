@@ -318,7 +318,11 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             from tlab_tpu.io.planes import write_planes
             write_planes(outdir, itime, state, plane_specs)
         if tower_acc is not None:
-            tower_acc.accumulate(itime, rtime, state)
+            p_tow = None
+            if towers_cfg.get("pressure"):
+                from tlab_tpu.dycore.pressure import pressure_boussinesq
+                p_tow = pressure_boussinesq(sim.P, state)
+            tower_acc.accumulate(itime, rtime, state, pressure=p_tow)
             if checkpoint and case.it_restart > 0 \
                     and itime % case.it_restart == 0:
                 tower_acc.flush(outdir)
