@@ -149,3 +149,26 @@ def test_particle_pdfs():
     assert counts.shape == (2, 4)
     assert counts[0, 1] == counts[0].sum() > 0      # lower slab: all 0.25
     assert counts[1, 3] == counts[1].sum() > 0      # upper slab: all 0.75
+
+
+def test_assemble_trajectories(tmp_path):
+    """Offline trajectory assembly across saved restarts follows a known
+    drift."""
+    import os
+    from tlab_tpu.particles.io import (write_particles, read_particles,
+                                       assemble_trajectories)
+    from tlab_tpu.particles.core import ParticleState
+    import jax.numpy as jnp
+    n = 20
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(0, 1, (n, 3))
+    for k, it in enumerate([0, 5, 10]):
+        ps = ParticleState(x=jnp.asarray(x0 + 0.1 * k),
+                           v=jnp.zeros((n, 3)),
+                           props=jnp.zeros((n, 0)), tags=jnp.arange(n))
+        write_particles(os.path.join(tmp_path, f"part.{it}"), ps, it)
+    traj, its = assemble_trajectories(str(tmp_path), [0, 5, 10],
+                                      tags=[3, 7])
+    assert traj.shape == (3, 2, 3)
+    assert np.allclose(traj[2, 0] - traj[0, 0], 0.2)
+    assert np.allclose(traj[1, 1], x0[7] + 0.1)

@@ -95,3 +95,23 @@ def particle_pdfs(pstate, prop_index, y_edges, vmin: float, vmax: float,
 def write_particle_pdfs(path: str, counts, edges, itime: int) -> None:
     import numpy as np
     np.savez(path, counts=counts, edges=edges, itime=itime)
+
+
+def assemble_trajectories(outdir: str, iterations, tags):
+    """Offline trajectory assembly from saved particle restarts (reference
+    tools/particles/particle_pos_trajec.f90 / particle_trajec.f90):
+    positions of the tagged particles across the snapshot series, sorted
+    by tag. Returns (n_times, n_tags, 3) plus the iteration list."""
+    import os
+    import numpy as np
+    tags = np.asarray(sorted(tags))
+    out = np.full((len(iterations), tags.size, 3), np.nan)
+    for it_idx, it in enumerate(iterations):
+        ps, _ = read_particles(os.path.join(outdir, f"part.{it}"))
+        ptags = np.asarray(ps.tags)
+        pos = np.asarray(ps.x)
+        idx = {int(t): i for i, t in enumerate(ptags)}
+        for j, t in enumerate(tags):
+            if int(t) in idx:
+                out[it_idx, j] = pos[idx[int(t)]]
+    return out, list(iterations)
