@@ -168,3 +168,34 @@ def test_direct_schemes_convergence():
     e1, e2 = err1(48), err1(96)
     assert np.log2(e1 / e2) > 3.5, (e1, e2)
     assert e2 < 1e-4
+
+
+def test_matmul_dft_transform_path():
+    """The DFT-as-matmul transform path (f32 default on TPU) agrees with
+    the XLA-FFT path to f32 roundoff."""
+    import os
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+
+    grid = uniform_grid(32, 33, 16, 2 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    plan = elliptic.build_elliptic_plan(fdm, ibc=BC.NN)
+    old = os.environ.get("TLAB_TPU_POISSON_TRANSFORM")
+    try:
+        os.environ["TLAB_TPU_POISSON_TRANSFORM"] = "matmul"
+        dev_mm = elliptic.device_elliptic_plan(plan, jnp.float32)
+        assert "dft" in dev_mm
+        os.environ["TLAB_TPU_POISSON_TRANSFORM"] = "fft"
+        dev_fft = elliptic.device_elliptic_plan(plan, jnp.float32)
+        assert "dft" not in dev_fft
+    finally:
+        if old is None:
+            os.environ.pop("TLAB_TPU_POISSON_TRANSFORM", None)
+        else:
+            os.environ["TLAB_TPU_POISSON_TRANSFORM"] = old
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.standard_normal((32, 33, 16)), jnp.float32)
+    p1 = elliptic.poisson(dev_mm, f)
+    p2 = elliptic.poisson(dev_fft, f)
+    scale = float(jnp.max(jnp.abs(p2)))
+    assert float(jnp.max(jnp.abs(p1 - p2))) < 2e-5 * max(scale, 1.0)

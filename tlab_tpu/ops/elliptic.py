@@ -233,7 +233,23 @@ def solve_modal(plan_dev: dict, f_hat, alpha: float | jnp.ndarray = 0.0,
     return u_hat
 
 
-def device_elliptic_plan(plan: EllipticPlan, dtype=jnp.float32) -> dict:
+def _transform_mode(dtype) -> str:
+    """'matmul' (DFT as MXU matmuls) or 'fft' (XLA FFT). XLA's TPU FFT runs
+    at ~bf16 accuracy for f32 and is ~2x slower than the HIGHEST-precision
+    matmul DFT (measured 17.2 vs 8.1 ms roundtrip at 512x256x256), so
+    matmul is the f32 default; f64 (CPU validation) keeps the exact FFT.
+    Override with TLAB_TPU_POISSON_TRANSFORM=fft|matmul."""
+    import os
+    name = os.environ.get("TLAB_TPU_POISSON_TRANSFORM", "").lower()
+    if name in ("fft", "matmul"):
+        return name
+    return "matmul" if jnp.dtype(dtype) == jnp.float32 else "fft"
+
+
+def device_elliptic_plan(plan: EllipticPlan, dtype=jnp.float32,
+                         sizes=None) -> dict:
+    """sizes=(nx, nz) enables the matmul-DFT transform path (inferred from
+    lam_x when omitted; only possible for even nx)."""
     d = {
         "V": jnp.asarray(plan.V, dtype),
         "W": jnp.asarray(plan.W, dtype),
@@ -243,6 +259,13 @@ def device_elliptic_plan(plan: EllipticPlan, dtype=jnp.float32) -> dict:
     }
     if plan.S_sing is not None:
         d["S_sing"] = jnp.asarray(plan.S_sing, dtype)
+    if sizes is None:
+        nx = 2 * (plan.lam_x.shape[0] - 1)
+        nz = plan.lam_z.shape[0]
+        sizes = (nx, nz) if nx > 0 else None
+    if sizes is not None and _transform_mode(dtype) == "matmul":
+        from tlab_tpu.ops import rdft
+        d["dft"] = rdft.device_rdft_plan(sizes[0], sizes[1], dtype)
     return d
 
 
@@ -262,6 +285,11 @@ def _constrain(x, plan_dev, key):
 
 def _forward_fft(plan_dev, f):
     f = _constrain(f, plan_dev, "fft_x")
+    dft = plan_dev.get("dft")
+    if dft is not None and f.shape[0] == dft["Cx"].shape[1]:
+        from tlab_tpu.ops import rdft
+        re, im = rdft.forward_parts(dft, f)
+        return _constrain(re + 1j * im, plan_dev, "modal")
     f_hat = jnp.fft.rfft(f, axis=0)
     if f.shape[2] > 1:
         f_hat = _constrain(f_hat, plan_dev, "fft_z")
@@ -270,6 +298,11 @@ def _forward_fft(plan_dev, f):
 
 
 def _backward_fft(plan_dev, u_hat, nx, nz):
+    dft = plan_dev.get("dft")
+    if dft is not None and nx == dft["Cx"].shape[1]:
+        from tlab_tpu.ops import rdft
+        p = rdft.backward_parts(dft, jnp.real(u_hat), jnp.imag(u_hat))
+        return _constrain(p, plan_dev, "default")
     if nz > 1:
         u_hat = _constrain(u_hat, plan_dev, "fft_z")
         u_hat = jnp.fft.ifft(u_hat, axis=2)

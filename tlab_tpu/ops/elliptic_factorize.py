@@ -140,6 +140,11 @@ def device_factorize_plan(plan: FactorizePlan, dtype=jnp.float32) -> dict:
     sp = (plan.emax["V"] @ ((plan.emax["W"] @ em_bc) / dmax)).real
 
     cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    from tlab_tpu.ops.elliptic import _transform_mode
+    dft = None
+    if _transform_mode(dtype) == "matmul":
+        from tlab_tpu.ops import rdft
+        dft = rdft.device_rdft_plan(2 * (nkx - 1), nz, dtype)
     d = {
         "Vmin": jnp.asarray(plan.emin["V"], cdtype),
         "Wmin": jnp.asarray(plan.emin["W"], cdtype),
@@ -153,6 +158,8 @@ def device_factorize_plan(plan: FactorizePlan, dtype=jnp.float32) -> dict:
         "ep": jnp.asarray(ep.reshape(ny, nkx, nz), dtype),
         "sp": jnp.asarray(sp.reshape(ny, nkx, nz), dtype),
     }
+    if dft is not None:
+        d["dft"] = dft
     return d
 
 
@@ -224,11 +231,20 @@ def poisson_factorize(dev: dict, f, bcs_b=None, bcs_t=None):
     gb_phys = zero if bcs_b is None else bcs_b
     gt_phys = zero if bcs_t is None else bcs_t
 
+    dft = dev.get("dft")
+
     def fwd(a):
+        if dft is not None and a.shape[0] == dft["Cx"].shape[1]:
+            from tlab_tpu.ops import rdft
+            re, im = rdft.forward_parts(dft, a)
+            return re + 1j * im
         ah = jnp.fft.rfft(a, axis=0)
         return jnp.fft.fft(ah, axis=-1) if nz > 1 else ah
 
     def bwd(ah):
+        if dft is not None and ah.dtype != f.dtype:
+            from tlab_tpu.ops import rdft
+            return rdft.backward_parts(dft, jnp.real(ah), jnp.imag(ah))
         if nz > 1:
             ah = jnp.fft.ifft(ah, axis=-1)
         return jnp.fft.irfft(ah, n=nx, axis=0)
