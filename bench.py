@@ -45,16 +45,21 @@ def main():
     state = State(u=prof + noise(ku), v=noise(kv), w=noise(kw),
                   s=(0.5 - prof)[None] * jnp.ones((1, nx, ny, nz), dtype))
 
-    step = jax.jit(lambda st: dyn.rk_step(P, st, 5e-4)[0])
-    state = step(state)                          # compile + warmup
+    n_steps = 5
+    # time a single device dispatch with the steps inside a fori_loop so
+    # host<->device link latency (axon tunnel) cannot pollute the timing
+    step_n = jax.jit(lambda st: jax.lax.fori_loop(
+        0, n_steps, lambda i, s: dyn.rk_step(P, s, 5e-4)[0], st))
+    state = step_n(state)                        # compile + warmup
     jax.block_until_ready(state)
 
-    n_steps = 5
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state = step(state)
-    jax.block_until_ready(state)
-    dt_wall = (time.perf_counter() - t0) / n_steps
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = step_n(state)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    dt_wall = best / n_steps
 
     npts = nx * ny * nz
     pts_per_s_per_substep = npts / (dt_wall / n_sub)
