@@ -33,14 +33,21 @@ def main():
     bcs = dyn.WallBCs.from_velocity_kind(
         "freeslip", "freeslip", scalar_bcs=(("neumann", "neumann"),))
     P = dyn.build_device_plans(fdm, nsp, bcs, dtype=dtype)
+    # production projection: factorized formulation (round-off divergence
+    # removal), as Simulation.from_case defaults
+    from tlab_tpu.ops import elliptic_factorize as fac
+    P["ell_fac"] = fac.device_factorize_plan(fac.build_factorize_plan(fdm),
+                                             dtype)
 
     key = jax.random.PRNGKey(0)
     ku, kv, kw = jax.random.split(key, 3)
     y1d = jnp.asarray(grid.y.nodes, dtype)[None, :, None]
     prof = 0.5 * jnp.tanh(-0.5 * (y1d - 0.5) / 0.05)
 
+    env = jnp.sin(jnp.pi * y1d).astype(dtype)   # wall-clean noise envelope
+
     def noise(k):
-        return 0.01 * jax.random.normal(k, (nx, ny, nz), dtype)
+        return 0.01 * env * jax.random.normal(k, (nx, ny, nz), dtype)
 
     state = State(u=prof + noise(ku), v=noise(kv), w=noise(kw),
                   s=(0.5 - prof)[None] * jnp.ones((1, nx, ny, nz), dtype))

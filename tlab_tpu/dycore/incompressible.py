@@ -441,10 +441,30 @@ def surface_bc_update(P, s):
     return s
 
 
+def _enforce_wall_values(P, state: State) -> State:
+    """Re-impose Dirichlet wall values on the fields (reference applies
+    BcsFlowJmin/Jmax%ref each substep, boundary_bcs.f90): no-penetration
+    v=0 always; u/w zeroed for no-slip walls. Protects against ICs or
+    round-off drift depositing values on pinned rows."""
+    if P["sizes"][1] == 1 or P.get("y_periodic", False):
+        return state
+    kinds = P["wall_bc_types"]
+    u, v, w = state.u, state.v, state.w
+    for j, side in ((0, 0), (-1, 1)):
+        if kinds["v"][side] == "dirichlet":
+            v = v.at[:, j, :].set(0.0)
+        if kinds["u"][side] == "dirichlet":
+            u = u.at[:, j, :].set(u[:, j, :] * 0.0 + jnp.mean(u[:, j, :]))
+        if kinds["w"][side] == "dirichlet":
+            w = w.at[:, j, :].set(w[:, j, :] * 0.0 + jnp.mean(w[:, j, :]))
+    return State(u=u, v=v, w=w, s=state.s)
+
+
 def rk_step(P, state: State, dtime, aux=None):
     """One full low-storage RK step; returns (new_state, last pressure)."""
     kdt = P["rk"]["kdt"]
     kco = P["rk"]["kco"]
+    state = _enforce_wall_values(P, state)
     z = jnp.zeros_like(state.u)
     hq = (z, z, z)
     hs = jnp.zeros_like(state.s)

@@ -261,15 +261,14 @@ class Simulation:
                                    rk_name=case.time_order, dtype=dtype,
                                    bodyforce=bodyforce)
         P["ell_dd"] = ell_plans[BC.DD]
-        # EllipticOrder: reference default is the factorized formulation
-        # (round-off divergence removal in f64); in f32 the factorized and
-        # direct solvers are both f32-limited, so f32 production runs
-        # default to the faster direct eigen pencil unless the case asks
-        # for factorize explicitly.
-        want_fac = case.elliptic_order in ("factorize", "compactjacobian6") \
-            or (case.elliptic_order == ""
-                and jnp.dtype(dtype) == jnp.float64)
-        if want_fac and grid.y.size > 4 and grid.x.periodic:
+        # EllipticOrder: the factorized formulation is the default (as the
+        # reference): its D1-consistent integrals make the projection
+        # remove the D1-measured divergence to round-off. The direct eigen
+        # pencil (EllipticOrder=compactdirect4/6) is faster but leaves the
+        # D1^2-vs-D2 truncation mismatch as residual divergence at grid
+        # scales -- measured O(1) on noisy fields.
+        if case.elliptic_order in ("", "factorize", "compactjacobian6") \
+                and grid.y.size > 4 and grid.x.periodic:
             from tlab_tpu.ops import elliptic_factorize as fac
             fac_plan = fac.build_factorize_plan(fdm)
             P["ell_fac"] = fac.device_factorize_plan(fac_plan, dtype)
