@@ -121,3 +121,30 @@ def test_pressure_diagnostic_matches_projection():
     pc = p - p.mean()
     pe = p_exact - p_exact.mean()
     assert np.max(np.abs(pc - pe)) < 1e-4
+
+
+def test_wall_value_enforcement():
+    """IC noise deposited on Dirichlet wall rows is cleaned at the first
+    step (reference re-imposes BC field values each substep)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.physics.params import NSParams
+    from tlab_tpu.dycore.state import State
+
+    grid = uniform_grid(16, 33, 8, 2 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    nsp = NSParams(reynolds=100.0, schmidt=())
+    P = dyn.build_device_plans(fdm, nsp, dyn.WallBCs(s=()),
+                               dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    st = State(u=jnp.asarray(rng.standard_normal((16, 33, 8)) * 0.01),
+               v=jnp.asarray(rng.standard_normal((16, 33, 8)) * 0.01),
+               w=jnp.asarray(rng.standard_normal((16, 33, 8)) * 0.01),
+               s=jnp.zeros((0, 16, 33, 8)))
+    assert float(jnp.max(jnp.abs(st.v[:, 0, :]))) > 1e-4
+    st1, _ = dyn.rk_step(P, st, 1e-4)
+    # no-penetration exact; no-slip u/w rows collapse to their plane mean
+    assert float(jnp.max(jnp.abs(st1.v[:, 0, :]))) < 1e-15
+    assert float(jnp.std(np.asarray(st1.u[:, 0, :]))) < 1e-15
