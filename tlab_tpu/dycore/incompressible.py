@@ -460,42 +460,70 @@ def _enforce_wall_values(P, state: State) -> State:
     return State(u=u, v=v, w=w, s=state.s)
 
 
-def rk_step(P, state: State, dtime, aux=None):
-    """One full low-storage RK step; returns (new_state, last pressure)."""
+def _rk_substep(P, state: State, hq, hs, dte, kco_i, aux=None):
+    """One low-storage substep: accumulate tendencies, update the state,
+    then scale h by the carry coefficient (0 after the last stage)."""
+    hq, hs, p = substep_rhs(P, state, hq, hs, dte, aux=aux)
+    s_new = state.s + dte * hs
+    bounds = P.get("scal_bounds")        # (mins, maxs) tuples or None
+    if bounds is not None and s_new.shape[0]:
+        # per-substep scalar clipping (reference DNS_BOUNDS_LIMIT,
+        # dns_local.f90:67-90, called each substep from TIME_RUNGEKUTTA)
+        mins, maxs = bounds
+        lo = jnp.asarray(mins, s_new.dtype)[:, None, None, None]
+        hi = jnp.asarray(maxs, s_new.dtype)[:, None, None, None]
+        s_new = jnp.clip(s_new, lo, hi)
+    if s_new.shape[0]:
+        s_new = surface_bc_update(P, s_new)
+    state = State(u=state.u + dte * hq[0],
+                  v=state.v + dte * hq[1],
+                  w=state.w + dte * hq[2],
+                  s=s_new)
+    if P.get("ibm") is not None:
+        # direct forcing: zero state in solids after the substep
+        # (reference dns_main.f90:254-257)
+        from tlab_tpu import ibm as ibmmod
+        state = ibmmod.apply_ibm_state(P["ibm"], state)
+    hq = (kco_i * hq[0], kco_i * hq[1], kco_i * hq[2])
+    hs = kco_i * hs
+    return state, hq, hs, p
+
+
+def rk_step(P, state: State, dtime, aux=None, unroll: bool = False):
+    """One full low-storage RK step; returns (new_state, last pressure).
+
+    The substep loop is a lax.scan over the (kdt, kco) tables so the
+    compiled graph holds ONE substep body regardless of the scheme's stage
+    count (5x smaller HLO for RK4-5; unroll=True restores the inlined
+    loop, which XLA can sometimes schedule slightly better).
+    """
     kdt = P["rk"]["kdt"]
     kco = P["rk"]["kco"]
     state = _enforce_wall_values(P, state)
     z = jnp.zeros_like(state.u)
     hq = (z, z, z)
     hs = jnp.zeros_like(state.s)
-    p = None
-    bounds = P.get("scal_bounds")        # (mins, maxs) tuples or None
-    for i, k in enumerate(kdt):
-        dte = dtime * k
-        hq, hs, p = substep_rhs(P, state, hq, hs, dte, aux=aux)
-        s_new = state.s + dte * hs
-        if bounds is not None and s_new.shape[0]:
-            # per-substep scalar clipping (reference DNS_BOUNDS_LIMIT,
-            # dns_local.f90:67-90, called each substep from TIME_RUNGEKUTTA)
-            mins, maxs = bounds
-            lo = jnp.asarray(mins, s_new.dtype)[:, None, None, None]
-            hi = jnp.asarray(maxs, s_new.dtype)[:, None, None, None]
-            s_new = jnp.clip(s_new, lo, hi)
-        if s_new.shape[0]:
-            s_new = surface_bc_update(P, s_new)
-        state = State(u=state.u + dte * hq[0],
-                      v=state.v + dte * hq[1],
-                      w=state.w + dte * hq[2],
-                      s=s_new)
-        if P.get("ibm") is not None:
-            # direct forcing: zero state in solids after the substep
-            # (reference dns_main.f90:254-257)
-            from tlab_tpu import ibm as ibmmod
-            state = ibmmod.apply_ibm_state(P["ibm"], state)
-        if i < len(kdt) - 1:
-            a = kco[i]
-            hq = (a * hq[0], a * hq[1], a * hq[2])
-            hs = a * hs
+    if unroll:
+        p = None
+        for i, k in enumerate(kdt):
+            kco_i = kco[i] if i < len(kdt) - 1 else 0.0
+            state, hq, hs, p = _rk_substep(P, state, hq, hs, dtime * k,
+                                           kco_i, aux=aux)
+        return state, p
+
+    kdt_a = jnp.asarray(kdt, state.u.dtype)
+    kco_a = jnp.asarray(tuple(kco) + (0.0,), state.u.dtype)[: len(kdt)]
+
+    def body(carry, ks):
+        state, hq, hs, _ = carry
+        k, kco_i = ks
+        state, hq, hs, p = _rk_substep(P, state, hq, hs, dtime * k,
+                                       kco_i, aux=aux)
+        return (state, hq, hs, p), None
+
+    p0 = jnp.zeros_like(state.u)
+    (state, hq, hs, p), _ = jax.lax.scan(body, (state, hq, hs, p0),
+                                         (kdt_a, kco_a))
     return state, p
 
 
