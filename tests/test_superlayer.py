@@ -71,3 +71,15 @@ def test_superlayer_tool(tmp_path):
     assert 0.05 < dat["lo_mean"] < 0.5
     assert dat["up_pdf"].sum() > 0.99
     assert dat["up_Enstrophy"].shape == (nx, nz)
+
+
+def test_surface_jpdf():
+    from tlab_tpu.stats import superlayer as sl2
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((16, 8))
+    b = 2 * a + 0.01 * rng.standard_normal((16, 8))   # strongly correlated
+    counts, ea, eb = sl2.surface_jpdf(a, b, nbins=8)
+    assert abs(counts.sum() - 1.0) < 1e-12
+    # correlation shows as diagonal mass concentration
+    diag = sum(counts[i, i] for i in range(8))
+    assert diag > 0.5

@@ -84,3 +84,15 @@ def height_pdf(ysl, nbins: int = 64):
     ys = np.asarray(ysl).ravel()
     counts, edges = np.histogram(ys, bins=nbins)
     return counts / max(ys.size, 1), edges
+
+
+def surface_jpdf(vals_a, vals_b, nbins: int = 32, ranges=None):
+    """Joint PDF of two quantities sampled on the interface (reference
+    sl_boundary_vorticity_jpdf.f90): returns (nbins, nbins) counts plus
+    the two edge arrays."""
+    a = np.asarray(vals_a).ravel()
+    b = np.asarray(vals_b).ravel()
+    if ranges is None:
+        ranges = [[a.min(), a.max()], [b.min(), b.max()]]
+    counts, ea, eb = np.histogram2d(a, b, bins=nbins, range=ranges)
+    return counts / max(a.size, 1), ea, eb
