@@ -145,13 +145,17 @@ def device_factorize_plan(plan: FactorizePlan, dtype=jnp.float32) -> dict:
     if _transform_mode(dtype) == "matmul":
         from tlab_tpu.ops import rdft
         dft = rdft.device_rdft_plan(2 * (nkx - 1), nz, dtype)
+    # complex constants stay HOST-side numpy: the axon tunnel cannot fetch
+    # complex device arrays during jit lowering (D2H Unimplemented); numpy
+    # constants embed directly into the HLO
+    np_c = np.complex64 if dtype == jnp.float32 else np.complex128
     d = {
-        "Vmin": jnp.asarray(plan.emin["V"], cdtype),
-        "Wmin": jnp.asarray(plan.emin["W"], cdtype),
-        "Vmax": jnp.asarray(plan.emax["V"], cdtype),
-        "Wmax": jnp.asarray(plan.emax["W"], cdtype),
-        "dmin": jnp.asarray(dmin.reshape(ny, nkx, nz), cdtype),
-        "dmax": jnp.asarray(dmax.reshape(ny, nkx, nz), cdtype),
+        "Vmin": np.asarray(plan.emin["V"], np_c),
+        "Wmin": np.asarray(plan.emin["W"], np_c),
+        "Vmax": np.asarray(plan.emax["V"], np_c),
+        "Wmax": np.asarray(plan.emax["W"], np_c),
+        "dmin": np.asarray(dmin.reshape(ny, nkx, nz), np_c),
+        "dmax": np.asarray(dmax.reshape(ny, nkx, nz), np_c),
         "kappa": jnp.asarray(kap, dtype),
         "sing": jnp.asarray(plan.sing),
         "em": jnp.asarray(em.reshape(ny, nkx, nz), dtype),
