@@ -113,61 +113,40 @@ def build_factorize_plan(fdm: FdmPlan, shift: float = 1.0) -> FactorizePlan:
 
 
 def device_factorize_plan(plan: FactorizePlan, dtype=jnp.float32) -> dict:
-    """Device arrays incl. per-mode homogeneous responses (em, sp, ep)."""
-    ny = plan.ny
+    """Small device plan; the per-mode denominators and homogeneous
+    responses (em, ep, sp) are (ny, nkx, nz) tables -- far too large to
+    embed as jit constants (135 MB each at production sizes; they also
+    cannot ride the axon tunnel as complex device constants) -- so only
+    the (ny, ny) eigen matrices, the per-solver eigenvalues and kappa are
+    stored, and solve_modal_factorize reconstructs the tables on device
+    (a few extra modal matmuls, fully fused by XLA)."""
     kap = plan.kappa.astype(np.float64)
     nkx, nz = kap.shape
 
-    def denom(e, sign_kappa, sgn_shift):
-        # 1 + (kappa2 - shift2) lam_j for pencil P(kappa2)=Ms+(kappa2-s2)M1
-        k2 = sign_kappa * kap.reshape(-1)
-        return 1.0 + (k2[None, :].astype(complex) - sgn_shift) * e["lam"][:, None]
-
-    dmin = denom(plan.emin, +1.0, plan.shift)
-    dmax = denom(plan.emax, -1.0, -plan.shift)
-
-    # homogeneous responses for all modes (plan-time matmuls, float64)
-    e0 = np.zeros(ny)
-    e0[0] = 1.0
-    eN = np.zeros(ny)
-    eN[-1] = 1.0
-    w_em = (plan.emin["W"] @ e0)[:, None] / dmin          # (ny, nmodes)
-    em = (plan.emin["V"] @ w_em).real       # physically real responses
-    w_ep = (plan.emax["W"] @ eN)[:, None] / dmax
-    ep = (plan.emax["V"] @ w_ep).real
-    em_bc = em.astype(complex)
-    em_bc[-1, :] = 0.0                                    # S_max input: bc row
-    sp = (plan.emax["V"] @ ((plan.emax["W"] @ em_bc) / dmax)).real
-
-    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
     from tlab_tpu.ops.elliptic import _transform_mode
     dft = None
     if _transform_mode(dtype) == "matmul":
         from tlab_tpu.ops import rdft
         dft = rdft.device_rdft_plan(2 * (nkx - 1), nz, dtype)
     # complex constants stay HOST-side numpy: the axon tunnel cannot fetch
-    # complex device arrays during jit lowering (D2H Unimplemented); numpy
-    # constants embed directly into the HLO
+    # complex device arrays during jit lowering (D2H Unimplemented)
     np_c = np.complex64 if dtype == jnp.float32 else np.complex128
     d = {
         "Vmin": np.asarray(plan.emin["V"], np_c),
         "Wmin": np.asarray(plan.emin["W"], np_c),
         "Vmax": np.asarray(plan.emax["V"], np_c),
         "Wmax": np.asarray(plan.emax["W"], np_c),
-        "dmin": np.asarray(dmin.reshape(ny, nkx, nz), np_c),
-        "dmax": np.asarray(dmax.reshape(ny, nkx, nz), np_c),
+        "lam_min": np.asarray(plan.emin["lam"], np_c),
+        "lam_max": np.asarray(plan.emax["lam"], np_c),
+        "shift": float(plan.shift),
         "kappa": jnp.asarray(kap, dtype),
         "sing": jnp.asarray(plan.sing),
-        "em": jnp.asarray(em.reshape(ny, nkx, nz), dtype),
-        "ep": jnp.asarray(ep.reshape(ny, nkx, nz), dtype),
-        "sp": jnp.asarray(sp.reshape(ny, nkx, nz), dtype),
     }
     if dft is not None:
         d["dft"] = dft
     return d
 
 
-# ---------------------------------------------------------------------------
 # Modal application
 # ---------------------------------------------------------------------------
 
@@ -183,25 +162,56 @@ def solve_modal_factorize(dev: dict, f_hat, gb, gt):
     """p and dpdy per mode for p'' - kappa^2 p = f, p'(walls) = gb/gt.
 
     f_hat: (nkx, ny, nz) complex; gb/gt: (nkx, nz) complex Neumann values.
-    Returns (p_hat, dpdy_hat).
+    Returns (p_hat, dpdy_hat). The per-mode denominators and homogeneous
+    responses are rebuilt on device from the small plan pieces.
     """
-    kap = dev["kappa"][:, None, :].astype(f_hat.dtype)     # (nkx,1,nz)
-    em = jnp.moveaxis(dev["em"], 0, 1).astype(f_hat.dtype)  # (nkx,ny,nz)
-    ep = jnp.moveaxis(dev["ep"], 0, 1).astype(f_hat.dtype)
-    sp = jnp.moveaxis(dev["sp"], 0, 1).astype(f_hat.dtype)
+    cd = f_hat.dtype
+    kap = dev["kappa"][:, None, :].astype(cd)              # (nkx,1,nz)
+    kl = dev["kappa"].astype(cd)[None, :, :]               # (1,nkx,nz)
+    shift = dev["shift"]
+    # per-mode denominators, (ny, nkx, nz); the factorized pencils are
+    # LINEAR in kappa (first-order factors D +- kappa)
+    dmin = 1.0 + (kl - shift) * jnp.asarray(dev["lam_min"],
+                                            cd)[:, None, None]
+    dmax = 1.0 + (-kl + shift) * jnp.asarray(dev["lam_max"],
+                                             cd)[:, None, None]
+
+    # homogeneous responses: em (v-response to v(y0)=1), ep (p-response to
+    # p(yN)=1), sp (p-response to the em forcing)
+    Vmin = jnp.asarray(dev["Vmin"], cd)
+    Wmin = jnp.asarray(dev["Wmin"], cd)
+    Vmax = jnp.asarray(dev["Vmax"], cd)
+    Wmax = jnp.asarray(dev["Wmax"], cd)
+    prec = op_precision(jnp.float32 if cd == jnp.complex64 else None)
+    em = jnp.einsum("ab,bkz->akz", Vmin,
+                    Wmin[:, 0][:, None, None] / dmin, precision=prec)
+    ep = jnp.einsum("ab,bkz->akz", Vmax,
+                    Wmax[:, -1][:, None, None] / dmax, precision=prec)
+    em_bc = em.at[-1, :, :].set(0.0)
+    sp = jnp.einsum("ab,bkz->akz", Vmax,
+                    jnp.einsum("ab,bkz->akz", Wmax, em_bc,
+                               precision=prec) / dmax, precision=prec)
+    # responses are physically real
+    em = jnp.real(em).astype(cd)
+    ep = jnp.real(ep).astype(cd)
+    sp = jnp.real(sp).astype(cd)
+
+    em_t = jnp.moveaxis(em, 0, 1)
+    ep_t = jnp.moveaxis(ep, 0, 1)
+    sp_t = jnp.moveaxis(sp, 0, 1)
 
     # stage 1: v0 with v(y0) = 0
     f1 = f_hat.at[:, 0, :].set(0.0)
-    v0 = _solve(dev["Vmin"], dev["Wmin"], dev["dmin"], f1)
+    v0 = _solve(Vmin, Wmin, dmin, f1)
     # stage 2: p0 with p(yN) = 0
     v0b = v0.at[:, -1, :].set(0.0)
-    p0 = _solve(dev["Vmax"], dev["Wmax"], dev["dmax"], v0b)
+    p0 = _solve(Vmax, Wmax, dmax, v0b)
 
     # closure: [1 + k sp0, k ep0; em_N, k] [a b]^T = [gb - k p00, gt - v0N]
     k1 = kap[:, 0, :]
-    sp0 = sp[:, 0, :]
-    ep0 = ep[:, 0, :]
-    em_N = em[:, -1, :]
+    sp0 = sp_t[:, 0, :]
+    ep0 = ep_t[:, 0, :]
+    em_N = em_t[:, -1, :]
     p00 = p0[:, 0, :]
     v0N = v0[:, -1, :]
     a11 = 1.0 + k1 * sp0
@@ -219,8 +229,8 @@ def solve_modal_factorize(dev: dict, f_hat, gb, gt):
     a = jnp.where(dev["sing"], r2, a)
     b = jnp.where(dev["sing"], 0.0, b)
 
-    p = p0 + a[:, None, :] * sp + b[:, None, :] * ep
-    v = v0 + a[:, None, :] * em
+    p = p0 + a[:, None, :] * sp_t + b[:, None, :] * ep_t
+    v = v0 + a[:, None, :] * em_t
     dpdy = v + kap * p
     return p, dpdy
 
