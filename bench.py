@@ -53,17 +53,22 @@ def main():
                   s=(0.5 - prof)[None] * jnp.ones((1, nx, ny, nz), dtype))
 
     n_steps = 5
+    # precompute the factorize response tables ON DEVICE and feed them as a
+    # traced argument (too large to bake into the graph as constants)
+    tables = jax.jit(fac.build_tables)(P["ell_fac"])
     # time a single device dispatch with the steps inside a fori_loop so
     # host<->device link latency (axon tunnel) cannot pollute the timing
-    step_n = jax.jit(lambda st: jax.lax.fori_loop(
-        0, n_steps, lambda i, s: dyn.rk_step(P, s, 5e-4)[0], st))
-    state = step_n(state)                        # compile + warmup
+    step_n = jax.jit(lambda st, tb: jax.lax.fori_loop(
+        0, n_steps,
+        lambda i, s: dyn.rk_step(P, s, 5e-4,
+                                 aux={"fac_tables": tb})[0], st))
+    state = step_n(state, tables)                # compile + warmup
     jax.block_until_ready(state)
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = step_n(state)
+        out = step_n(state, tables)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     dt_wall = best / n_steps

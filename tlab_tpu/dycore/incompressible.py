@@ -379,8 +379,10 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
         # reference-default factorized formulation: stage-consistent dpdy
         # removes divergence to round-off (opr_elliptic.f90:108-110)
         from tlab_tpu.ops import elliptic_factorize as fac
+        tables = aux.get("fac_tables") if aux else None
         p, dpdy = fac.poisson_factorize(P["ell_fac"], div,
-                                        bcs_b=bcs_b, bcs_t=bcs_t)
+                                        bcs_b=bcs_b, bcs_t=bcs_t,
+                                        tables=tables)
     else:
         p, dpdy = elliptic.poisson(P["ell"], div, bcs_b=bcs_b, bcs_t=bcs_t,
                                    d1y=P["d1y"])

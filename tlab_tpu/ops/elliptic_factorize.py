@@ -158,24 +158,24 @@ def _solve(V, W, dnm, f_hat):
                       precision=prec).astype(f_hat.dtype)
 
 
-def solve_modal_factorize(dev: dict, f_hat, gb, gt):
-    """p and dpdy per mode for p'' - kappa^2 p = f, p'(walls) = gb/gt.
+def build_tables(dev: dict, cd=None):
+    """Per-mode denominators and homogeneous responses as device arrays.
 
-    f_hat: (nkx, ny, nz) complex; gb/gt: (nkx, nz) complex Neumann values.
-    Returns (p_hat, dpdy_hat). The per-mode denominators and homogeneous
-    responses are rebuilt on device from the small plan pieces.
+    Jit this ONCE at setup and pass the result to poisson_factorize via
+    tables= (a traced argument): the tables are (ny, nkx, nz) -- far too
+    large to bake into the step graph as constants; computing them every
+    substep costs ~4 modal matmuls.
     """
-    cd = f_hat.dtype
-    kap = dev["kappa"][:, None, :].astype(cd)              # (nkx,1,nz)
+    if cd is None:
+        cd = jnp.complex64 if dev["kappa"].dtype == jnp.float32 \
+            else jnp.complex128
     kl = dev["kappa"].astype(cd)[None, :, :]               # (1,nkx,nz)
     shift = dev["shift"]
-    # per-mode denominators, (ny, nkx, nz); the factorized pencils are
-    # LINEAR in kappa (first-order factors D +- kappa)
+    # the factorized pencils are LINEAR in kappa (factors D +- kappa)
     dmin = 1.0 + (kl - shift) * jnp.asarray(dev["lam_min"],
                                             cd)[:, None, None]
     dmax = 1.0 + (-kl + shift) * jnp.asarray(dev["lam_max"],
                                              cd)[:, None, None]
-
     # homogeneous responses: em (v-response to v(y0)=1), ep (p-response to
     # p(yN)=1), sp (p-response to the em forcing)
     Vmin = jnp.asarray(dev["Vmin"], cd)
@@ -192,13 +192,33 @@ def solve_modal_factorize(dev: dict, f_hat, gb, gt):
                     jnp.einsum("ab,bkz->akz", Wmax, em_bc,
                                precision=prec) / dmax, precision=prec)
     # responses are physically real
-    em = jnp.real(em).astype(cd)
-    ep = jnp.real(ep).astype(cd)
-    sp = jnp.real(sp).astype(cd)
+    return {"dmin": dmin, "dmax": dmax,
+            "em": jnp.real(em).astype(cd),
+            "ep": jnp.real(ep).astype(cd),
+            "sp": jnp.real(sp).astype(cd)}
 
-    em_t = jnp.moveaxis(em, 0, 1)
-    ep_t = jnp.moveaxis(ep, 0, 1)
-    sp_t = jnp.moveaxis(sp, 0, 1)
+
+def solve_modal_factorize(dev: dict, f_hat, gb, gt, tables=None):
+    """p and dpdy per mode for p'' - kappa^2 p = f, p'(walls) = gb/gt.
+
+    f_hat: (nkx, ny, nz) complex; gb/gt: (nkx, nz) complex Neumann values.
+    Returns (p_hat, dpdy_hat). tables: optional precomputed build_tables
+    result (recomputed on the fly when absent).
+    """
+    cd = f_hat.dtype
+    kap = dev["kappa"][:, None, :].astype(cd)              # (nkx,1,nz)
+    if tables is None:
+        tables = build_tables(dev, cd)
+    dmin = tables["dmin"]
+    dmax = tables["dmax"]
+    Vmin = jnp.asarray(dev["Vmin"], cd)
+    Wmin = jnp.asarray(dev["Wmin"], cd)
+    Vmax = jnp.asarray(dev["Vmax"], cd)
+    Wmax = jnp.asarray(dev["Wmax"], cd)
+
+    em_t = jnp.moveaxis(tables["em"], 0, 1)
+    ep_t = jnp.moveaxis(tables["ep"], 0, 1)
+    sp_t = jnp.moveaxis(tables["sp"], 0, 1)
 
     # stage 1: v0 with v(y0) = 0
     f1 = f_hat.at[:, 0, :].set(0.0)
@@ -235,7 +255,8 @@ def solve_modal_factorize(dev: dict, f_hat, gb, gt):
     return p, dpdy
 
 
-def poisson_factorize(dev: dict, f, bcs_b=None, bcs_t=None):
+def poisson_factorize(dev: dict, f, bcs_b=None, bcs_t=None,
+                      tables=None):
     """Physical-space NN Poisson via the factorized modal solver.
 
     Returns (p, dpdy); dpdy is the stage-consistent first derivative (the
@@ -266,5 +287,6 @@ def poisson_factorize(dev: dict, f, bcs_b=None, bcs_t=None):
     f_hat = fwd(f)
     gb = fwd(gb_phys[:, None, :])[:, 0, :]
     gt = fwd(gt_phys[:, None, :])[:, 0, :]
-    p_hat, dpdy_hat = solve_modal_factorize(dev, f_hat, gb, gt)
+    p_hat, dpdy_hat = solve_modal_factorize(dev, f_hat, gb, gt,
+                                            tables=tables)
     return bwd(p_hat).astype(f.dtype), bwd(dpdy_hat).astype(f.dtype)

@@ -93,25 +93,45 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
 
         return step, cfl_only
 
+    # factorize response tables ride as a traced argument (too large to
+    # bake into the step graph as constants)
+    tables = None
+    if P.get("ell_fac") is not None:
+        from tlab_tpu.ops import elliptic_factorize as fac
+        tables = jax.jit(fac.build_tables)(P["ell_fac"])
+
+    def _aux(extra=None):
+        aux = dict(extra) if extra else {}
+        if tables is not None:
+            aux["fac_tables"] = tables
+        return aux or None
+
     if particles is None and unsteady_inflow:
         @jax.jit
-        def step(state, dtime, aux):
+        def _step(state, dtime, aux):
             new_state, _ = dyn.rk_step(P, state, dtime, aux=aux)
             cfl = dyn.cfl_advective_max(P, new_state)
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
             return new_state, cfl, dmin, dmax
+
+        def step(state, dtime, aux):
+            return _step(state, dtime, _aux(aux))
     elif particles is None:
         @jax.jit
-        def step(state, dtime):
+        def _step(state, dtime, aux):
             if inner_steps > 1:
                 new_state = jax.lax.fori_loop(
                     0, inner_steps,
-                    lambda i, st: dyn.rk_step(P, st, dtime)[0], state)
+                    lambda i, st: dyn.rk_step(P, st, dtime, aux=aux)[0],
+                    state)
             else:
-                new_state, _ = dyn.rk_step(P, state, dtime)
+                new_state, _ = dyn.rk_step(P, state, dtime, aux=aux)
             cfl = dyn.cfl_advective_max(P, new_state)
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
             return new_state, cfl, dmin, dmax
+
+        def step(state, dtime):
+            return _step(state, dtime, _aux())
     else:
         from tlab_tpu.particles.core import make_locator
         from tlab_tpu.particles.stepping import rk_step_with_particles
