@@ -25,6 +25,7 @@ import dataclasses
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tlab_tpu.fdm.plan import DerivPlan, FdmPlan
@@ -191,11 +192,13 @@ def build_tables(dev: dict, cd=None):
     sp = jnp.einsum("ab,bkz->akz", Vmax,
                     jnp.einsum("ab,bkz->akz", Wmax, em_bc,
                                precision=prec) / dmax, precision=prec)
-    # responses are physically real
-    return {"dmin": dmin, "dmax": dmax,
-            "em": jnp.real(em).astype(cd),
-            "ep": jnp.real(ep).astype(cd),
-            "sp": jnp.real(sp).astype(cd)}
+    # all-real pytree: complex device arrays cannot cross the axon
+    # host<->device boundary, and the responses are physically real anyway
+    return {"dmin_re": jnp.real(dmin), "dmin_im": jnp.imag(dmin),
+            "dmax_re": jnp.real(dmax), "dmax_im": jnp.imag(dmax),
+            "em": jnp.real(em),
+            "ep": jnp.real(ep),
+            "sp": jnp.real(sp)}
 
 
 def solve_modal_factorize(dev: dict, f_hat, gb, gt, tables=None):
@@ -209,16 +212,18 @@ def solve_modal_factorize(dev: dict, f_hat, gb, gt, tables=None):
     kap = dev["kappa"][:, None, :].astype(cd)              # (nkx,1,nz)
     if tables is None:
         tables = build_tables(dev, cd)
-    dmin = tables["dmin"]
-    dmax = tables["dmax"]
+    dmin = jax.lax.complex(tables["dmin_re"],
+                           tables["dmin_im"]).astype(cd)
+    dmax = jax.lax.complex(tables["dmax_re"],
+                           tables["dmax_im"]).astype(cd)
     Vmin = jnp.asarray(dev["Vmin"], cd)
     Wmin = jnp.asarray(dev["Wmin"], cd)
     Vmax = jnp.asarray(dev["Vmax"], cd)
     Wmax = jnp.asarray(dev["Wmax"], cd)
 
-    em_t = jnp.moveaxis(tables["em"], 0, 1)
-    ep_t = jnp.moveaxis(tables["ep"], 0, 1)
-    sp_t = jnp.moveaxis(tables["sp"], 0, 1)
+    em_t = jnp.moveaxis(tables["em"], 0, 1).astype(cd)
+    ep_t = jnp.moveaxis(tables["ep"], 0, 1).astype(cd)
+    sp_t = jnp.moveaxis(tables["sp"], 0, 1).astype(cd)
 
     # stage 1: v0 with v(y0) = 0
     f1 = f_hat.at[:, 0, :].set(0.0)
