@@ -71,11 +71,13 @@ def build_buffer(y: np.ndarray, spec: BufferSpec, ref_profiles: dict,
         return None
     buf = {}
     if has_j:
-        buf["tau"] = jnp.asarray(tau_profile(y, spec), dtype)[None, :, None]
+        buf["tau"] = np.asarray(tau_profile(y, spec),
+                                np.dtype(jnp.dtype(dtype)))[None, :, None]
         buf["refs"] = {k: jnp.asarray(v, dtype)[None, :, None]
                        for k, v in ref_profiles.items()}
     if has_i:
-        buf["tau_x"] = jnp.asarray(tau_profile_x(x, spec), dtype)[:, None, None]
+        buf["tau_x"] = np.asarray(tau_profile_x(x, spec),
+                                  np.dtype(jnp.dtype(dtype)))[:, None, None]
         refs = ref_inflow if ref_inflow is not None else ref_profiles
         buf["refs_x"] = {k: jnp.asarray(v, dtype)[None, :, None]
                          for k, v in refs.items()}

@@ -118,11 +118,14 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
     }
     if ell_plan is not None:
         P["ell"] = elliptic.device_elliptic_plan(ell_plan, dtype=dtype)
+    # plan constants are HOST numpy: device-resident constants must be
+    # fetched D2H at jit-lowering time, which the axon tunnel cannot do
+    nt = np.dtype(jnp.dtype(dtype))
     for name, plan in (("x", fdm.x), ("y", fdm.y), ("z", fdm.z)):
         if plan.size > 1:
-            P[f"d1{name}"] = jnp.asarray(plan.d1[BC.DD], dtype)
-            P[f"d12{name}"] = jnp.asarray(plan.d12[BC.DD], dtype)
-            P[f"iod{name}"] = jnp.asarray(1.0 / plan.jac, dtype)
+            P[f"d1{name}"] = np.asarray(plan.d1[BC.DD], nt)
+            P[f"d12{name}"] = np.asarray(plan.d12[BC.DD], nt)
+            P[f"iod{name}"] = np.asarray(1.0 / plan.jac, nt)
 
     # wall-tendency BC rows along y (meaningless on periodic y)
     def rows_for(pair):
@@ -133,8 +136,10 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
         nb, nt = neumann_value_rows(fdm.y, bot or top, bot or top)
         # reference uses the matched-ibc reduction; for mixed cases the
         # difference is only in the far-wall rows which are unused
-        return {"nb": jnp.asarray(nb, dtype) if bot else None,
-                "nt": jnp.asarray(nt, dtype) if top else None}
+        return {"nb": np.asarray(nb, np.dtype(jnp.dtype(dtype)))
+                if bot else None,
+                "nt": np.asarray(nt, np.dtype(jnp.dtype(dtype)))
+                if top else None}
 
     P["bc_rows"] = {
         "u": rows_for(bcs.u), "v": rows_for(bcs.v), "w": rows_for(bcs.w),

@@ -250,15 +250,16 @@ def device_elliptic_plan(plan: EllipticPlan, dtype=jnp.float32,
                          sizes=None) -> dict:
     """sizes=(nx, nz) enables the matmul-DFT transform path (inferred from
     lam_x when omitted; only possible for even nx)."""
+    nt = np.dtype(jnp.dtype(dtype))
     d = {
-        "V": jnp.asarray(plan.V, dtype),
-        "W": jnp.asarray(plan.W, dtype),
-        "lam_eig": jnp.asarray(plan.lam_eig, dtype),
-        "lam_xz": jnp.asarray(plan.lam_x[:, None] + plan.lam_z[None, :], dtype),
-        "shift": jnp.asarray(plan.shift, dtype),
+        "V": np.asarray(plan.V, nt),
+        "W": np.asarray(plan.W, nt),
+        "lam_eig": np.asarray(plan.lam_eig, nt),
+        "lam_xz": np.asarray(plan.lam_x[:, None] + plan.lam_z[None, :], nt),
+        "shift": np.asarray(plan.shift, nt),
     }
     if plan.S_sing is not None:
-        d["S_sing"] = jnp.asarray(plan.S_sing, dtype)
+        d["S_sing"] = np.asarray(plan.S_sing, nt)
     if sizes is None:
         nx = 2 * (plan.lam_x.shape[0] - 1)
         nz = plan.lam_z.shape[0]

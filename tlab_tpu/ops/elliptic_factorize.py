@@ -140,8 +140,8 @@ def device_factorize_plan(plan: FactorizePlan, dtype=jnp.float32) -> dict:
         "lam_min": np.asarray(plan.emin["lam"], np_c),
         "lam_max": np.asarray(plan.emax["lam"], np_c),
         "shift": float(plan.shift),
-        "kappa": jnp.asarray(kap, dtype),
-        "sing": jnp.asarray(plan.sing),
+        "kappa": np.asarray(kap, np.dtype(jnp.dtype(dtype))),
+        "sing": np.asarray(plan.sing),
     }
     if dft is not None:
         d["dft"] = dft

@@ -64,7 +64,7 @@ def build_filter_matrices(fdm: FdmPlan, spec: FilterSpec, dtype=jnp.float64):
                                     else "erf", spec.parameters)
         else:
             raise NotImplementedError(f"filter type {spec.type}")
-        out[name] = jnp.asarray(M, dtype)
+        out[name] = np.asarray(M, np.dtype(jnp.dtype(dtype)))
     return out
 
 

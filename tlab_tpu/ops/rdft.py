@@ -49,13 +49,14 @@ def build_dft_z(nz: int, dtype=np.float32):
 
 
 def device_rdft_plan(nx: int, nz: int, dtype=jnp.float32):
+    nt = np.dtype(jnp.dtype(dtype))
     C, S, Ci, Si = build_rdft_x(nx, np.float64)
-    out = {"Cx": jnp.asarray(C, dtype), "Sx": jnp.asarray(S, dtype),
-           "Cxi": jnp.asarray(Ci, dtype), "Sxi": jnp.asarray(Si, dtype)}
+    out = {"Cx": np.asarray(C, nt), "Sx": np.asarray(S, nt),
+           "Cxi": np.asarray(Ci, nt), "Sxi": np.asarray(Si, nt)}
     if nz > 1:
         Cz, Sz = build_dft_z(nz, np.float64)
-        out["Cz"] = jnp.asarray(Cz, dtype)
-        out["Sz"] = jnp.asarray(Sz, dtype)
+        out["Cz"] = np.asarray(Cz, nt)
+        out["Sz"] = np.asarray(Sz, nt)
         out["nz"] = nz
     return out
 

@@ -40,10 +40,11 @@ def make_anelastic(case: CaseSetup, grid: Grid, dtype):
     qt_prof = case.scal_profiles[1](y) if len(case.scal_profiles) > 1 \
         else np.zeros_like(y)
     bg = thermo.hydrostatic_background(tp, y, h_prof, qt_prof)
-    dev_bg = {k: jnp.asarray(v, dtype) for k, v in bg.items()}
+    ntp = np.dtype(jnp.dtype(dtype))
+    dev_bg = {k: np.asarray(v, ntp) for k, v in bg.items()}
     return {"tp": tp, "bg": dev_bg,
-            "rho": jnp.asarray(bg["rho"], dtype),
-            "rho_inv": jnp.asarray(bg["rho_inv"], dtype)}
+            "rho": np.asarray(bg["rho"], ntp),
+            "rho_inv": np.asarray(bg["rho_inv"], ntp)}
 
 
 def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
@@ -97,18 +98,19 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
     rad_on = rad.type != "none"
     mic_on = mic.type != "none" and mic.settling != 0.0
     chem_on = chem.type != "none"
+    ntp = np.dtype(jnp.dtype(dtype))
     if rad_on or mic_on:
         Jt, Jb = radmod.cumulative_matrices(grid.y.nodes)
-        Jt = jnp.asarray(Jt, dtype)
-        Jb = jnp.asarray(Jb, dtype)
-    y_dev = jnp.asarray(grid.y.nodes, dtype)
+        Jt = np.asarray(Jt, ntp)
+        Jb = np.asarray(Jb, ntp)
+    y_dev = np.asarray(grid.y.nodes, ntp)
 
     if not (buo_on or cor_on or rad_on or mic_on or chem_on or sub_on):
         return None
 
     if buo_on and not explicit:
         bback = grav.background_profile(buo, case.scal_profiles, grid.y.nodes)
-        bback = jnp.asarray(bback, dtype)
+        bback = np.asarray(bback, ntp)
 
     def sources(P, state, h1, h2, h3, hs):
         if cor_on:
@@ -282,16 +284,17 @@ class Simulation:
             if "ell_fac" in P:
                 del P["ell_fac"]         # staggered solve replaces it
             sd = {}
+            ntp = np.dtype(jnp.dtype(dtype))
             nx = grid.x.size
             hx = grid.x.scale / nx
             for k, M in stg.build_stagger_ops(nx, hx).items():
-                sd[f"{k}x"] = jnp.asarray(M, dtype)
+                sd[f"{k}x"] = np.asarray(M, ntp)
             lam_x = stg.modified_wavenumber(nx, grid.x.scale) ** 2
             if grid.z.size > 1:
                 nz = grid.z.size
                 hz = grid.z.scale / nz
                 for k, M in stg.build_stagger_ops(nz, hz).items():
-                    sd[f"{k}z"] = jnp.asarray(M, dtype)
+                    sd[f"{k}z"] = np.asarray(M, ntp)
                 wz = stg.modified_wavenumber(nz, grid.z.scale)
                 k = np.arange(nz)
                 lam_z = wz[np.minimum(k, nz - k)] ** 2   # full-fft ordering
