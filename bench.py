@@ -69,7 +69,10 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         out = step_n(state, tables)
-        jax.block_until_ready(out)
+        # fetch a scalar: forces a real device sync even when the axon
+        # tunnel's readiness check is degraded (block_until_ready alone
+        # has been observed to return early in that state)
+        float(jnp.sum(out.u))
         best = min(best, time.perf_counter() - t0)
     dt_wall = best / n_steps
 
