@@ -65,15 +65,29 @@ def main():
     state = step_n(state, tables)                # compile + warmup
     jax.block_until_ready(state)
 
-    best = float("inf")
-    for _ in range(3):
+    def timed_once(sync_fetch: bool):
         t0 = time.perf_counter()
         out = step_n(state, tables)
-        # fetch a scalar: forces a real device sync even when the axon
-        # tunnel's readiness check is degraded (block_until_ready alone
-        # has been observed to return early in that state)
-        float(jnp.sum(out.u))
-        best = min(best, time.perf_counter() - t0)
+        if sync_fetch:
+            # fetch a scalar: forces a real device sync even when the axon
+            # tunnel's readiness check is degraded (block_until_ready has
+            # been observed to return early in that state)
+            float(jnp.sum(out.u))
+        else:
+            jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    try:
+        best = min(timed_once(True) for _ in range(3))
+    except Exception:
+        # wedged-tunnel fallback: block_until_ready timing, accepted only
+        # if physically plausible (a substep of this size cannot run
+        # faster than ~20 ms on one v5e chip)
+        best = min(timed_once(False) for _ in range(3))
+        if best / n_steps / n_sub < 0.020:
+            raise SystemExit(
+                "bench: device sync unavailable (axon tunnel degraded); "
+                "timing implausible, refusing to report")
     dt_wall = best / n_steps
 
     npts = nx * ny * nz
