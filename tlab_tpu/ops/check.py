@@ -29,6 +29,18 @@ def opr_check(sim) -> dict:
     out["fft_roundtrip_residual"] = float(jnp.max(jnp.abs(u_back - u)))
     out["fft_time_s"] = time.perf_counter() - t0
 
+    # matmul-DFT round-trip (the f32 production transform; XLA's TPU FFT
+    # is only ~bf16-accurate for f32, see ops/rdft.py)
+    if sim.grid.x.periodic and nx % 2 == 0:
+        from tlab_tpu.ops import rdft
+        t0 = time.perf_counter()
+        plan = rdft.device_rdft_plan(nx, nz, sim.dtype)
+        re, im = rdft.forward_parts(plan, u)
+        back = rdft.backward_parts(plan, re, im)
+        jax.block_until_ready(back)
+        out["rdft_roundtrip_residual"] = float(jnp.max(jnp.abs(back - u)))
+        out["rdft_time_s"] = time.perf_counter() - t0
+
     # derivative of a linear function is exact
     X = jnp.asarray(sim.grid.x.nodes, sim.dtype)[:, None, None]
     from tlab_tpu.dycore import incompressible as dyn
