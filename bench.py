@@ -65,26 +65,22 @@ def main():
     state = step_n(state, tables)                # compile + warmup
     jax.block_until_ready(state)
 
-    def timed_once(sync_fetch: bool):
+    best = float("inf")
+    out = state
+    for _ in range(3):
         t0 = time.perf_counter()
         out = step_n(state, tables)
-        if sync_fetch:
-            # fetch a scalar: forces a real device sync even when the axon
-            # tunnel's readiness check is degraded (block_until_ready has
-            # been observed to return early in that state)
-            float(jnp.sum(out.u))
-        else:
-            jax.block_until_ready(out)
-        return time.perf_counter() - t0
-
-    try:
-        best = min(timed_once(True) for _ in range(3))
-    except Exception:
-        # wedged-tunnel fallback: block_until_ready timing, accepted only
-        # if physically plausible (a substep of this size cannot run
-        # faster than ~20 ms on one v5e chip)
-        best = min(timed_once(False) for _ in range(3))
-        if best / n_steps / n_sub < 0.020:
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    # validity: a substep of this size cannot run faster than ~20 ms on one
+    # v5e chip; when the axon tunnel is degraded, block_until_ready has
+    # been observed to return without syncing (garbage timings), so an
+    # implausible result is refused unless a real scalar fetch confirms it
+    plausible = best / n_steps / n_sub >= 0.020
+    if not plausible:
+        try:
+            float(jnp.sum(out.u))   # true device sync (D2H)
+        except Exception:
             raise SystemExit(
                 "bench: device sync unavailable (axon tunnel degraded); "
                 "timing implausible, refusing to report")
