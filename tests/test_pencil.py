@@ -103,3 +103,60 @@ def test_pencil_wire_precision_option():
     out = jax.jit(lambda st: dyn.rk_step(P, st, 1e-3)[0])(state)
     err = np.max(np.abs(np.asarray(out32.u) - np.asarray(out.u)))
     assert 1e-14 < err < 1e-4, err
+
+
+def test_pencil_poisson_matmul_dft():
+    """The distributed Poisson with matmul-DFT transforms matches the
+    jnp.fft path to f32 accuracy on the 8-device mesh."""
+    import os
+    import functools
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+    from tlab_tpu.constants import BC
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.ops import elliptic
+    from tlab_tpu.parallel import make_mesh, pencil
+
+    px, pz = 4, 2
+    mesh = make_mesh(px, pz)
+    grid = uniform_grid(32, 17, 16, 2 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    plan = elliptic.build_elliptic_plan(fdm, ibc=BC.NN)
+    outs = {}
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.standard_normal((32, 17, 16)), jnp.float32)
+    old = os.environ.get("TLAB_TPU_POISSON_TRANSFORM")
+    try:
+        for mode in ("fft", "matmul"):
+            os.environ["TLAB_TPU_POISSON_TRANSFORM"] = mode
+            dev = elliptic.device_elliptic_plan(plan, jnp.float32)
+            # augment like make_pencil_step does
+            lam_x = np.asarray(dev["lam_xz"][:, 0])
+            nkx = lam_x.shape[0]
+            nkx_pad = -(-nkx // (px * pz)) * (px * pz)
+            dev = dict(dev)
+            dev["lam_x_pad"] = jnp.asarray(np.concatenate(
+                [lam_x, np.full(nkx_pad - nkx, 1e6, lam_x.dtype)]))
+            dev["nkx_pad"] = nkx_pad
+            dev["lam_z"] = jnp.asarray(np.asarray(dev["lam_xz"])[0, :]
+                                       - lam_x[0])
+            comm = {"px": px, "pz": pz, "wire": None}
+            sh = NamedSharding(mesh, PSpec("x", None, "z"))
+            fd = jax.device_put(f, sh)
+
+            @functools.partial(shard_map, mesh=mesh,
+                               in_specs=(PSpec("x", None, "z"),),
+                               out_specs=PSpec("x", None, "z"),
+                               check_vma=False)
+            def solve(fl):
+                return pencil.pencil_poisson(dev, fl, comm)
+
+            outs[mode] = np.asarray(jax.jit(solve)(fd))
+    finally:
+        if old is None:
+            os.environ.pop("TLAB_TPU_POISSON_TRANSFORM", None)
+        else:
+            os.environ["TLAB_TPU_POISSON_TRANSFORM"] = old
+    scale = np.abs(outs["fft"]).max()
+    assert np.abs(outs["matmul"] - outs["fft"]).max() < 3e-5 * max(scale, 1)

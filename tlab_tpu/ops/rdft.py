@@ -86,3 +86,25 @@ def backward_parts(plan: dict, re, im):
         re, im = ((_mm(plan["Cz"], re, 2) + _mm(plan["Sz"], im, 2)) / nz,
                   (_mm(plan["Cz"], im, 2) - _mm(plan["Sz"], re, 2)) / nz)
     return _mm(plan["Cxi"], re, 0) + _mm(plan["Sxi"], im, 0)
+
+
+# -- split-direction variants (distributed pencil path: the z transform
+# happens after an all-to-all, so x and z are applied separately) ----------
+
+def forward_x_parts(plan: dict, f):
+    return _mm(plan["Cx"], f, 0), _mm(plan["Sx"], f, 0)
+
+
+def backward_x_parts(plan: dict, re, im):
+    return _mm(plan["Cxi"], re, 0) + _mm(plan["Sxi"], im, 0)
+
+
+def fft_z_parts(plan: dict, re, im):
+    return (_mm(plan["Cz"], re, 2) - _mm(plan["Sz"], im, 2),
+            _mm(plan["Sz"], re, 2) + _mm(plan["Cz"], im, 2))
+
+
+def ifft_z_parts(plan: dict, re, im):
+    nz = plan["nz"]
+    return ((_mm(plan["Cz"], re, 2) + _mm(plan["Sz"], im, 2)) / nz,
+            (_mm(plan["Cz"], im, 2) - _mm(plan["Sz"], re, 2)) / nz)

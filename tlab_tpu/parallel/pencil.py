@@ -97,14 +97,26 @@ def pencil_poisson(plan_dev, f, comm, bcs_b=None, bcs_t=None, d1y=None):
 
     # forward: x lines
     fg = gather_x(f)                              # (nx, ny, nzl/px)
-    fh = jnp.fft.rfft(fg, axis=0)                 # (nkx, ny, nzl/px)
+    dft = plan_dev.get("dft")
+    use_dft = dft is not None and nx == dft["Cx"].shape[1]
+    if use_dft:
+        from tlab_tpu.ops import rdft
+        fre, fim = rdft.forward_x_parts(dft, fg)
+        fh = fre + 1j * fim
+    else:
+        fh = jnp.fft.rfft(fg, axis=0)             # (nkx, ny, nzl/px)
     nkx = nx // 2 + 1
     nkx_pad = plan_dev["nkx_pad"]
     fh = jnp.pad(fh, ((0, nkx_pad - nkx), (0, 0), (0, 0)))
     fh = scatter_x(fh)                            # (nkx_pad/px, ny, nzl)
     fh = gather_z(fh)                             # (nkx_pad/(px pz), ny, nz)
     if f.shape[2] * pz > 1:
-        fh = jnp.fft.fft(fh, axis=2)
+        if use_dft and "Cz" in dft:
+            from tlab_tpu.ops import rdft
+            zr, zi = rdft.fft_z_parts(dft, jnp.real(fh), jnp.imag(fh))
+            fh = zr + 1j * zi
+        else:
+            fh = jnp.fft.fft(fh, axis=2)
 
     # vertical modal solve with the local lambda slice
     chunk = nkx_pad // (px * pz)
@@ -130,11 +142,20 @@ def pencil_poisson(plan_dev, f, comm, bcs_b=None, bcs_t=None, d1y=None):
 
     # backward
     if f.shape[2] * pz > 1:
-        uh = jnp.fft.ifft(uh, axis=2)
+        if use_dft and "Cz" in dft:
+            from tlab_tpu.ops import rdft
+            zr, zi = rdft.ifft_z_parts(dft, jnp.real(uh), jnp.imag(uh))
+            uh = zr + 1j * zi
+        else:
+            uh = jnp.fft.ifft(uh, axis=2)
     uh = scatter_z(uh)                            # (nkx_pad/px, ny, nzl)
     uh = gather_x(uh)                             # hm: inverse of scatter_x
     uh = uh[:nkx]
-    pg = jnp.fft.irfft(uh, n=nx, axis=0)          # (nx, ny, nzl/px)
+    if use_dft:
+        from tlab_tpu.ops import rdft
+        pg = rdft.backward_x_parts(dft, jnp.real(uh), jnp.imag(uh))
+    else:
+        pg = jnp.fft.irfft(uh, n=nx, axis=0)      # (nx, ny, nzl/px)
     p = scatter_x(pg).astype(f.dtype)             # (nxl, ny, nzl)
     if d1y is not None:
         from tlab_tpu.ops.derivative import der1
