@@ -168,3 +168,27 @@ FluxTop=0.2
     assert np.isfinite(np.asarray(st.s)).all()
     ds = np.asarray(st.s[0]) - s0
     assert np.max(np.abs(ds)) > 0.0
+
+
+def test_band_radiation_run():
+    """Anelastic run with two-band radiation configured from the INI."""
+    txt = INI_TEXT + """
+[Infrared]
+Type=band
+Scalar=1
+Kappa=5.0
+AbsorptionKappas=5.0,2.0
+KappaGas=0.01
+BetaCoefficient1=0.6,0.0,0.0
+BetaCoefficient2=0.4,0.0,0.0
+Beta=0.1
+FluxTop=0.2
+"""
+    from tlab_tpu.tools.initialize import initial_state
+    sim = Simulation.from_case(load_case(Ini(text=txt)))
+    st = initial_state(sim, seed=3)
+    s0 = np.asarray(st.s[0]).copy()
+    for _ in range(2):
+        st, _ = dyn.rk_step(sim.P, st, 5e-4)
+    assert np.isfinite(np.asarray(st.s)).all()
+    assert np.max(np.abs(np.asarray(st.s[0]) - s0)) > 0.0

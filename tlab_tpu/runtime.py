@@ -66,6 +66,15 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
     explicit = buo_on and buo.type == "explicit" and anelastic is not None
 
     ini = case.ini
+    rad_bands = []
+    ib = 1
+    while True:
+        coefs = ini.get_floats("Infrared", f"BetaCoefficient{ib}", ())
+        if not coefs:
+            break
+        rad_bands.append((tuple(coefs) + (0.0, 0.0, 0.0))[:3])
+        ib += 1
+    rad_kappas = ini.get_floats("Infrared", "AbsorptionKappas", ())
     rad = radmod.RadiationProps(
         type=ini.get("Infrared", "Type",
                      ini.get("Radiation", "Type", "none")).lower(),
@@ -153,6 +162,18 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                     b_f = rad.beta * T_f ** 4
                     src = radmod.infrared_gray_source(
                         rad, y_dev, a_f, b_f, emissivity=rad.emissivity)
+                elif rad.type == "band" and anelastic is not None \
+                        and rad_bands:
+                    # multi-band: per-band kappa on the liquid path +
+                    # polynomial emission fractions (reference TYPE_IR_BAND)
+                    T_f = diag["T"]
+                    kaps = tuple(rad_kappas) + (rad.kappa,) * (
+                        len(rad_bands) - len(rad_kappas))
+                    a_bands = [k * ql * rho_b[None, :, None] + rad.kappa_g
+                               for k in kaps[: len(rad_bands)]]
+                    src = radmod.infrared_band_source(
+                        rad, y_dev, a_bands, T_f, rad_bands,
+                        emissivity=rad.emissivity)
                 else:
                     src = radmod.infrared_source(rad, Jt, Jb, ql, rho_b)
                 hs = hs.at[rad.scalar].add(src)
