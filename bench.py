@@ -55,13 +55,14 @@ def main():
     n_steps = 5
     # precompute the factorize response tables ON DEVICE and feed them as a
     # traced argument (too large to bake into the graph as constants)
-    tables = jax.jit(fac.build_tables)(P["ell_fac"])
+    tables = fac.materialize_tables(P["ell_fac"])   # None -> inline rebuild
     # time a single device dispatch with the steps inside a fori_loop so
     # host<->device link latency (axon tunnel) cannot pollute the timing
+    aux_of = (lambda tb: {"fac_tables": tb}) if tables is not None \
+        else (lambda tb: None)
     step_n = jax.jit(lambda st, tb: jax.lax.fori_loop(
         0, n_steps,
-        lambda i, s: dyn.rk_step(P, s, 5e-4,
-                                 aux={"fac_tables": tb})[0], st))
+        lambda i, s: dyn.rk_step(P, s, 5e-4, aux=aux_of(tb))[0], st))
     state = step_n(state, tables)                # compile + warmup
     jax.block_until_ready(state)
 

@@ -201,6 +201,20 @@ def build_tables(dev: dict, cd=None):
             "sp": jnp.real(sp)}
 
 
+def materialize_tables(dev: dict, dtype=jnp.float32):
+    """build_tables + a host round-trip so the result consists of plain
+    device_put arrays: on the axon backend, outputs of one executable
+    cannot be fed as arguments to another (Unimplemented); falls back to
+    None (solver rebuilds tables inline) if any step fails."""
+    try:
+        import jax
+        tb = jax.jit(build_tables)(dev)
+        host = jax.tree_util.tree_map(np.asarray, tb)
+        return jax.tree_util.tree_map(jnp.asarray, host)
+    except Exception:
+        return None
+
+
 def solve_modal_factorize(dev: dict, f_hat, gb, gt, tables=None):
     """p and dpdy per mode for p'' - kappa^2 p = f, p'(walls) = gb/gt.
 

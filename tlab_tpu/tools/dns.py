@@ -98,7 +98,7 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
     tables = None
     if P.get("ell_fac") is not None:
         from tlab_tpu.ops import elliptic_factorize as fac
-        tables = jax.jit(fac.build_tables)(P["ell_fac"])
+        tables = fac.materialize_tables(P["ell_fac"])
 
     def _aux(extra=None):
         aux = dict(extra) if extra else {}
