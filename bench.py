@@ -5,10 +5,17 @@ Prints ONE JSON line. Baseline: the reference's JUWELS strong-scaling table
 substep (fp64, full physics-off shear layer, RK4-5). vs_baseline compares a
 single TPU chip against 0.8 M pts/s/node (the reference's best per-node
 figure, 1536^3 @ 8 nodes).
+
+Robustness: the axon tunnel has failed at dispatch before (round-1 driver:
+UNIMPLEMENTED at the factorize-tables path). Each projection variant is
+pre-flighted (compile + execute + real scalar D2H fetch) inside try/except
+and we fall back: factorize+precomputed-tables -> factorize inline-rebuild
+-> direct eigen projection. Whichever survives is timed.
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -33,11 +40,6 @@ def main():
     bcs = dyn.WallBCs.from_velocity_kind(
         "freeslip", "freeslip", scalar_bcs=(("neumann", "neumann"),))
     P = dyn.build_device_plans(fdm, nsp, bcs, dtype=dtype)
-    # production projection: factorized formulation (round-off divergence
-    # removal), as Simulation.from_case defaults
-    from tlab_tpu.ops import elliptic_factorize as fac
-    P["ell_fac"] = fac.device_factorize_plan(fac.build_factorize_plan(fdm),
-                                             dtype)
 
     key = jax.random.PRNGKey(0)
     ku, kv, kw = jax.random.split(key, 3)
@@ -49,22 +51,55 @@ def main():
     def noise(k):
         return 0.01 * env * jax.random.normal(k, (nx, ny, nz), dtype)
 
-    state = State(u=prof + noise(ku), v=noise(kv), w=noise(kw),
-                  s=(0.5 - prof)[None] * jnp.ones((1, nx, ny, nz), dtype))
+    state0 = State(u=prof + noise(ku), v=noise(kv), w=noise(kw),
+                   s=(0.5 - prof)[None] * jnp.ones((1, nx, ny, nz), dtype))
+    jax.block_until_ready(state0)
 
     n_steps = 5
-    # precompute the factorize response tables ON DEVICE and feed them as a
-    # traced argument (too large to bake into the graph as constants)
-    tables = fac.materialize_tables(P["ell_fac"])   # None -> inline rebuild
-    # time a single device dispatch with the steps inside a fori_loop so
-    # host<->device link latency (axon tunnel) cannot pollute the timing
-    aux_of = (lambda tb: {"fac_tables": tb}) if tables is not None \
-        else (lambda tb: None)
-    step_n = jax.jit(lambda st, tb: jax.lax.fori_loop(
-        0, n_steps,
-        lambda i, s: dyn.rk_step(P, s, 5e-4, aux=aux_of(tb))[0], st))
-    state = step_n(state, tables)                # compile + warmup
-    jax.block_until_ready(state)
+
+    # ---- candidate projection paths, most accurate/fastest first ----------
+    from tlab_tpu.ops import elliptic_factorize as fac
+    candidates = []
+    try:
+        P_fac = dict(P)
+        P_fac["ell_fac"] = fac.device_factorize_plan(
+            fac.build_factorize_plan(fdm), dtype)
+        tables = fac.materialize_tables(P_fac["ell_fac"])
+        if tables is not None:
+            candidates.append(("factorize+tables", P_fac, tables))
+        candidates.append(("factorize-inline", P_fac, None))
+    except Exception as e:                      # plan build itself failed
+        print(f"bench: factorize plan unavailable: {e!r}", file=sys.stderr)
+    candidates.append(("direct", P, None))
+
+    def make_step(Pv):
+        def step_n(st, tb):
+            aux = None if tb is None else {"fac_tables": tb}
+            return jax.lax.fori_loop(
+                0, n_steps,
+                lambda i, s: dyn.rk_step(Pv, s, 5e-4, aux=aux)[0], st)
+        return jax.jit(step_n)
+
+    step_n = state = tables = None
+    chosen = None
+    for name, Pv, tb in candidates:
+        try:
+            fn = make_step(Pv)
+            out = fn(state0, tb)                # compile + warmup execute
+            jax.block_until_ready(out)
+            val = float(jnp.sum(out.u))         # true D2H fetch
+            if not np.isfinite(val):
+                raise RuntimeError(f"non-finite warmup result {val}")
+            step_n, state, tables, chosen = fn, out, tb, name
+            break
+        except SystemExit:
+            raise
+        except Exception as e:
+            print(f"bench: path '{name}' failed pre-flight: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+    if step_n is None:
+        raise SystemExit("bench: every projection path failed pre-flight")
+    print(f"bench: timing path '{chosen}'", file=sys.stderr)
 
     best = float("inf")
     out = state

@@ -152,11 +152,11 @@ def test_gray_radiation_run():
 [Infrared]
 Type=gray
 Scalar=1
-Kappa=5.0
-KappaVapor=0.1
-KappaGas=0.01
+BoundaryConditions=0.2, 1.0
+AbsorptionComponent1=5.0
+AbsorptionComponent2=0.1
+AbsorptionComponent3=0.01
 Beta=0.1
-FluxTop=0.2
 """
     from tlab_tpu.tools.initialize import initial_state
     sim = Simulation.from_case(load_case(Ini(text=txt)))
@@ -176,13 +176,14 @@ def test_band_radiation_run():
 [Infrared]
 Type=band
 Scalar=1
-Kappa=5.0
-AbsorptionKappas=5.0,2.0
-KappaGas=0.01
-BetaCoefficient1=0.6,0.0,0.0
-BetaCoefficient2=0.4,0.0,0.0
+BoundaryConditions=0.2, 0.1, 1.0
+AbsorptionComponent1=5.0, 2.0
+AbsorptionComponent2=0.1, 0.05
+AbsorptionComponent3=0.01, 0.0
+BetaCoefficient1=0.6
+BetaCoefficient2=0.0
+BetaCoefficient3=0.0
 Beta=0.1
-FluxTop=0.2
 """
     from tlab_tpu.tools.initialize import initial_state
     sim = Simulation.from_case(load_case(Ini(text=txt)))

@@ -104,8 +104,9 @@ def test_gray_radiation_limits():
     a = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nz))) + 0.5)
 
     # (a) no emission -> S = a F_top exp(-tau_top) (downward only)
+    # mu=1 disables the mean-direction factor for the analytic comparison
     props = rad.RadiationProps(type="gray", kappa=1.0, flux_top=2.0,
-                               flux_bottom=0.0)
+                               flux_bottom=0.0, mu=1.0)
     src = rad.infrared_gray_source(props, y, a, jnp.zeros_like(a),
                                    emissivity=1.0)
     Jt, Jb = rad.cumulative_matrices(y)
@@ -118,7 +119,7 @@ def test_gray_radiation_limits():
     # (b) isothermal equilibrium: b = const = flux_top, black surface
     b0 = 1.7
     b = jnp.full((nx, ny, nz), b0)
-    props = rad.RadiationProps(type="gray", flux_top=b0)
+    props = rad.RadiationProps(type="gray", flux_top=b0, mu=1.0)
     src, fdn, fup = rad.infrared_gray_source(props, y, a, b,
                                              emissivity=1.0,
                                              return_fluxes=True)
@@ -138,6 +139,7 @@ def test_band_radiation_reduces_to_gray():
     a = jnp.asarray(np.abs(rng.standard_normal((3, ny, 2))) + 0.3)
     T = jnp.asarray(1.0 + 0.1 * rng.standard_normal((3, ny, 2)))
     props = rad.RadiationProps(type="band", beta=0.5, flux_top=1.0)
+    assert abs(props.mu - 0.5 * (3 ** -0.5 + 2 ** -0.5)) < 1e-15
     gray = rad.infrared_gray_source(props, y, a, 0.5 * T ** 4)
     one_band = rad.infrared_band_source(props, y, [a], T,
                                         [(1.0, 0.0, 0.0)])
@@ -148,3 +150,59 @@ def test_band_radiation_reduces_to_gray():
     # compare against gray with doubled boundary contribution instead
     # -> just check finiteness and ordering here
     assert np.isfinite(np.asarray(two)).all()
+
+
+def test_gray_mu_mean_direction():
+    """The gray RTE divides the absorption by the reference's mean
+    direction mu = (1/sqrt(3)+1/sqrt(2))/2 (radiation.f90:204,469):
+    running with (a, mu=mu0) must equal running with (a/mu0, mu=1)."""
+    from tlab_tpu.physics import radiation as rad
+    ny = 65
+    y = np.linspace(0.0, 1.0, ny)
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(np.abs(rng.standard_normal((2, ny, 2))) + 0.2)
+    b = jnp.asarray(np.abs(rng.standard_normal((2, ny, 2))))
+    p_ref = rad.RadiationProps(type="gray", flux_top=1.0)
+    p_one = rad.RadiationProps(type="gray", flux_top=1.0, mu=1.0)
+    s1 = rad.infrared_gray_source(p_ref, y, a, b)
+    s2 = rad.infrared_gray_source(p_one, y, a / p_ref.mu, b)
+    assert np.max(np.abs(np.asarray(s1 - s2))) < 1e-12
+
+
+def test_gray_optically_thick_f32_no_overflow():
+    """Optically thick layers (tau >> 88) stay finite in float32: the
+    emission recurrence must not contain any exp(+tau) factor (ADVICE r1)."""
+    from tlab_tpu.physics import radiation as rad
+    ny = 33
+    y = np.linspace(0.0, 1.0, ny)
+    a = jnp.full((2, ny, 2), 5000.0, jnp.float32)     # tau_layer ~ 150
+    b = jnp.full((2, ny, 2), 1.0, jnp.float32)
+    props = rad.RadiationProps(type="gray", flux_top=1.0)
+    src, fdn, fup = rad.infrared_gray_source(props, y, a, b,
+                                             return_fluxes=True,
+                                             emissivity=1.0)
+    assert np.isfinite(np.asarray(src)).all()
+    assert np.isfinite(np.asarray(fdn)).all()
+    assert np.isfinite(np.asarray(fup)).all()
+
+
+def test_derive_band_tables_reference_layout():
+    """[Infrared] parsing follows radiation.f90:117-163: nbands from the
+    BoundaryConditions list (last value = emissivity), coefficient-major
+    BetaCoefficient rows, last band derived from sum beta = 1."""
+    from tlab_tpu.physics import radiation as rad
+    bcs = (0.3, 0.2, 0.9)                     # 2 bands + emissivity
+    comps = [(1.0, 2.0), (0.1, 0.2), (0.01, 0.02)]
+    beta_rows = [(0.6,), (1e-3,), (1e-6,)]    # nbands-1 = 1 value each
+    nb, eps, tops, kt, bt = rad.derive_band_tables(bcs, comps, beta_rows)
+    assert nb == 2 and eps == 0.9 and tops == (0.3, 0.2)
+    assert kt == ((1.0, 2.0), (0.1, 0.2), (0.01, 0.02))
+    assert np.allclose(bt[0], (0.6, 1e-3, 1e-6))
+    # last band closes sum(beta) = (1, 0, 0)
+    assert np.allclose(np.asarray(bt[0]) + np.asarray(bt[1]), (1.0, 0.0, 0.0))
+    # defaults: Jeevanjee coefficients when no rows given
+    nb2, _, _, _, bt2 = rad.derive_band_tables((1.0, 1.0, 1.0), [], [(), (), ()])
+    assert nb2 == 2
+    assert np.allclose(bt2[0], rad.BETA_DEFAULT_BAND1)
+    assert np.allclose(np.asarray(bt2[0]) + np.asarray(bt2[1]),
+                       (1.0, 0.0, 0.0))

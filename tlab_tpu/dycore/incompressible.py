@@ -97,7 +97,8 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
                        rk_name: str = "RungeKuttaExplicit4",
                        dtype=jnp.float32,
                        ell_plan: Optional[elliptic.EllipticPlan] = None,
-                       bodyforce=None, with_elliptic: bool = True) -> dict:
+                       bodyforce=None, with_elliptic: bool = True,
+                       wall_refs=None) -> dict:
     """Assemble the jit-ready pytree of operator matrices and coefficients.
 
     with_elliptic=False skips the Poisson plan (compressible mode, which has
@@ -146,6 +147,11 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
         "s": tuple(rows_for(p) for p in bcs.s),
     }
     P["wall_bc_types"] = {"u": bcs.u, "v": bcs.v, "w": bcs.w, "s": bcs.s}
+    # Dirichlet wall reference values (reference BcsFlowJmin/Jmax%ref,
+    # boundary_bcs.f90; zero = no-slip default). Stored as plain floats so
+    # the pinning is mesh-global and drift-free.
+    P["wall_refs"] = wall_refs or {"u": (0.0, 0.0), "v": (0.0, 0.0),
+                                   "w": (0.0, 0.0)}
     P["diffusion_constant"] = timemarch.diffusion_constant(fdm, nsp)
     P["bodyforce"] = bodyforce
     return P
@@ -456,14 +462,16 @@ def _enforce_wall_values(P, state: State) -> State:
     if P["sizes"][1] == 1 or P.get("y_periodic", False):
         return state
     kinds = P["wall_bc_types"]
+    refs = P.get("wall_refs") or {"u": (0.0, 0.0), "v": (0.0, 0.0),
+                                  "w": (0.0, 0.0)}
     u, v, w = state.u, state.v, state.w
     for j, side in ((0, 0), (-1, 1)):
         if kinds["v"][side] == "dirichlet":
-            v = v.at[:, j, :].set(0.0)
+            v = v.at[:, j, :].set(refs["v"][side])
         if kinds["u"][side] == "dirichlet":
-            u = u.at[:, j, :].set(u[:, j, :] * 0.0 + jnp.mean(u[:, j, :]))
+            u = u.at[:, j, :].set(refs["u"][side])
         if kinds["w"][side] == "dirichlet":
-            w = w.at[:, j, :].set(w[:, j, :] * 0.0 + jnp.mean(w[:, j, :]))
+            w = w.at[:, j, :].set(refs["w"][side])
     return State(u=u, v=v, w=w, s=state.s)
 
 

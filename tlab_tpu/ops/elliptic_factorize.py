@@ -205,10 +205,16 @@ def materialize_tables(dev: dict, dtype=jnp.float32):
     """build_tables + a host round-trip so the result consists of plain
     device_put arrays: on the axon backend, outputs of one executable
     cannot be fed as arguments to another (Unimplemented); falls back to
-    None (solver rebuilds tables inline) if any step fails."""
+    None (solver rebuilds tables inline) if any step fails.
+
+    The plan is CLOSED OVER (zero-argument jit), never passed as a jit
+    argument: axon cannot device_put complex arrays (H2D Unimplemented),
+    but complex host-numpy constants folded into the HLO are fine --
+    and a failed dispatch wedges the axon client for the whole process,
+    so this must not be allowed to fail."""
     try:
         import jax
-        tb = jax.jit(build_tables)(dev)
+        tb = jax.jit(lambda: build_tables(dev))()
         host = jax.tree_util.tree_map(np.asarray, tb)
         return jax.tree_util.tree_map(jnp.asarray, host)
     except Exception:

@@ -66,26 +66,50 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
     explicit = buo_on and buo.type == "explicit" and anelastic is not None
 
     ini = case.ini
-    rad_bands = []
-    ib = 1
+    # reference [Infrared] layout (radiation.f90:117-163):
+    # BoundaryConditions = per-band downward top fluxes, LAST value is the
+    # surface emissivity; AbsorptionComponent<c> = per-band kappas of the
+    # c-th radiatively active component (1 liquid, 2 vapor, 3 constant);
+    # BetaCoefficient<ic> = the ic-th polynomial coefficient across bands
+    # 1..nbands-1 (coefficient-major; last band derived from sum beta = 1)
+    rad_bcs = ini.get_floats("Infrared", "BoundaryConditions", ())
+    rad_comps = []
+    _c = 1
     while True:
-        coefs = ini.get_floats("Infrared", f"BetaCoefficient{ib}", ())
-        if not coefs:
+        row = ini.get_floats("Infrared", f"AbsorptionComponent{_c}", ())
+        if not row:
             break
-        rad_bands.append((tuple(coefs) + (0.0, 0.0, 0.0))[:3])
-        ib += 1
-    rad_kappas = ini.get_floats("Infrared", "AbsorptionKappas", ())
+        rad_comps.append(row)
+        _c += 1
+    rad_beta_rows = [ini.get_floats("Infrared", f"BetaCoefficient{i}", ())
+                     for i in (1, 2, 3)]
+    nbands, eps_sfc, bcs_top, kappa_table, beta_table = \
+        radmod.derive_band_tables(rad_bcs or (1.0, 1.0), rad_comps,
+                                  rad_beta_rows)
+    ref_layout = bool(rad_bcs) or bool(rad_comps)
+    # legacy scalar keys honoured when the reference keys are absent
+    kap_l = kappa_table[0][0] if rad_comps else \
+        ini.get_float("Infrared", "Kappa", 1.0)
+    kap_v = kappa_table[1][0] if len(rad_comps) > 1 else \
+        ini.get_float("Infrared", "KappaVapor", 0.0)
+    kap_g = kappa_table[2][0] if len(rad_comps) > 2 else \
+        ini.get_float("Infrared", "KappaGas", 0.0)
     rad = radmod.RadiationProps(
         type=ini.get("Infrared", "Type",
                      ini.get("Radiation", "Type", "none")).lower(),
         scalar=ini.get_int("Infrared", "Scalar", 1) - 1,
-        kappa=ini.get_float("Infrared", "Kappa", 1.0),
-        kappa_v=ini.get_float("Infrared", "KappaVapor", 0.0),
-        kappa_g=ini.get_float("Infrared", "KappaGas", 0.0),
+        kappa=kap_l, kappa_v=kap_v, kappa_g=kap_g,
         beta=ini.get_float("Infrared", "Beta", 1.0),
-        emissivity=ini.get_float("Infrared", "Emissivity", 1.0),
-        flux_top=ini.get_float("Infrared", "FluxTop", 1.0),
-        flux_bottom=ini.get_float("Infrared", "FluxBottom", 0.0))
+        emissivity=eps_sfc if ref_layout else
+        ini.get_float("Infrared", "Emissivity", 1.0),
+        flux_top=bcs_top[0] if rad_bcs else
+        ini.get_float("Infrared", "FluxTop", 1.0),
+        # grayliquid reads the SECOND BoundaryConditions value as the
+        # upward bottom flux (radiation.f90:277-278, auxiliar(2))
+        flux_bottom=rad_bcs[1] if len(rad_bcs) > 1 else
+        ini.get_float("Infrared", "FluxBottom", 0.0),
+        nbands=nbands, kappa_table=kappa_table, beta_table=beta_table,
+        bcs_top=bcs_top)
     mic = micmod.MicrophysicsProps(
         type=ini.get("Sedimentation", "Type",
                      ini.get("Microphysics", "Type", "none")).lower(),
@@ -152,28 +176,36 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                 rho_b = jnp.ones_like(y_dev)
             if rad_on:
                 if rad.type == "gray" and anelastic is not None:
-                    # gray RTE with emission b = beta T^4 (nondim), vapor +
-                    # background-gas absorption (reference TYPE_IR_GRAY)
+                    # gray RTE with emission b = beta T^4 (nondim);
+                    # absorption rho_bar (k_l ql + k_v qv + k_g), the
+                    # anelastic weight on the WHOLE sum as in the
+                    # reference (radiation.f90:299-301)
                     qv = diag["qv"] if "qv" in diag else \
                         state.s[-1] - ql
                     T_f = diag["T"]
-                    a_f = (rad.kappa * ql + rad.kappa_v * qv) \
-                        * rho_b[None, :, None] + rad.kappa_g
+                    a_f = (rad.kappa * ql + rad.kappa_v * qv
+                           + rad.kappa_g) * rho_b[None, :, None]
                     b_f = rad.beta * T_f ** 4
                     src = radmod.infrared_gray_source(
                         rad, y_dev, a_f, b_f, emissivity=rad.emissivity)
-                elif rad.type == "band" and anelastic is not None \
-                        and rad_bands:
-                    # multi-band: per-band kappa on the liquid path +
-                    # polynomial emission fractions (reference TYPE_IR_BAND)
+                elif rad.type == "band" and anelastic is not None:
+                    # multi-band: per-band (liquid, vapor, constant)
+                    # kappas + polynomial emission fractions + per-band
+                    # top fluxes (reference TYPE_IR_BAND,
+                    # radiation.f90:341-346)
+                    qv = diag["qv"] if "qv" in diag else \
+                        state.s[-1] - ql
                     T_f = diag["T"]
-                    kaps = tuple(rad_kappas) + (rad.kappa,) * (
-                        len(rad_bands) - len(rad_kappas))
-                    a_bands = [k * ql * rho_b[None, :, None] + rad.kappa_g
-                               for k in kaps[: len(rad_bands)]]
+                    nb = rad.nbands
+                    kt = rad.kappa_table or ((rad.kappa,) * nb,)
+                    k_l = kt[0]
+                    k_v = kt[1] if len(kt) > 1 else (0.0,) * nb
+                    k_c = kt[2] if len(kt) > 2 else (0.0,) * nb
+                    a_bands = [(k_l[b] * ql + k_v[b] * qv + k_c[b])
+                               * rho_b[None, :, None] for b in range(nb)]
                     src = radmod.infrared_band_source(
-                        rad, y_dev, a_bands, T_f, rad_bands,
-                        emissivity=rad.emissivity)
+                        rad, y_dev, a_bands, T_f, rad.beta_table,
+                        emissivity=rad.emissivity, bcs_top=rad.bcs_top)
                 else:
                     src = radmod.infrared_source(rad, Jt, Jb, ql, rho_b)
                 hs = hs.at[rad.scalar].add(src)
@@ -241,6 +273,15 @@ class Simulation:
         bcs = dyn.WallBCs.from_velocity_kind(case.velocity_bc[0],
                                              case.velocity_bc[1],
                                              scalar_bcs=scal_bcs)
+        # Dirichlet wall reference values = mean velocity profile at the
+        # walls (reference BcsFlowJmin/Jmax%ref; IC-consistent, so e.g. a
+        # moving-wall channel keeps its prescribed wall velocity)
+        yw = np.asarray([grid.y.nodes[0], grid.y.nodes[-1]])
+        wall_refs = {
+            "u": tuple(float(v) for v in case.vel_profiles[0](yw)),
+            "v": (0.0, 0.0),
+            "w": tuple(float(v) for v in case.vel_profiles[2](yw)),
+        }
         if case.equations in ("compressible", "total", "internal"):
             # compressible path: no pressure Poisson, acoustic integration
             # (reference DNS_EQNS_TOTAL/INTERNAL)
@@ -251,7 +292,8 @@ class Simulation:
             bodyforce = None
             P = dyn.build_device_plans(fdm, nsp, bcs,
                                        rk_name=case.time_order, dtype=dtype,
-                                       with_elliptic=False)
+                                       with_elliptic=False,
+                                       wall_refs=wall_refs)
             P["y_periodic"] = grid.y.periodic
             nscbc = None
             vb = case.velocity_bc
@@ -282,7 +324,7 @@ class Simulation:
         bodyforce = make_sources(case, grid, dtype, anelastic=anelastic)
         P = dyn.build_device_plans(fdm, nsp, bcs,
                                    rk_name=case.time_order, dtype=dtype,
-                                   bodyforce=bodyforce)
+                                   bodyforce=bodyforce, wall_refs=wall_refs)
         P["ell_dd"] = ell_plans[BC.DD]
         # EllipticOrder: the factorized formulation is the default (as the
         # reference): its D1-consistent integrals make the projection

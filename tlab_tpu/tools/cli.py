@@ -29,6 +29,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--x64", action="store_true",
                     help="run in float64 (validation mode)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (env JAX_PLATFORMS is "
+                         "overridden by the TPU sitecustomize; this uses "
+                         "jax.config which is not)")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--files", default="",
                     help="comma-separated snapshot iterations for postprocessing")
@@ -50,6 +54,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.x64:
         jax.config.update("jax_enable_x64", True)
 
@@ -60,7 +66,6 @@ def main(argv=None):
     if args.command == "transgrid":
         # grid refinement/coarsening (reference transgrid.f90): resample
         # each axis's nodes with a cubic spline in the arc parameter
-        import os
         from tlab_tpu.grid import (read_reference_grid,
                                    write_reference_grid, make_axis, Grid)
         import numpy as np
