@@ -1,0 +1,169 @@
+"""Consume the reference's own example cases (/root/reference/examples):
+INI parsing across all 48 cases, faithful inigrid construction (tanh
+stretching, grid-file format), and a Case01 end-to-end run from the real
+tlab.ini compared against dns.out.ref column by column (the reference's
+`make check` analog, examples/check_run.sh:20-38)."""
+import glob
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/examples"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference examples not mounted")
+
+
+def test_all_example_inis_parse_and_grid():
+    """Every reference case file loads and its grid builds with the shape
+    declared in [Grid] (grid_main.f90:36-47 size accounting incl.
+    periodic reduction and mirroring)."""
+    from tlab_tpu.config import load_case
+    from tlab_tpu.runtime import grid_from_case
+    inis = sorted(glob.glob(f"{REF}/Case*/tlab.ini"))
+    assert len(inis) >= 47
+    for ini in inis:
+        case = load_case(ini)
+        g = grid_from_case(case)
+        from tlab_tpu.config import Ini
+        raw = Ini(ini)
+        expect = (raw.get_int("Grid", "Imax", 1),
+                  raw.get_int("Grid", "Jmax", 1),
+                  raw.get_int("Grid", "Kmax", 1))
+        assert g.shape == expect, (ini, g.shape, expect)
+
+
+def test_case10_tanh_grid_reference_formula():
+    """Case10's stretched y grid follows BLD_TANH exactly: uniform nodes
+    plus (f-1) delta softplus((y-st)/delta), anchored at y=0
+    (grid_local.f90:34-69). The physical end moves past scales_1."""
+    from tlab_tpu.config import load_case
+    from tlab_tpu.runtime import grid_from_case
+    case = load_case(f"{REF}/Case10/tlab.ini")
+    g = grid_from_case(case)
+    y = g.y.nodes
+    n = 257
+    st, f, delta = 0.9375, 2.00, 0.0078125
+    s = np.linspace(0.0, 1.0, n)
+    work = (f - 1.0) * delta * np.logaddexp((s - st) / delta, 0.0)
+    expect = s + work - work[0]
+    assert np.max(np.abs(y - expect)) < 1e-14
+    # spacing doubles across the transition
+    dy = np.diff(y)
+    assert abs(dy[-1] / dy[0] - f) < 1e-3
+    # profile y-coordinates use the ACTUAL built scale
+    assert abs(g.y.scale - expect[-1]) < 1e-14
+
+
+def test_case03_two_mode_tanh_grid():
+    from tlab_tpu.config import load_case
+    from tlab_tpu.runtime import grid_from_case
+    case = load_case(f"{REF}/Case03/tlab.ini")
+    g = grid_from_case(case)
+    dy = np.diff(g.y.nodes)
+    # both wall regions coarsened by f=2, center fine
+    assert abs(dy[0] / dy[len(dy) // 2] - 2.0) < 5e-2
+    assert abs(dy[-1] / dy[len(dy) // 2] - 2.0) < 5e-2
+    assert np.all(dy > 0)
+
+
+def test_grid_file_byte_roundtrip(tmp_path):
+    """grid written in the reference Fortran format reads back bitwise and
+    re-writes to identical bytes (tlab_grid.f90:26-90)."""
+    from tlab_tpu.config import load_case
+    from tlab_tpu.runtime import grid_from_case
+    from tlab_tpu.grid import (read_reference_grid, write_reference_grid)
+    case = load_case(f"{REF}/Case10/tlab.ini")
+    g = grid_from_case(case)
+    p1 = tmp_path / "grid"
+    p2 = tmp_path / "grid2"
+    write_reference_grid(str(p1), g)
+    g2 = read_reference_grid(str(p1))
+    assert np.array_equal(g.y.nodes, g2.y.nodes)
+    assert np.array_equal(g.x.nodes, g2.x.nodes)
+    write_reference_grid(str(p2), g2)
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def _parse_dns_out(path):
+    rows = []
+    for line in open(path):
+        if line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) >= 8:
+            rows.append([float(v) for v in parts])
+    return np.asarray(rows)
+
+
+def test_case01_end_to_end_vs_reference_log(tmp_path):
+    """The reference's own Case01 fixture (512x256x1 shear layer, 10 steps)
+    run from its UNMODIFIED tlab.ini; dns.out columns compared against
+    dns.out.ref with tolerances (ICs use a different RNG so dt matches to
+    ~10%, while the structural columns -- CFL, visc, D#/dt ratio -- match
+    exactly)."""
+    env = dict(os.environ)
+    out = str(tmp_path)
+    ini = f"{REF}/Case01/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case01/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+
+    # iteration numbers identical
+    assert np.array_equal(ours[:, 1], ref[:, 1])
+    # dt within 15% at every step (the ICs use a different RNG realization
+    # and the two runs evolve apart; the FORMULA is pinned by the exact
+    # D#/dt ratio below)
+    assert np.all(np.abs(ours[:, 3] / ref[:, 3] - 1.0) < 0.15)
+    # CFL column exactly the configured 1.2
+    assert np.allclose(ours[:, 4], ref[:, 4])
+    # viscosity column exact (1/Re)
+    assert np.allclose(ours[:, 6], ref[:, 6])
+    # D#/dt ratio: the diffusion-number formula must match the reference
+    # to ~1% (D# = dt * schmidtfactor * sum 1/dx^2, time.f90:462-476)
+    ratio_ours = ours[:, 5] / ours[:, 3]
+    ratio_ref = ref[:, 5] / ref[:, 3]
+    assert np.all(np.abs(ratio_ours / ratio_ref - 1.0) < 0.02)
+    # dilatation: bounded by the reference envelope at every step (the
+    # factorized projection removes divergence to round-off, so ours is
+    # far below the reference's truncation-level dilatation) and decaying
+    dil = np.maximum(np.abs(ours[:, 7]), np.abs(ours[:, 8]))
+    dil_ref = np.maximum(np.abs(ref[:, 7]), np.abs(ref[:, 8]))
+    assert np.all(dil <= 2.0 * np.maximum(dil_ref, 1e-3))
+    # restart fields written and finite
+    from tlab_tpu.io import fields_io
+    u10, params, _ = fields_io.read_field(os.path.join(out, "flow.10.1"))
+    assert u10.shape == (512, 256, 1)
+    assert np.isfinite(u10).all()
+    # rtime in the header equals the logged final time (log prints 6
+    # significant digits)
+    assert abs(params[0] - ours[-1, 2]) < 1e-6 * max(abs(params[0]), 1.0)
+
+
+def test_case43_mirrored_fixed_scale_channel():
+    """Mirrored tanh grid with fixed_scale=2 (Case43 channel): symmetric
+    about 0, wall-refined, exact span. Deliberate deviation from the
+    reference's unconditional end-node pin, which deforms mirrored grids
+    (grid_main.f90:103-108)."""
+    from tlab_tpu.config import load_case
+    from tlab_tpu.runtime import grid_from_case
+    case = load_case(f"{REF}/Case43/tlab.ini")
+    g = grid_from_case(case)
+    y = g.y.nodes
+    dy = np.diff(y)
+    assert y.size == 192
+    assert abs(y[0] + 1.0) < 1e-12 and abs(y[-1] - 1.0) < 1e-12
+    assert np.all(dy > 0)
+    assert abs(y[0] + y[-1]) < 1e-12          # symmetric
+    assert dy[0] < 0.1 * dy[len(dy) // 2]     # wall-refined

@@ -161,18 +161,35 @@ def _read_profile(ini: Ini, section: str, tag: str, yscale: float) -> Profile:
                    ymean=ycoor * yscale)
 
 
-def _read_grid_segments(ini: Ini, dirname: str) -> list:
+def _read_grid_segments(ini: Ini, dirname: str) -> dict:
+    """[IniGridOx/y/z] block (reference GRID_READBLOCK,
+    grid_main.f90:168-236): scales_N is the physical END of segment N's
+    uniform reference grid; opts_N is 'uniform'/'tanh'/'exp' or a numeric
+    option list; plus direction-level mirrored / fixed_scale."""
     sec = f"inigrido{dirname}"
     nseg = ini.get_int(sec, "segments", 1)
     segs = []
     for i in range(1, nseg + 1):
+        opts_raw = ini.get(sec, f"opts_{i}", "uniform").lower()
+        if opts_raw not in ("uniform", "tanh", "exp"):
+            try:
+                opts = [int(v) for v in opts_raw.replace(",", " ").split()]
+            except ValueError:
+                opts = opts_raw
+        else:
+            opts = opts_raw
+        end = ini.get_float(sec, f"scales_{i}", -1.0)
         segs.append({
             "n": ini.get_int(sec, f"points_{i}", 1),
-            "scale": ini.get_float(sec, f"scales_{i}", 1.0),
-            "opts": ini.get(sec, f"opts_{i}", "uniform").lower(),
+            "end": end,
+            "scale": end,          # legacy key (single-segment length==end)
+            "opts": opts,
+            "vals": ini.get_floats(sec, f"vals_{i}", ()),
             "params": ini.get_floats(sec, f"vals_{i}", ()),
         })
-    return segs
+    return {"segments": segs,
+            "mirrored": ini.get_bool(sec, "mirrored", False),
+            "fixed_scale": ini.get_float(sec, "fixed_scale", -1.0)}
 
 
 def load_case(path_or_ini) -> CaseSetup:
@@ -184,9 +201,24 @@ def load_case(path_or_ini) -> CaseSetup:
 
     schmidt = ini.get_floats("Parameters", "Schmidt", (1.0,))
 
-    jscale = 1.0
     segs = {d: _read_grid_segments(ini, d) for d in ("x", "y", "z")}
-    jscale = sum(s["scale"] for s in segs["y"]) or 1.0
+    # vertical scale for YCoor-relative profile positions: the ACTUAL
+    # extent of the built y grid (stretching maps may move the end point
+    # past scales_N, cf. BLD_TANH) -- reference profiles use g(2)%scale
+    jscale = 1.0
+    ysegs = segs["y"]["segments"]
+    if ysegs and ysegs[0]["n"] > 1 and ysegs[0]["end"] > 0:
+        try:
+            from tlab_tpu.grid import build_axis_reference
+            yax = build_axis_reference(ysegs, False,
+                                       mirrored=segs["y"]["mirrored"],
+                                       fixed_scale=segs["y"]["fixed_scale"])
+            jscale = float(yax.nodes[-1] - yax.nodes[0]) or 1.0
+        except Exception:
+            jscale = ysegs[-1]["end"] or 1.0
+    else:
+        # fall back to [Grid] Jmax nominal unit scale
+        jscale = ysegs[-1]["end"] if ysegs and ysegs[-1]["end"] > 0 else 1.0
 
     n_scal = len(schmidt)
     vel_tags = ("VelocityX", "VelocityY", "VelocityZ")

@@ -57,70 +57,211 @@ def make_axis(nodes: np.ndarray, periodic: bool) -> Axis:
 
 
 # ---------------------------------------------------------------------------
-# Segment-based grid generation (inigrid equivalent)
+# Segment-based grid generation -- faithful port of the reference inigrid
+# (src/tools/initialize/grid/grid_main.f90:36-120, grid_local.f90).
+# Each direction is a list of segments; `scales_N` in the INI is the
+# physical END of segment N on the uniform reference grid; the stretching
+# maps may move the actual end point (as in the reference).
 # ---------------------------------------------------------------------------
 
-def segment_uniform(n: int, x0: float, x1: float) -> np.ndarray:
-    return np.linspace(x0, x1, n)
+def _bld_tanh(x: np.ndarray, vals) -> np.ndarray:
+    """GTYPE_TANH (opts=5/'tanh'): dx/ds = 1 + sum (f_i-1) sigmoid((s-s_i)/d_i)
+    integrated analytically: x += sum (f_i-1) d_i softplus((x-s_i)/d_i),
+    anchored at the segment start (grid_local.f90:34-69). vals is strided
+    (st, f, delta) triples, up to 3 modes."""
+    work = np.zeros_like(x)
+    for im in range(3):
+        if 3 * im + 2 >= len(vals):
+            break
+        st, f, delta = vals[3 * im], vals[3 * im + 1], vals[3 * im + 2]
+        if abs(delta) > 0.0:
+            work = work + (f - 1.0) * delta * np.logaddexp(
+                (x - st) / delta, 0.0)
+    work = work - work[0]
+    return x + work
 
 
-def segment_tanh(n: int, x0: float, x1: float, params) -> np.ndarray:
-    """Grid-spacing profile ds/di = f0 + sum_i (fi-f0)/2 [1+tanh((s-si)/2 di)].
-
-    Same functional family as the reference inigrid option 5
-    (src/tools/initialize/grid/grid_main.f90); integrated numerically then
-    rescaled to the requested interval.
-    """
-    f0 = params[0]
-    rest = params[1:]
-    s = np.arange(n, dtype=np.float64)
-    ds = np.full(n, f0)
-    for j in range(0, len(rest) - 2, 3):
-        fi, si, di = rest[j], rest[j + 1], rest[j + 2]
-        ds += (fi - f0) * 0.5 * (1.0 + np.tanh((s - si) / (2.0 * di)))
-    x = np.concatenate([[0.0], np.cumsum(0.5 * (ds[1:] + ds[:-1]))])
-    x = x0 + (x1 - x0) * x / x[-1]
-    return x
-
-
-def segment_exponential(n: int, x0: float, x1: float, params) -> np.ndarray:
-    """Geometric stretching with given ratio (reference inigrid option 6)."""
-    r = params[0]
-    s = np.arange(n, dtype=np.float64)
-    x = (np.power(r, s) - 1.0) / (r - 1.0) if r != 1.0 else s
-    return x0 + (x1 - x0) * x / x[-1]
+def _bld_exp(x: np.ndarray, vals) -> np.ndarray:
+    """GTYPE_EXP (opts=6/'exp'): dx/ds = prod [1+exp((s-s_i)/d_i)]^(d_i f_i/h0)
+    integrated with the 6th-order compact Int1 system, matching the
+    reference's FDM_Int1_Solve-based construction (grid_local.f90:71-133)."""
+    n = x.shape[0]
+    ds = (x[-1] - x[0]) / (n - 1)
+    rhs = np.ones_like(x)
+    for im in range(3):
+        if 3 * im + 2 >= len(vals):
+            break
+        st, f, delta = vals[3 * im], vals[3 * im + 1], vals[3 * im + 2]
+        df = f / ds
+        if abs(delta) > 0.0:
+            rhs = rhs * np.exp(df * delta * np.logaddexp((x - st) / delta,
+                                                         0.0))
+    # compact 6th-order cumulative integral: solve u' = rhs, u(0) = x[0]
+    from tlab_tpu.fdm.plan import build_deriv_plan
+    from tlab_tpu.ops.elliptic_factorize import build_int1_pencil
+    plan = build_deriv_plan(make_axis(x, False))
+    M0, _, R = build_int1_pencil(plan, "min")
+    f_vec = R @ rhs
+    f_vec[0] = x[0]
+    return np.linalg.solve(M0, f_vec)
 
 
-def build_axis_from_segments(segments, periodic: bool) -> Axis:
-    """segments: list of dicts with keys n, scale, opts, params.
+def _bld_therest(x: np.ndarray, opts, vals) -> np.ndarray:
+    """Options 1 (Colonius-Lele-Moin), 2/3 (polynomial), 4 (geometric)
+    (grid_local.f90:137-320 BLD_THEREST + BLD_CONSTANTS)."""
+    n = x.shape[0]
+    vbeg, vend = x[0], x[-1]
+    iopt1 = opts[0]
+    iopt2 = opts[1] if len(opts) > 1 else 1
+    v = list(vals) + [0.0] * (4 - len(vals))
+    eta = np.arange(n, dtype=np.float64) / max(n - 1, 1)
+    if iopt1 == 1:                      # Colonius, Lele & Moin
+        x3 = vend - vbeg
+        x2 = v[3] - vbeg
+        a = float(n - 1) * v[0]
+        b = (a * (1.0 + v[1] / v[0]) - x3) / (v[1] / v[0])
+        c = v[2] / v[0] - 1.0
+        c = np.log(v[1] / (c * v[0])) / (b - x2)
+        d = v[1] / (c * v[0])
+        e = vbeg
+        valmx = a + d * np.log(np.exp(c * (a - b)) + 1.0 - np.exp(-b * c))
+        a *= x3 / valmx
+        b *= x3 / valmx
+        c /= x3 / valmx
+        d *= x3 / valmx
+        out = e + a * eta + d * np.log(
+            np.exp(c * (a * eta - b)) + 1.0 - np.exp(-b * c))
+        out[0] = vbeg
+        return out
+    if iopt1 == 2:                      # 2nd-order polynomial
+        if iopt2 == 1:                  # cluster at i=1
+            pts = [(vbeg, 1), (vbeg + v[0], 2), (vend, n)]
+        else:                           # cluster at i=imax
+            pts = [(vbeg, 1), (vend - v[0], n - 1), (vend, n)]
+        (x1, i1), (x2, i2), (x3, i3) = pts
+        z1, z2, z3 = [(i - 1) / (n - 1) for i in (i1, i2, i3)]
+        den = (-z1 + z2) * (-z1 + z3) * (-z2 + z3)
+        a = (-(x3 * z1 ** 2 * z2) + x3 * z1 * z2 ** 2 + x2 * z1 ** 2 * z3
+             - x1 * z2 ** 2 * z3 - x2 * z1 * z3 ** 2
+             + x1 * z2 * z3 ** 2) / den
+        b = (-(x2 * z1 ** 2) + x3 * z1 ** 2 + x1 * z2 ** 2 - x3 * z2 ** 2
+             - x1 * z3 ** 2 + x2 * z3 ** 2) / den
+        c = (x2 * z1 - x3 * z1 - x1 * z2 + x3 * z2 + x1 * z3
+             - x2 * z3) / den
+        a = a - (a + b * z1 + c * z1 * z1 - x1)
+        out = a + b * eta + c * eta * eta
+        out[0] = vbeg
+        return out
+    if iopt1 == 3:                      # 3rd-order polynomial
+        if iopt2 == 1:                  # cluster at both ends
+            pts = [(vbeg, 1), (vbeg + v[0], 2), (vend - v[1], n - 1),
+                   (vend, n)]
+        else:                           # cluster at an internal point
+            pts = [(vbeg, 1), (v[1] - v[0] / 2.0, int(v[2] * n)),
+                   (v[1] + v[0] / 2.0, int(v[2] * n) + 1), (vend, n)]
+        zs = np.array([(i - 1) / (n - 1) for _, i in pts])
+        xs_p = np.array([p for p, _ in pts])
+        # cubic through 4 (z, x) points (Vandermonde; algebraically the
+        # closed forms in BLD_CONSTANTS iopt1=3)
+        coef = np.linalg.solve(np.vander(zs, 4, increasing=True), xs_p)
+        a, b, c, d = coef
+        a = a - (a + b * zs[0] + c * zs[0] ** 2 + d * zs[0] ** 3 - xs_p[0])
+        out = a + b * eta + c * eta ** 2 + d * eta ** 3
+        out[0] = vbeg
+        return out
+    if iopt1 == 4:                      # geometric progression
+        out = x.copy()
+        dx = 1.0
+        for i in range(1, n):
+            dx *= v[0]
+            out[i] = out[i - 1] + dx
+        return out
+    raise ValueError(f"unknown grid segment option {iopt1}")
 
-    A periodic axis generated with n points drops the last node (it
-    duplicates node 0 across the wrap), matching the reference inigrid
-    convention where points_1=N+1 with periodic=yes yields N nodes.
-    """
-    xs = []
-    x0 = 0.0
+
+def _grid_mirror(x: np.ndarray) -> np.ndarray:
+    """GRID_MIRROR (grid_main.f90:245-270): shift so the midpoint interval
+    straddles 0, then reflect the upper half onto the lower."""
+    n = x.shape[0]
+    out = x.copy()
+    offset = (out[n // 2] - out[n // 2 - 1]) / 2.0
+    out[n // 2 - 1:] -= offset
+    # fortran: do i = 1, imax/2 - 1: x(i) = -x(imax + 1 - i)
+    for i in range(n // 2 - 1):
+        out[i] = -out[n - 1 - i]
+    return out
+
+
+def build_axis_reference(segments, periodic: bool, mirrored: bool = False,
+                         fixed_scale: float = -1.0) -> Axis:
+    """Reference inigrid construction for one direction.
+
+    segments: list of dicts with keys n (points), end (physical end of the
+    segment's uniform reference grid), opts (string 'uniform'/'tanh'/'exp'
+    or list of ints), vals (stretching parameters). A periodic axis drops
+    the last (wrap-duplicate) node, and mirrored grids are reflected about
+    the half-interval (grid_main.f90:56-112)."""
+    total = segments[0]["n"]
+    for seg in segments[1:]:
+        total += seg["n"] - 1
+    if mirrored:
+        total = 2 * total - 2
+    nodes = np.zeros(total)
+    iloc = total // 2 - 1 if mirrored else 0
+    nodes[iloc] = 0.0
     for seg in segments:
-        n, scale, opts = seg["n"], seg["scale"], seg.get("opts", "uniform")
-        params = seg.get("params", ())
-        x1 = x0 + scale
-        if opts == "uniform":
-            part = segment_uniform(n, x0, x1)
-        elif opts == "tanh":
-            part = segment_tanh(n, x0, x1, params)
-        elif opts in ("exponential", "geometric"):
-            part = segment_exponential(n, x0, x1, params)
+        n = seg["n"]
+        if n <= 1:
+            continue
+        part = np.linspace(nodes[iloc], seg["end"], n)
+        opts = seg.get("opts", "uniform")
+        vals = seg.get("vals", seg.get("params", ()))
+        if opts in ("uniform", 0, [0]):
+            pass
+        elif opts in ("tanh", 5) or opts == [5]:
+            part = _bld_tanh(part, vals)
+        elif opts in ("exp", "exponential", 6) or opts == [6]:
+            part = _bld_exp(part, vals)
         else:
-            raise ValueError(f"unknown segment opts {opts!r}")
-        if xs:
-            xs.append(part[1:])
-        else:
-            xs.append(part)
-        x0 = x1
-    nodes = np.concatenate(xs)
+            iopts = opts if isinstance(opts, (list, tuple)) else [int(opts)]
+            part = _bld_therest(part, [int(o) for o in iopts], vals)
+        nodes[iloc: iloc + n] = part
+        iloc += n - 1
+    if mirrored:
+        nodes = _grid_mirror(nodes)
+    if fixed_scale > 0.0:
+        old = nodes[-1] - nodes[0]
+        nodes = nodes / old * fixed_scale
+        if nodes[0] == 0.0:
+            # pin the end node exactly (reference grid_main.f90:103-108);
+            # the reference applies this pin unconditionally, which
+            # DEFORMS mirrored grids (nodes(1) != 0, e.g. its Case43:
+            # top node jumps 0.99 -> 2.0) -- deliberate deviation: only
+            # pin when the axis starts at the origin
+            nodes[-1] = fixed_scale
     if periodic:
         nodes = nodes[:-1]
     return make_axis(nodes, periodic)
+
+
+def build_axis_from_segments(segments, periodic: bool, mirrored: bool = False,
+                             fixed_scale: float = -1.0) -> Axis:
+    """Compatibility wrapper: accepts segments keyed by either the legacy
+    'scale' (segment length) or the reference 'end' (uniform-grid end)."""
+    segs = []
+    x_end = 0.0
+    for seg in segments:
+        end = seg.get("end")
+        if end is None:
+            x_end += seg["scale"]
+            end = x_end
+        else:
+            x_end = end
+        segs.append({"n": seg["n"], "end": end,
+                     "opts": seg.get("opts", "uniform"),
+                     "vals": seg.get("vals", seg.get("params", ()))})
+    return build_axis_reference(segs, periodic, mirrored=mirrored,
+                                fixed_scale=fixed_scale)
 
 
 def uniform_grid(nx, ny, nz, lx, ly, lz,

@@ -232,9 +232,16 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
 def grid_from_case(case: CaseSetup) -> Grid:
     axes = []
     for i, d in enumerate("xyz"):
-        segs = case.grid_segments[d]
+        spec = case.grid_segments[d]
+        segs = spec["segments"] if isinstance(spec, dict) else spec
+        mirrored = spec.get("mirrored", False) if isinstance(spec, dict) \
+            else False
+        fixed = spec.get("fixed_scale", -1.0) if isinstance(spec, dict) \
+            else -1.0
         if segs and segs[0]["n"] > 1:
-            axes.append(build_axis_from_segments(segs, case.periodic[i]))
+            axes.append(build_axis_from_segments(segs, case.periodic[i],
+                                                 mirrored=mirrored,
+                                                 fixed_scale=fixed))
         else:
             from tlab_tpu.grid import make_axis
             axes.append(make_axis(np.zeros(1), False))
