@@ -37,8 +37,11 @@ def test_saturated_equilibrium_consistency():
     ep = jnp.asarray(0.0)
     T, ql = thermo.equilibrium_T_ql(TP, h, qt, p, ep)
     assert float(ql) > 0.0
-    qs = float(TP.qsat(T, p))
-    assert abs(float(ql) - (float(qt) - qs)) < 1e-9
+    # equilibrium vapor: exact per-total-mass convention
+    # q_v = eps psat/(p - psat) (1 - qt) (thermo_anelastic.f90:189-193)
+    ps = float(TP.psat(T))
+    qvequ = TP.rd_ov_rv / (1.0 / ps - 1.0) * (1.0 - float(qt))
+    assert abs(float(ql) - (float(qt) - qvequ)) < 1e-9
     cp = TP.Cd + float(qt) * TP.Cdv + float(ql) * TP.Cvl
     res = cp * float(T) - float(ql) * TP.Lv0 - float(h)
     assert abs(res) < 1e-9

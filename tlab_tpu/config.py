@@ -323,9 +323,13 @@ def load_case(path_or_ini) -> CaseSetup:
 
     thermo_cfg = {
         "transport": ini.get("Thermodynamics", "Transport", "none").lower(),
-        "mixture": ini.get("Thermodynamics", "Mixture", "none").lower(),
+        "mixture": ini.get("Thermodynamics", "Mixture",
+                           ini.get("Main", "Mixture", "none")).lower(),
         "scale_height": ini.get_float("Thermodynamics", "ScaleHeight", 0.0),
-        "smooth": ini.get_float("Thermodynamics", "SmoothFactor", 0.1),
+        # reference default SmoothFactor=0.1 applies to airwater only
+        # (thermodynamics.f90:191-193)
+        "smooth": ini.get_float("Thermodynamics", "SmoothFactor", 0.0),
+        "parameters": ini.get_floats("Thermodynamics", "Parameters", (1.0,)),
     }
 
     bb = {

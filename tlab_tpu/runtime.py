@@ -34,7 +34,9 @@ def make_anelastic(case: CaseSetup, grid: Grid, dtype):
         mixture = "airwater" if len(case.scal_profiles) >= 2 else "air"
     sh = tcfg.get("scale_height", 0.0)
     tp = thermo.ThermoParams(mixture=mixture,
-                             scale_height_inv=(1.0 / sh if sh > 0 else 0.0))
+                             scale_height_inv=(1.0 / sh if sh > 0 else 0.0),
+                             dsmooth=tcfg.get("smooth", 0.0),
+                             thermo_param=tuple(tcfg.get("parameters", ())))
     y = grid.y.nodes
     h_prof = case.scal_profiles[0](y) if case.scal_profiles else np.ones_like(y)
     qt_prof = case.scal_profiles[1](y) if len(case.scal_profiles) > 1 \
@@ -141,8 +143,32 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
     if not (buo_on or cor_on or rad_on or mic_on or chem_on or sub_on):
         return None
 
+    # linearized stratocumulus mixture (MIXT_TYPE_AIRWATER_LINEAR): the
+    # normalized liquid is a DIAGNOSTIC scalar appended to the stack for
+    # buoyancy/radiation (reference thermo_airwater.f90:483-516; liquid is
+    # scalar inb_scal_array)
+    tcfg = getattr(case, "thermo", {}) or {}
+    awl_params = tuple(tcfg.get("parameters", ()))
+    awl_on = tcfg.get("mixture", "") == "airwaterlinear" and awl_params
+
+    def augment(s):
+        if not awl_on or s.shape[0] == 0:
+            return s
+        from tlab_tpu.physics import thermo
+        liq = thermo.airwater_linear(awl_params, s)
+        return jnp.concatenate([s, liq[None]], axis=0)
+
     if buo_on and not explicit:
-        bback = grav.background_profile(buo, case.scal_profiles, grid.y.nodes)
+        profs = case.scal_profiles
+        if awl_on and profs:
+            from tlab_tpu.physics import thermo as _th
+            sp = np.stack([prof(grid.y.nodes) for prof in profs])
+            lp = np.asarray(_th.airwater_linear(awl_params,
+                                                jnp.asarray(sp)))
+            profs = list(profs) + [
+                (lambda yv, _l=lp, _y=grid.y.nodes:
+                 np.interp(yv, _y, _l))]
+        bback = grav.background_profile(buo, profs, grid.y.nodes)
         bback = np.asarray(bback, ntp)
 
     def sources(P, state, h1, h2, h3, hs):
@@ -155,7 +181,7 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                 b = thermo.buoyancy_explicit(anelastic["tp"], state.s,
                                              anelastic["bg"])
             else:
-                b = grav.buoyancy_field(buo, state.s, bback)
+                b = grav.buoyancy_field(buo, augment(state.s), bback)
             gx, gy, gz = buo.vector
             if abs(gx) > 0:
                 h1 = h1 + gx * b
@@ -171,6 +197,9 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                                                 anelastic["bg"])
                 ql = diag["ql"]
                 rho_b = anelastic["rho"]
+            elif awl_on:
+                ql = thermo.airwater_linear(awl_params, state.s)
+                rho_b = jnp.ones_like(y_dev)
             else:
                 ql = state.s[-1]
                 rho_b = jnp.ones_like(y_dev)
