@@ -251,6 +251,14 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
     broadcast over F; nu: (F, 1, 1, 1) per-field diffusivity. One big
     [D1; D2] matmul for the whole stack -> maximal MXU utilization (the
     batched analog of the reference's per-field OPR_Burgers calls).
+
+    P['adv_form'] selects the advection formulation (reference [Main]
+    TermAdvection, rhs_flow_global_incompressible_1/2/3.f90):
+      convective     nu d2 f - c d1 f            (default, form 1)
+      skewsymmetric  nu d2 f - 0.5 (c d1 f + d1 (c f))   (form 2)
+      divergence     nu d2 f - d1 (c f)                  (form 3)
+    The conservative forms stack [f; c f] into one [D1;D2] matmul of
+    width 2F, so the MXU cost grows but no extra passes are made.
     """
     d12 = P.get(f"d12{axis_name}")
     if d12 is None:
@@ -280,12 +288,34 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
         else fields.dtype
     from tlab_tpu.ops.derivative import op_precision
     eins = {0: "ab,fbjk->fajk", 1: "ab,fibk->fiak", 2: "ab,fijb->fija"}[axis]
-    both = jnp.einsum(eins, d12, fields_t, preferred_element_type=pref,
-                      precision=op_precision(fields.dtype)).astype(fields.dtype)
+    form = P.get("adv_form", "convective")
     sl1 = [slice(None)] * 4
     sl2 = [slice(None)] * 4
     sl1[axis + 1] = slice(0, n)
     sl2[axis + 1] = slice(n, 2 * n)
+    if form in ("divergence", "skewsymmetric"):
+        F = fields_t.shape[0]
+        big = jnp.concatenate([fields_t, conv_t[None] * fields_t], axis=0)
+        both = jnp.einsum(eins, d12, big, preferred_element_type=pref,
+                          precision=op_precision(fields.dtype)
+                          ).astype(fields.dtype)
+        da = both[:F][tuple(sl1)]
+        d2a = both[:F][tuple(sl2)]
+        dprod = both[F:][tuple(sl1)]
+        if form == "divergence":
+            adv = dprod
+        else:
+            adv = 0.5 * (conv_t[None] * da + dprod)
+        ane = P.get("anelastic")
+        if ane is not None:
+            d2a = d2a * ane["rho_inv"][None, None, :, None]
+        res = nu * d2a - adv
+        if comm is not None:
+            res = pencil.cast_on_wire(pencil.SCATTER[axis_name], res, 1,
+                                      wire)
+        return res
+    both = jnp.einsum(eins, d12, fields_t, preferred_element_type=pref,
+                      precision=op_precision(fields.dtype)).astype(fields.dtype)
     da, d2a = both[tuple(sl1)], both[tuple(sl2)]
     ane = P.get("anelastic")
     if ane is not None:

@@ -361,6 +361,12 @@ class Simulation:
         P = dyn.build_device_plans(fdm, nsp, bcs,
                                    rk_name=case.time_order, dtype=dtype,
                                    bodyforce=bodyforce, wall_refs=wall_refs)
+        # [Main] TermAdvection selects the nonlinear formulation
+        # (reference rhs_flow_global_incompressible_1/2/3.f90); the
+        # anelastic set is combined-convective only, as the reference
+        if case.term_advection in ("divergence", "skewsymmetric") \
+                and case.equations != "anelastic":
+            P["adv_form"] = case.term_advection
         P["ell_dd"] = ell_plans[BC.DD]
         # EllipticOrder: the factorized formulation is the default (as the
         # reference): its D1-consistent integrals make the projection
