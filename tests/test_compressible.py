@@ -134,7 +134,7 @@ def test_nscbc_outflow_nonreflecting():
     rho_dev = np.asarray(U.rho) - 1.0
     residual = np.max(np.abs(rho_dev)) / amp
     assert np.isfinite(residual)
-    assert residual < 0.2, residual     # < 20% reflection (wall: ~100%)
+    assert residual < 0.05, residual    # < 5% reflection (wall: ~100%)
 
 
 def test_nscbc_outflow_x_direction():
@@ -177,7 +177,7 @@ def test_nscbc_outflow_x_direction():
     rho_dev = np.asarray(U.rho) - 1.0
     residual = np.max(np.abs(rho_dev)) / amp
     assert np.isfinite(residual)
-    assert residual < 0.2, residual
+    assert residual < 0.08, residual    # x path: < 8%
 
 
 def test_skewsymmetric_form():
@@ -369,3 +369,109 @@ def test_compressible_scalar_transport():
                                           / U.rho[:, 0, 0]))[1])
     shift = np.mod(ph0 - ph1, 2 * np.pi)
     assert abs(shift - 0.1 * dt * 100) < 0.02
+
+
+def test_viscous_operator_compact_d2_at_grid_scale():
+    """The viscous operator must damp near-Nyquist modes: D1(D1(.)) has
+    (almost) zero response there (odd-even decoupling) while the compact
+    D2 keeps ~k^2 (reference uses OPR_P2, fdm_derivative.f90:413).
+    Checks div(tau)_x on u = sin(k x) against -mu (4/3) k_eff^2 u with
+    k_eff from the D2 modified wavenumber."""
+    from tlab_tpu.dycore import compressible as comp
+    nx = 32
+    grid = uniform_grid(nx, 8, 1, 2.0 * np.pi, 1.0, 1.0)
+    fdm = build_fdm_plan(grid)
+    P = dyn.build_device_plans(
+        fdm, NSParams(reynolds=1.0), dyn.WallBCs.from_velocity_kind(
+            "freeslip", "freeslip"), dtype=jnp.float64, with_elliptic=False)
+    k = nx // 2 - 1                      # near-Nyquist mode
+    x = grid.x.nodes[:, None, None] * np.ones(grid.shape)
+    u = jnp.asarray(np.sin(k * x))
+    zero = jnp.zeros_like(u)
+    T = jnp.ones_like(u)
+    mu = 1.0
+    dtx, _, _, _, _, _, _ = comp._visc_terms(P, u, zero, zero, T, mu,
+                                             1.0, False)
+    # projected damping rate: <u, divtau_x> / <u, u> = -mu 4/3 k_eff^2
+    rate = -float(jnp.sum(u * dtx) / jnp.sum(u * u))
+    k2_eff = rate / (mu * 4.0 / 3.0)
+    # the C6 D2 modified wavenumber at 0.94*Nyquist keeps ~84% of k^2
+    assert k2_eff > 0.8 * k ** 2, (k2_eff, k ** 2)
+    # whereas D1 applied twice would give (mwn1(k))^2 ~ 0.25 k^2 there
+    d1 = P["d1x"]
+    du = jnp.einsum("ab,bjk->ajk", jnp.asarray(d1), u)
+    ddu = jnp.einsum("ab,bjk->ajk", jnp.asarray(d1), du)
+    rate_dd = -float(jnp.sum(u * ddu) / jnp.sum(u * u))
+    assert rate_dd < 0.55 * k ** 2, rate_dd  # visibly deficient
+    assert k2_eff > 1.5 * rate_dd
+
+
+def test_nscbc_inflow_relaxation():
+    """NSCBC inflow (reference NR_3 mean forcing): the boundary state
+    relaxes toward the prescribed reference instead of drifting."""
+    from tlab_tpu.dycore.nscbc import NSCBCSpec
+    grid, nsp, P = _setup(nx=8, ny=128, nz=1, reynolds=1e9,
+                          y_periodic=False)
+    nx, ny, nz = grid.shape
+    c = 1.0 / MACH
+    v_in = 0.3                           # subsonic inflow from ymin
+    rho = np.ones((nx, ny, nz))
+    v = v_in * np.ones((nx, ny, nz))
+    T = np.ones((nx, ny, nz))
+    U = comp.from_primitive(jnp.asarray(rho), jnp.zeros((nx, ny, nz)),
+                            jnp.asarray(v), jnp.zeros((nx, ny, nz)),
+                            jnp.asarray(T), GAMMA, MACH)
+    p_inf = 1.0 / (GAMMA * MACH ** 2)
+    spec = NSCBCSpec(ymin="inflow", ymax="outflow", p_inf=p_inf,
+                     rho_inf=1.0, u_inf=(0.0, v_in, 0.0), cinf=2.0)
+    dt = 2e-4
+    step = jax.jit(lambda U: comp.rk_step_compressible(
+        P, U, dt, GAMMA, MACH, 0.0, 1.0, nscbc=spec, ly=1.0))
+    for _ in range(400):
+        U = step(U)
+    # uniform advection is a steady solution: boundary velocity stays at
+    # the target and fields remain uniform to high accuracy
+    v_end = np.asarray(U.rhov / U.rho)
+    assert np.isfinite(v_end).all()
+    assert abs(v_end[:, 0, :].mean() - v_in) < 1e-3
+    assert np.abs(np.asarray(U.rho) - 1.0).max() < 1e-3
+
+
+def test_nscbc_transverse_terms_smoke():
+    """ctan != 0 engages the Lodato transverse corrections; with an
+    x-varying pulse the run stays finite and the reflection remains
+    small."""
+    from tlab_tpu.dycore.nscbc import NSCBCSpec
+    grid, nsp, P = _setup(nx=32, ny=128, nz=1, reynolds=1e9,
+                          y_periodic=False)
+    nx, ny, nz = grid.shape
+    X = grid.x.nodes[:, None, None] * np.ones((nx, ny, nz))
+    Y = grid.y.nodes[None, :, None] * np.ones((nx, ny, nz))
+    amp = 1e-4
+    c = 1.0 / MACH
+    g = np.exp(-(((Y - 0.5) / 0.05) ** 2)) * (1.0 + 0.3 * np.sin(
+        2.0 * np.pi * X / X.max()))
+    U = comp.from_primitive(jnp.asarray(1.0 + amp * g),
+                            jnp.zeros((nx, ny, nz)),
+                            jnp.asarray(c * amp * g),
+                            jnp.zeros((nx, ny, nz)),
+                            jnp.asarray(1.0 + (GAMMA - 1.0) * amp * g),
+                            GAMMA, MACH)
+    dt = 2e-4
+    n = int(0.45 / (c * dt))
+    res = {}
+    for ctan in (0.0, 0.25):
+        spec = NSCBCSpec(ymin="outflow", ymax="outflow",
+                         p_inf=1.0 / (GAMMA * MACH ** 2), ctan=ctan)
+        step = jax.jit(lambda U, s=spec: comp.rk_step_compressible(
+            P, U, dt, GAMMA, MACH, 0.0, 1.0, nscbc=s, ly=1.0))
+        Uc = U
+        for _ in range(n + 300):
+            Uc = step(Uc)
+        res[ctan] = np.max(np.abs(np.asarray(Uc.rho) - 1.0)) / amp
+        assert np.isfinite(res[ctan])
+    # oblique waves reflect more than the 1-D case; the Lodato terms
+    # must stay stable and bounded (benefit is configuration-dependent,
+    # measured up to 16.4% -> 14.4% on longer boxes)
+    assert res[0.25] < 0.2, res
+    assert res[0.25] < 1.1 * res[0.0], res

@@ -59,6 +59,82 @@ def _grad(P, a):
             dyn._d1(P, "z", 2, a))
 
 
+def _d12_stack(P, axis_name: str, axis: int, stack):
+    """(d1, d2) of (F, nx, ny, nz) stacked fields along one direction via
+    the fused [D1;D2] matmul (the same compact-D2-with-Jacobian operator
+    Burgers uses) -- replaces D1(D1(.)) for viscous/conduction terms,
+    which loses the odd-even (grid-scale) modes (reference uses OPR_P2,
+    fdm_derivative.f90:413)."""
+    d12 = P.get(f"d12{axis_name}")
+    if d12 is None:
+        z = jnp.zeros_like(stack)
+        return z, z
+    from tlab_tpu.ops.derivative import op_precision
+    pref = jnp.float32 if stack.dtype in (jnp.bfloat16, jnp.float16) \
+        else stack.dtype
+    eins = {0: "ab,fbjk->fajk", 1: "ab,fibk->fiak", 2: "ab,fijb->fija"}[axis]
+    both = jnp.einsum(eins, d12, stack, preferred_element_type=pref,
+                      precision=op_precision(stack.dtype)
+                      ).astype(stack.dtype)
+    n = stack.shape[axis + 1]
+    sl1 = [slice(None)] * 4
+    sl2 = [slice(None)] * 4
+    sl1[axis + 1] = slice(0, n)
+    sl2[axis + 1] = slice(n, 2 * n)
+    return both[tuple(sl1)], both[tuple(sl2)]
+
+
+def _visc_terms(P, u, v, w, T, mu, cond, variable_mu: bool):
+    """(divtau_x, divtau_y, divtau_z, conduction, grads, Phi).
+
+    Constant mu: div(tau)_i = mu [lap(u_i) + 1/3 d_i(div u)] and
+    conduction = cond lap(T), all second derivatives from the compact D2
+    (reference RHS_FLOW_VISCOUS_EXPLICIT / RHS_FLOW_CONDUCTION).
+    Variable mu(T): stress divergence in conservative form (first
+    derivatives of the stress, reference RHS_FLOW_VISCOUS_DIVERGENCE).
+    Returns the velocity gradient tensor and dissipation Phi for the
+    energy equations."""
+    stack = jnp.stack([u, v, w, T])
+    dx1, dx2 = _d12_stack(P, "x", 0, stack)
+    dy1, dy2 = _d12_stack(P, "y", 1, stack)
+    dz1, dz2 = _d12_stack(P, "z", 2, stack)
+    ux, vx, wx, Tx = dx1
+    uy, vy, wy, Ty = dy1
+    uz, vz, wz, Tz = dz1
+    divu = ux + vy + wz
+    lam = -2.0 / 3.0
+    txx = mu * (2.0 * ux + lam * divu)
+    tyy = mu * (2.0 * vy + lam * divu)
+    tzz = mu * (2.0 * wz + lam * divu)
+    txy = mu * (uy + vx)
+    txz = mu * (uz + wx)
+    tyz = mu * (vz + wy)
+    phi = (txx * ux + tyy * vy + tzz * wz
+           + txy * (uy + vx) + txz * (uz + wx) + tyz * (vz + wy))
+    grads = (ux, uy, uz, vx, vy, vz, wx, wy, wz, Tx, Ty, Tz, divu)
+    if variable_mu:
+        dtx = _div(P, txx, txy, txz)
+        dty = _div(P, txy, tyy, tyz)
+        dtz = _div(P, txz, tyz, tzz)
+        qx = cond * Tx
+        qy = cond * Ty
+        qz = cond * Tz
+        conduction = _div(P, qx, qy, qz)
+    else:
+        lap_u = dx2[0] + dy2[0] + dz2[0]
+        lap_v = dx2[1] + dy2[1] + dz2[1]
+        lap_w = dx2[2] + dy2[2] + dz2[2]
+        lap_T = dx2[3] + dy2[3] + dz2[3]
+        gdx, gdy, gdz = _grad(P, divu)
+        third = 1.0 / 3.0
+        dtx = mu * (lap_u + third * gdx)
+        dty = mu * (lap_v + third * gdy)
+        dtz = mu * (lap_w + third * gdz)
+        conduction = cond * lap_T
+    stresses = (txx, tyy, tzz, txy, txz, tyz)
+    return dtx, dty, dtz, conduction, grads, phi, stresses
+
+
 def rhs_compressible(P, U: CompState, gamma: float, mach: float,
                      visc: float, prandtl: float, gas=None,
                      form: str = "divergence"):
@@ -98,39 +174,25 @@ def rhs_compressible(P, U: CompState, gamma: float, mach: float,
         h_rE = -_div(P, (U.rhoE + p) * u, (U.rhoE + p) * v,
                      (U.rhoE + p) * w)
 
-    # viscous stress (explicit, constant mu; reference RHS_FLOW_VISCOUS_EXPLICIT)
-    ux, uy, uz = (dyn._d1(P, "x", 0, u), dyn._d1(P, "y", 1, u),
-                  dyn._d1(P, "z", 2, u))
-    vx, vy, vz = (dyn._d1(P, "x", 0, v), dyn._d1(P, "y", 1, v),
-                  dyn._d1(P, "z", 2, v))
-    wx, wy, wz = (dyn._d1(P, "x", 0, w), dyn._d1(P, "y", 1, w),
-                  dyn._d1(P, "z", 2, w))
-    divu = ux + vy + wz
-    lam = -2.0 / 3.0
+    # viscous stress + conduction via compact D2 for constant mu
+    # (reference RHS_FLOW_VISCOUS_EXPLICIT + RHS_FLOW_CONDUCTION);
+    # variable mu(T) falls back to the stress-divergence form
+    variable_mu = gas is not None and gas.transport != "none"
     mu = visc
-    if gas is not None and gas.transport != "none":
+    if variable_mu:
         from tlab_tpu.physics import eos
         mu = visc * eos.viscosity(gas, T)
-    txx = mu * (2.0 * ux + lam * divu)
-    tyy = mu * (2.0 * vy + lam * divu)
-    tzz = mu * (2.0 * wz + lam * divu)
-    txy = mu * (uy + vx)
-    txz = mu * (uz + wx)
-    tyz = mu * (vz + wy)
-
-    h_ru = h_ru + _div(P, txx, txy, txz)
-    h_rv = h_rv + _div(P, txy, tyy, tyz)
-    h_rw = h_rw + _div(P, txz, tyz, tzz)
-
-    # viscous work + conduction (k = cp mu/Pr; nondimensional form)
     cond = mu / (prandtl * (gamma - 1.0) * mach ** 2)
-    qx = cond * dyn._d1(P, "x", 0, T)
-    qy = cond * dyn._d1(P, "y", 1, T)
-    qz = cond * dyn._d1(P, "z", 2, T)
-    h_rE = h_rE + _div(P,
-                       u * txx + v * txy + w * txz + qx,
-                       u * txy + v * tyy + w * tyz + qy,
-                       u * txz + v * tyz + w * tzz + qz)
+    dtx, dty, dtz, conduction, grads, phi, _ = _visc_terms(
+        P, u, v, w, T, mu, cond, variable_mu)
+
+    h_ru = h_ru + dtx
+    h_rv = h_rv + dty
+    h_rw = h_rw + dtz
+
+    # viscous work div(u . tau) = u . div(tau) + Phi (avoids another
+    # round of first derivatives of products), + conduction
+    h_rE = h_rE + u * dtx + v * dty + w * dtz + phi + conduction
 
     h_rs = _rhs_scalars(P, U, u, v, w, visc) if U.rhos is not None else None
     return CompState(h_rho, h_ru, h_rv, h_rw, h_rE, h_rs)
@@ -162,58 +224,68 @@ def rhs_compressible_internal(P, U: CompState, gamma: float, mach: float,
     h_rv = -_div(P, U.rhov * u, U.rhov * v + p, U.rhov * w)
     h_rw = -_div(P, U.rhow * u, U.rhow * v, U.rhow * w + p)
 
-    ux, uy, uz = _grad(P, u)
-    vx, vy, vz = _grad(P, v)
-    wx, wy, wz = _grad(P, w)
-    divu = ux + vy + wz
-    lam = -2.0 / 3.0
+    variable_mu = gas is not None and gas.transport != "none"
     mu = visc
-    if gas is not None and gas.transport != "none":
+    if variable_mu:
         from tlab_tpu.physics import eos
         mu = visc * eos.viscosity(gas, T)
-    txx = mu * (2.0 * ux + lam * divu)
-    tyy = mu * (2.0 * vy + lam * divu)
-    tzz = mu * (2.0 * wz + lam * divu)
-    txy = mu * (uy + vx)
-    txz = mu * (uz + wx)
-    tyz = mu * (vz + wy)
-    h_ru = h_ru + _div(P, txx, txy, txz)
-    h_rv = h_rv + _div(P, txy, tyy, tyz)
-    h_rw = h_rw + _div(P, txz, tyz, tzz)
-
-    phi = (txx * ux + tyy * vy + tzz * wz
-           + txy * (uy + vx) + txz * (uz + wx) + tyz * (vz + wy))
     cond = mu / (prandtl * (gamma - 1.0) * mach ** 2)
+    dtx, dty, dtz, conduction, grads, phi, _ = _visc_terms(
+        P, u, v, w, T, mu, cond, variable_mu)
+    divu = grads[-1]
+    h_ru = h_ru + dtx
+    h_rv = h_rv + dty
+    h_rw = h_rw + dtz
+
     h_re = (-_div(P, U.rhoE * u, U.rhoE * v, U.rhoE * w)
-            - p * divu + phi
-            + _div(P, cond * dyn._d1(P, "x", 0, T),
-                   cond * dyn._d1(P, "y", 1, T),
-                   cond * dyn._d1(P, "z", 2, T)))
+            - p * divu + phi + conduction)
     h_rs = _rhs_scalars(P, U, u, v, w, visc) if U.rhos is not None else None
     return CompState(h_rho, h_ru, h_rv, h_rw, h_re, h_rs)
 
 
 def _rhs_scalars(P, U: CompState, u, v, w, visc: float):
     """Compressible scalar transport d(rho s)/dt = -div(rho s u) +
-    div(rho D grad s) (reference rhs_scal_* divergence form)."""
+    div(rho D grad s) (reference rhs_scal_* divergence form). The
+    diffusion expands to D [rho lap(s) + grad rho . grad s] so the
+    Laplacian uses the compact D2 (no odd-even loss)."""
     rhos = U.rhos
-    s = rhos / U.rho[None]
+    rho = U.rho
+    s = rhos / rho[None]
     h = -(dyn._d1(P, "x", 1, rhos * u[None])
           + dyn._d1(P, "y", 2, rhos * v[None])
           + dyn._d1(P, "z", 3, rhos * w[None]))
     diff = jnp.asarray(P["diff"], rhos.dtype)[:, None, None, None]
-    rho4 = U.rho[None]
-    h = h + (dyn._d1(P, "x", 1, diff * rho4 * dyn._d1(P, "x", 1, s))
-             + dyn._d1(P, "y", 2, diff * rho4 * dyn._d1(P, "y", 2, s))
-             + dyn._d1(P, "z", 3, diff * rho4 * dyn._d1(P, "z", 3, s)))
+    sx1, sx2 = _d12_stack(P, "x", 0, s)
+    sy1, sy2 = _d12_stack(P, "y", 1, s)
+    sz1, sz2 = _d12_stack(P, "z", 2, s)
+    rx, ry, rz = _grad(P, rho)
+    lap_s = sx2 + sy2 + sz2
+    h = h + diff * (rho[None] * lap_s
+                    + rx[None] * sx1 + ry[None] * sy1 + rz[None] * sz1)
     return h
 
 
-def _apply_wall_bcs(P, h: CompState):
+def _apply_wall_bcs(P, h: CompState, sides=(True, True)):
     """Free-slip adiabatic walls at jmin/jmax: zero normal-momentum tendency;
-    tangential/energy/density tendencies take their Neumann wall values."""
-    if P["sizes"][1] == 1 or P.get("y_periodic", False):
+    tangential/energy/density tendencies take their Neumann wall values.
+    sides masks (jmin, jmax) so open (NSCBC) sides are left alone."""
+    if P["sizes"][1] == 1 or P.get("y_periodic", False) or not any(sides):
         return h
+    if sides != (True, True):
+        # apply to the full state, then restore the untouched side's rows
+        full = _apply_wall_bcs(P, h, (True, True))
+        out = []
+        for a, b in zip(h, full):
+            if a is None:
+                out.append(None)
+                continue
+            c = b
+            if not sides[0]:
+                c = c.at[..., 0, :].set(a[..., 0, :])
+            if not sides[1]:
+                c = c.at[..., -1, :].set(a[..., -1, :])
+            out.append(c)
+        return CompState(*out)
     rows = P["bc_rows"]
     hv = h.rhov.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
     out = []
@@ -252,7 +324,13 @@ def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
                         for a, b in zip(h, dh)))
         if nscbc is not None:
             from tlab_tpu.dycore.nscbc import apply_nscbc
-            h = apply_nscbc(P, U, h, gamma, mach, nscbc, ly, lx=lx)
+            # y 'wall' sides keep the wall treatment; open sides get the
+            # additive characteristic corrections (reference composes
+            # BOUNDARY_BCS_Y on top of the full-domain RHS)
+            h = _apply_wall_bcs(P, h, sides=(nscbc.ymin == "wall",
+                                             nscbc.ymax == "wall"))
+            h = apply_nscbc(P, U, h, gamma, mach, nscbc, ly, lx=lx,
+                            energy=energy)
         else:
             h = _apply_wall_bcs(P, h)
         U = CompState(*(q + dte * hq if q is not None else None

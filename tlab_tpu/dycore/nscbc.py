@@ -1,14 +1,29 @@
 """Characteristic (NSCBC) boundary conditions for the compressible core
-(Poinsot & Lele, JCP 1992; reference src/tools/dns/
-boundary_bcs_compressible.f90, x- and y-direction variants).
+(Poinsot & Lele, JCP 1992; Lodato et al., JCP 2008; reference
+src/tools/dns/boundary_bcs_compressible.f90).
 
-At an open boundary the edge-row tendencies of the conservative state are
-replaced by the characteristic form: wave amplitudes L1..L5 are evaluated
-with the compact one-sided derivative rows; outgoing waves keep their
-interior values, incoming waves are modeled (non-reflecting outflow:
-L_in = K (p - p_inf) with K = sigma (1 - M^2) c / L).
+The reference formulation is ADDITIVE: the interior RHS is evaluated
+everywhere (including boundary rows, with the one-sided compact rows),
+and per-point corrections are added at the open-boundary rows that
+cancel the incoming characteristic amplitude as computed by the biased
+stencil and replace it with a model:
 
-Nondimensional EOS as in dycore.compressible.
+- outflow: the Poinsot-Lele relaxation F = -pl_out (p - p_ref) with
+  pl_out = cout (1 - M2_max) c / L and M2_max the INSTANTANEOUS global
+  maximum Mach^2 (the 'Mach drift' reference, time.f90:780-792,
+  boundary_bcs_compressible.f90:540-566);
+- inflow: all incoming amplitudes relax to a reference state with
+  pl_inf = cinf c / L (BOUNDARY_BCS_FLOW_NR_3, idir=2 OY branch);
+- transverse corrections after Lodato et al. weighted by ctan
+  (BOUNDARY_BCS_FLOW_NR_4 + BOUNDARY_BCS_TRANSVERSE_Y).
+
+All branches are point-masked (jnp.where) so the whole treatment jits
+as dense edge-plane arithmetic; the normal derivatives are the edge rows
+of the dense compact D1 (exactly the reference's biased compact rows).
+
+Nondimensional EOS as in dycore.compressible: p = rho T/(gamma M^2),
+e_int = T/(gamma (gamma-1) M^2), hence p = (gamma-1) rho e_int and the
+reference's /(gamma-1) energy mapping carries over unchanged.
 """
 from __future__ import annotations
 
@@ -23,14 +38,24 @@ from tlab_tpu.dycore.compressible import CompState, primitive
 class NSCBCSpec:
     ymin: str = "wall"          # wall | outflow | inflow (y boundaries)
     ymax: str = "wall"
-    xmin: str = "none"          # none | outflow | inflow (open x boundaries;
-    xmax: str = "none"          # requires non-periodic x)
-    sigma: float = 0.25         # relaxation coefficient for incoming waves
-    p_inf: float = 1.0          # far-field pressure (nondimensional units)
+    xmin: str = "none"          # none | outflow | inflow (open x boundaries)
+    xmax: str = "none"
+    sigma: float = 0.25         # cout: outflow relaxation (Poinsot-Lele)
+    cinf: float = 0.0           # inflow relaxation toward the reference
+    ctan: float = 0.0           # transverse-term weight (Lodato beta)
+    p_inf: float = 1.0          # far-field pressure (nondimensional)
+    rho_inf: float = 1.0        # reference density (inflow relaxation)
+    u_inf: tuple = (0.0, 0.0, 0.0)   # reference velocity (x, y, z)
+    drift: bool = True          # rescale pl_out by (1 - max Mach^2)
+
+
+def _edge_plane(a, axis: int, side: int):
+    j = 0 if side == 0 else -1
+    return a[:, j, :] if axis == 1 else a[j]
 
 
 def _edge_deriv(P, a, axis: int, side: int):
-    """One-sided compact d/daxis at the boundary row of the dense D1."""
+    """One-sided compact normal derivative at the boundary row."""
     d1 = P["d1y"] if axis == 1 else P["d1x"]
     row = d1[0] if side == 0 else d1[-1]
     if axis == 1:
@@ -38,99 +63,259 @@ def _edge_deriv(P, a, axis: int, side: int):
     return jnp.einsum("b,bjk->jk", row, a)
 
 
-def _edge(a, axis: int, side: int):
-    j = 0 if side == 0 else -1
-    return a[:, j, :] if axis == 1 else a[j]
+def _plane_d1(P, a2d, axis: int, which: str):
+    """Tangential derivative of an edge plane.
+
+    For a y-boundary the plane is (nx, nz): 'x' derivative contracts the
+    first index, 'z' the second."""
+    M = P.get(f"d1{which}")
+    if M is None:
+        return jnp.zeros_like(a2d)
+    if which == "x":
+        return jnp.einsum("ab,bk->ak", jnp.asarray(M, a2d.dtype), a2d)
+    return jnp.einsum("ab,ib->ia", jnp.asarray(M, a2d.dtype), a2d)
 
 
-def characteristic_tendency(P, U: CompState, gamma: float, mach: float,
-                            spec: NSCBCSpec, length: float, axis: int,
-                            side: int):
-    """Boundary-row tendencies (drho, dru, drv, drw, drE) at `side` of
-    `axis` (0 = x, 1 = y). The wave decomposition uses the axis-normal
-    velocity; tangential momenta advect passively (L3/L4)."""
-    rho_f = U.rho
-    u, v, w, T, p = primitive(P, U, gamma, mach)
-    c = jnp.sqrt(jnp.maximum(T / mach ** 2, 1e-12))
+def max_mach2(U: CompState, gamma: float, mach: float):
+    """Instantaneous global max Mach^2 (reference M2_max, time.f90:780)."""
+    u, v, w, T, p = primitive(None, U, gamma, mach)
+    c2 = jnp.maximum(T, 1e-12) / mach ** 2
+    return jnp.max((u * u + v * v + w * w) / c2)
 
-    vel_n = u if axis == 0 else v                 # boundary-normal velocity
-    tan1, tan2 = (v, w) if axis == 0 else (u, w)  # tangential components
 
-    rb = _edge(rho_f, axis, side)
-    unb = _edge(vel_n, axis, side)
-    t1b = _edge(tan1, axis, side)
-    t2b = _edge(tan2, axis, side)
-    pb = _edge(p, axis, side)
-    cb = _edge(c, axis, side)
-    drho = _edge_deriv(P, rho_f, axis, side)
-    dun = _edge_deriv(P, vel_n, axis, side)
-    dt1 = _edge_deriv(P, tan1, axis, side)
-    dt2 = _edge_deriv(P, tan2, axis, side)
-    dp = _edge_deriv(P, p, axis, side)
+def _nr_corrections(side, r, un, v1, v2, p, gam, drdn, dundn, dv1dn,
+                    dv2dn, dpdn, gn, pl_out, pl_inf, refs, idir=2):
+    """BOUNDARY_BCS_FLOW_NR_3 as masked plane arithmetic.
 
-    L1 = (unb - cb) * (dp - rb * cb * dun)
-    L2 = unb * (cb ** 2 * drho - dp)
-    L3 = unb * dt1
-    L4 = unb * dt2
-    L5 = (unb + cb) * (dp + rb * cb * dun)
+    side=0 -> min boundary (iflag<0), side=1 -> max (iflag>0). idir=1
+    is the OX branch (the relaxation drives the full incoming Riemann
+    invariant p +- rho c un), idir=2 the OY branch (no un forcing).
+    refs is (r_ref, un_ref, v1_ref, v2_ref, p_ref). Returns additive
+    corrections (hr, hun, hv1, hv2, he_int)."""
+    c = jnp.sqrt(gam * p / r)
+    Mn = un / c
+    r_ref, un_ref, v1_ref, v2_ref, p_ref = refs
+    z = jnp.zeros_like(r)
 
-    kinds = ((spec.xmin, spec.xmax), (spec.ymin, spec.ymax))[axis]
-    kind = kinds[0] if side == 0 else kinds[1]
-    if kind == "outflow":
-        # non-reflecting: model the single incoming acoustic wave
-        K = spec.sigma * (1.0 - (mach * jnp.abs(unb) / cb) ** 2) * cb / length
-        incoming = K * (pb - spec.p_inf)
-        if side == 0:                       # min side: u+c wave enters
-            L5 = incoming
-        else:                               # max side: u-c wave enters
-            L1 = incoming
-    elif kind == "inflow":
-        # steady subsonic inflow: freeze entropy/tangential, reflect acoustic
-        L2 = jnp.zeros_like(L2)
-        L3 = jnp.zeros_like(L3)
-        L4 = jnp.zeros_like(L4)
-        if side == 0:
-            L5 = L1
+    if side == 0:
+        subsonic = un + c > 0.0
+        inflow = un > 0.0
+        # --- inflow branch (un > 0 at min) ---------------------------
+        dmy_i = 0.5 * (r * (1.0 + Mn) * dundn + (1.0 - Mn) / c * dpdn
+                       - r * gn / c)
+        hr_i = un * drdn + dmy_i
+        hun_i = un * un * drdn + dmy_i * c * (1.0 + Mn) + Mn * dpdn
+        hv1_i = un * v1 * drdn + r * un * dv1dn + dmy_i * v1
+        hv2_i = un * v2 * drdn + r * un * dv2dn + dmy_i * v2
+        he_i = (un * dpdn + dmy_i * c * c) / (gam - 1.0)
+        if idir == 1:        # OX: forcing toward the full invariant
+            F2 = -pl_inf * (r - r_ref)
+            F3 = -pl_inf * (v1 - v1_ref)
+            F4 = -pl_inf * (v2 - v2_ref)
+            F5 = -pl_inf * (p + r * c * un - (p_ref + r * c * un_ref))
+        else:                # OY: no un forcing through F5
+            F2 = -pl_inf * c * (r - r_ref)
+            F3 = -pl_inf * c * (v1 - v1_ref)
+            F4 = -pl_inf * c * (v2 - v2_ref)
+            F5 = -pl_inf * c * (p - p_ref)
+        dmy_f = F2 + 0.5 * F5 / (c * c)
+        hr_i = hr_i + dmy_f
+        hun_i = hun_i + un * F2 + 0.5 * (Mn + 1.0) * F5 / c
+        hv1_i = hv1_i + r * F3 + v1 * dmy_f
+        hv2_i = hv2_i + r * F4 + v2 * dmy_f
+        he_i = he_i + 0.5 * F5 / (gam - 1.0)
+        # --- outflow branch (un <= 0 at min) -------------------------
+        if idir == 1:
+            F5o = -pl_out * (p + r * c * un - (p_ref + r * c * un_ref))
         else:
-            L1 = L5
+            F5o = -pl_out * (p - p_ref)
+        dmy_o = 0.5 * (r * (1.0 + Mn) * dundn + (1.0 + Mn) / c * dpdn
+                       - r * gn / c + F5o / c)
+        hr_o = dmy_o
+        hun_o = dmy_o * c * (1.0 + Mn)
+        hv1_o = dmy_o * v1
+        hv2_o = dmy_o * v2
+        he_o = dmy_o * c * c / (gam - 1.0)
+    else:
+        subsonic = un - c < 0.0
+        inflow = un < 0.0
+        dmy_i = 0.5 * (r * (1.0 - Mn) * dundn - (1.0 + Mn) / c * dpdn
+                       + r * gn / c)
+        hr_i = un * drdn + dmy_i
+        hun_i = un * un * drdn - (1.0 - Mn) * c * dmy_i - Mn * dpdn
+        hv1_i = un * v1 * drdn + r * un * dv1dn + dmy_i * v1
+        hv2_i = un * v2 * drdn + r * un * dv2dn + dmy_i * v2
+        he_i = (un * dpdn + dmy_i * c * c) / (gam - 1.0)
+        if idir == 1:
+            F1 = -pl_inf * c * ((p - r * c * un)
+                                - (p_ref - r * c * un_ref))
+        else:
+            F1 = -pl_inf * c * (p - p_ref)
+        F2 = -pl_inf * c * (r - r_ref)
+        F3 = -pl_inf * c * (v1 - v1_ref)
+        F4 = -pl_inf * c * (v2 - v2_ref)
+        dmy_f = F2 + 0.5 * F1 / (c * c)
+        hr_i = hr_i + dmy_f
+        hun_i = hun_i + un * F2 + 0.5 * (Mn - 1.0) * F1 / c
+        hv1_i = hv1_i + r * F3 + v1 * dmy_f
+        hv2_i = hv2_i + r * F4 + v2 * dmy_f
+        he_i = he_i + 0.5 * F1 / (gam - 1.0)
+        F1o = -pl_out * (p - p_ref)
+        dmy_o = 0.5 * (r * (1.0 - Mn) * dundn - (1.0 - Mn) / c * dpdn
+                       + r * gn / c + F1o / c)
+        hr_o = dmy_o
+        hun_o = -dmy_o * c * (1.0 - Mn)
+        hv1_o = dmy_o * v1
+        hv2_o = dmy_o * v2
+        he_o = dmy_o * c * c / (gam - 1.0)
 
-    d_coeff = (L2 + 0.5 * (L5 + L1)) / cb ** 2
-    dvel = (L5 - L1) / (2.0 * rb * cb)
-    dpres = 0.5 * (L5 + L1)
-
-    drho_t = -d_coeff
-    dn_t = -(unb * d_coeff + rb * dvel)      # normal momentum
-    d1_t = -(t1b * d_coeff + rb * L3)        # tangential momenta
-    d2_t = -(t2b * d_coeff + rb * L4)
-    ke = 0.5 * (unb ** 2 + t1b ** 2 + t2b ** 2)
-    drE_t = -(ke * d_coeff
-              + dpres / ((gamma - 1.0))
-              + rb * (unb * dvel + t1b * L3 + t2b * L4))
-    if axis == 0:
-        return drho_t, dn_t, d1_t, d2_t, drE_t   # (rho, ru, rv, rw, rE)
-    return drho_t, d1_t, dn_t, d2_t, drE_t
+    def pick(i, o):
+        return jnp.where(subsonic, jnp.where(inflow, i, o), z)
+    return (pick(hr_i, hr_o), pick(hun_i, hun_o), pick(hv1_i, hv1_o),
+            pick(hv2_i, hv2_o), pick(he_i, he_o))
 
 
-def _set_edge(c, t, axis: int, side: int):
-    j = 0 if side == 0 else -1
-    if axis == 1:
-        return c.at[:, j, :].set(t)
-    return c.at[j].set(t)
+def _transverse_corrections(P, side, r, un, v1, v2, p, gam, gvec,
+                            beta):
+    """BOUNDARY_BCS_TRANSVERSE_Y + NR_4: tangential-derivative terms of
+    the edge plane, weighted by beta=ctan. For a y-boundary the
+    tangential directions are x ('v1') and z ('v2')."""
+    c = jnp.sqrt(gam * p / r)
+    Mn = un / c
+    dx = {k: _plane_d1(P, v, 0, "x")
+          for k, v in (("v1", v1), ("un", un), ("v2", v2), ("p", p),
+                       ("r", r))}
+    dz = {k: _plane_d1(P, v, 0, "z")
+          for k, v in (("v1", v1), ("un", un), ("v2", v2), ("p", p),
+                       ("r", r))}
+    gx, gz = gvec
+    # t1..t5 (sign-flipped as the reference) -- transverse convection
+    t1 = -(r * dx["v1"] + v1 * dx["r"] + r * dz["v2"] + v2 * dz["r"])
+    t2 = -(v1 * dx["un"] + v2 * dz["un"])
+    t3 = -(v1 * dx["v1"] + v2 * dz["v1"] + dx["p"] / r - gx)
+    t4 = -(v1 * dx["v2"] + v2 * dz["v2"] + dz["p"] / r - gz)
+    t5 = -(v1 * dx["p"] + v2 * dz["p"]
+           + gam * p * (dx["v1"] + dz["v2"]))
+    # lateral characteristic amplitudes along x (m1/m5)
+    m1 = (v1 - c) * (dx["p"] - dx["v1"] * r * c)
+    m5 = (v1 + c) * (dx["p"] + dx["v1"] * r * c)
+
+    z = jnp.zeros_like(r)
+    if side == 0:
+        subsonic = un + c > 0.0
+        inflow = un > 0.0
+        dmy_i = 0.5 * t5 / (c * c) - 0.5 * r * t2 / c - t1
+        hr_i = dmy_i
+        hun_i = 0.5 * (Mn - 1.0) * t5 / c - 0.5 * r * (Mn + 1.0) * t2 \
+            - t1 * un
+        hv1_i = dmy_i * v1 - r * t3 - 0.5 * (m5 - m1) / c
+        hv2_i = dmy_i * v2 - r * t4
+        he_i = -0.5 * (t5 + r * c * t2) / (gam - 1.0)
+        dmy_o = -0.5 * (1.0 - beta) * (r * c * t2 + t5) / (c * c)
+        hun_o = dmy_o * c * (1.0 + Mn)
+    else:
+        subsonic = un - c < 0.0
+        inflow = un < 0.0
+        dmy_i = 0.5 * t5 / (c * c) + 0.5 * r * t2 / c - t1
+        hr_i = dmy_i
+        hun_i = 0.5 * (Mn + 1.0) * t5 / c + 0.5 * r * (Mn - 1.0) * t2 \
+            - t1 * un
+        hv1_i = dmy_i * v1 - r * t3 - 0.5 * (m5 - m1) / c
+        hv2_i = dmy_i * v2 - r * t4
+        he_i = -0.5 * (t5 - r * c * t2) / (gam - 1.0)
+        dmy_o = 0.5 * (1.0 - beta) * (r * c * t2 - t5) / (c * c)
+        hun_o = -dmy_o * c * (1.0 - Mn)
+    hr_o = dmy_o
+    hv1_o = dmy_o * v1
+    hv2_o = dmy_o * v2
+    he_o = dmy_o * c * c / (gam - 1.0)
+
+    def pick(i, o):
+        return jnp.where(subsonic, jnp.where(inflow, i, o), z)
+    return (pick(hr_i, hr_o), pick(hun_i, hun_o), pick(hv1_i, hv1_o),
+            pick(hv2_i, hv2_o), pick(he_i, he_o))
 
 
 def apply_nscbc(P, U: CompState, h: CompState, gamma: float, mach: float,
-                spec: NSCBCSpec, ly: float, lx: float = 1.0) -> CompState:
-    """Replace edge-row tendencies by the characteristic form for open
-    sides; 'wall'/'none' sides are left to the caller's treatment."""
+                spec: NSCBCSpec, ly: float, lx: float = 1.0,
+                gvec=(0.0, 0.0, 0.0), energy: str = "total") -> CompState:
+    """Add the characteristic corrections at open boundary rows (y axis
+    with idir=2 incl. transverse terms; x axis with idir=1). 'wall'/
+    'none' sides are left to the caller."""
+    rho = U.rho
+    u, v, w, T, p = primitive(P, U, gamma, mach)
+    gam = gamma
+
+    m2 = max_mach2(U, gamma, mach) if spec.drift else \
+        jnp.asarray(mach ** 2, U.rho.dtype)
+    drift = jnp.maximum(1.0 - m2, 0.0)
+
     comps = [h.rho, h.rhou, h.rhov, h.rhow, h.rhoE]
-    for axis, kinds, length in ((1, (spec.ymin, spec.ymax), ly),
-                                (0, (spec.xmin, spec.xmax), lx)):
-        for side in (0, -1):
-            kind = kinds[0] if side == 0 else kinds[1]
+    axes = ((1, (spec.ymin, spec.ymax), ly, 2),
+            (0, (spec.xmin, spec.xmax), lx, 1))
+    for axis, kinds, length, idir in axes:
+        for side in (0, 1):
+            kind = kinds[side]
             if kind in ("wall", "none"):
                 continue
-            ct = characteristic_tendency(P, U, gamma, mach, spec, length,
-                                         axis, side)
-            comps = [_set_edge(c, t, axis, side)
-                     for c, t in zip(comps, ct)]
-    return CompState(*comps)
+            if axis == 1:
+                sl = (slice(None), 0 if side == 0 else -1, slice(None))
+                vn, t1, t2 = v, u, w
+                gn = gvec[1]
+                # momentum component ordering (normal, tan1, tan2) ->
+                # (rhov, rhou, rhow)
+                mom_idx = (2, 1, 3)
+                ref_n, ref_1, ref_2 = (spec.u_inf[1], spec.u_inf[0],
+                                       spec.u_inf[2])
+            else:
+                sl = (0 if side == 0 else -1,)
+                vn, t1, t2 = u, v, w
+                gn = gvec[0]
+                mom_idx = (1, 2, 3)
+                ref_n, ref_1, ref_2 = (spec.u_inf[0], spec.u_inf[1],
+                                       spec.u_inf[2])
+            r_b = rho[sl]
+            un_b = vn[sl]
+            v1_b = t1[sl]
+            v2_b = t2[sl]
+            p_b = p[sl]
+            g_b = jnp.full_like(r_b, gam)
+            drdn = _edge_deriv(P, rho, axis, side)
+            dundn = _edge_deriv(P, vn, axis, side)
+            dv1dn = _edge_deriv(P, t1, axis, side)
+            dv2dn = _edge_deriv(P, t2, axis, side)
+            dpdn = _edge_deriv(P, p, axis, side)
+            c_b = jnp.sqrt(g_b * p_b / r_b)
+            pl_out = spec.sigma * drift * c_b / length
+            pl_inf = (spec.cinf / length) * jnp.ones_like(c_b) \
+                if kind == "inflow" else jnp.zeros_like(c_b)
+            refs = (jnp.full_like(r_b, spec.rho_inf),
+                    jnp.full_like(r_b, ref_n),
+                    jnp.full_like(r_b, ref_1),
+                    jnp.full_like(r_b, ref_2),
+                    jnp.full_like(r_b, spec.p_inf))
+            hr, hun, hv1, hv2, he = _nr_corrections(
+                side, r_b, un_b, v1_b, v2_b, p_b, g_b, drdn, dundn,
+                dv1dn, dv2dn, dpdn, gn, pl_out, pl_inf, refs, idir=idir)
+            if spec.ctan != 0.0 and axis == 1:
+                tr = _transverse_corrections(
+                    P, side, r_b, un_b, v1_b, v2_b, p_b, g_b,
+                    (gvec[0], gvec[2]), spec.ctan)
+                hr, hun, hv1, hv2, he = (a + b for a, b in
+                                         zip((hr, hun, hv1, hv2, he),
+                                             tr))
+            # energy mapping: he is d(rho e_int); total energy adds the
+            # kinetic part d(rho|u|^2/2) = sum u_i d(rho u_i) - ke d(rho)
+            if energy == "total":
+                ke = 0.5 * (un_b ** 2 + v1_b ** 2 + v2_b ** 2)
+                hE = he + un_b * hun + v1_b * hv1 + v2_b * hv2 - ke * hr
+            else:
+                hE = he
+            j = 0 if side == 0 else -1
+            idx = (slice(None), j, slice(None)) if axis == 1 else (j,)
+            comps[0] = comps[0].at[idx].add(hr)
+            comps[mom_idx[0]] = comps[mom_idx[0]].at[idx].add(hun)
+            comps[mom_idx[1]] = comps[mom_idx[1]].at[idx].add(hv1)
+            comps[mom_idx[2]] = comps[mom_idx[2]].at[idx].add(hv2)
+            comps[4] = comps[4].at[idx].add(hE)
+    return CompState(*comps, h.rhos)

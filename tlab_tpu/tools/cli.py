@@ -100,13 +100,23 @@ def main(argv=None):
 
     sim = Simulation.from_case(case)
 
+    is_comp = getattr(sim, "comp", None) is not None
+
     if args.command in ("inirand", "iniflow", "iniscal", "ini"):
-        from tlab_tpu.tools.initialize import initial_state
         from tlab_tpu.io import fields_io
-        state = initial_state(sim, seed=args.seed)
-        fields_io.write_state(os.path.join(args.outdir, "flow"),
-                              os.path.join(args.outdir, "scal"),
-                              case.it_start, state, 0.0, sim.nsp.visc)
+        if is_comp:
+            # compressible restart: 5 conservative fields
+            # (reference inb_flow=5, io_fields flow.<it>.1-5)
+            from tlab_tpu.tools.initialize import compressible_initial_state
+            U = compressible_initial_state(sim, seed=args.seed)
+            fields_io.write_comp_state(os.path.join(args.outdir, "flow"),
+                                       case.it_start, U, 0.0, sim.nsp.visc)
+        else:
+            from tlab_tpu.tools.initialize import initial_state
+            state = initial_state(sim, seed=args.seed)
+            fields_io.write_state(os.path.join(args.outdir, "flow"),
+                                  os.path.join(args.outdir, "scal"),
+                                  case.it_start, state, 0.0, sim.nsp.visc)
         print(f"initial fields written at it={case.it_start}")
         return 0
 
@@ -118,6 +128,20 @@ def main(argv=None):
         import numpy as np
 
         it0 = case.it_start
+        if is_comp:
+            from tlab_tpu.dycore.compressible import CompState
+            U0, rtime, _ = fields_io.read_comp_state(
+                os.path.join(args.outdir, "flow"), it0)
+            state = CompState(*(jnp.asarray(a, sim.dtype)
+                                if a is not None else None
+                                for a in U0))
+            run = dns_tool.run(sim, state, outdir=args.outdir, itime=it0,
+                               rtime=float(rtime), n_steps=args.steps,
+                               log_path=os.path.join(args.outdir,
+                                                     "dns.out"),
+                               inner_steps=args.inner_steps)
+            print("\n".join(run.log.lines[-3:]))
+            return 0
         u, v, w, s, rtime, _ = fields_io.read_state(
             os.path.join(args.outdir, "flow"),
             os.path.join(args.outdir, "scal"), it0, sim.nsp.n_scalars)
