@@ -292,3 +292,121 @@ def test_tke_budget_closure():
     # is NOT solenoidal, so only check finiteness of the trace
     tr = np.asarray(out["PIxx"] + out["PIyy"] + out["PIzz"])
     assert np.isfinite(tr).all()
+
+
+def test_rij_budget_closure():
+    """Complete R_ij budget (reference AVG_FLOW_XZ budget groups): the
+    tendency-projected derivative <u'_i h'_j + u'_j h'_i> equals
+    P + T + PI + G + D - E + C per component to discretization error,
+    with the SAME pressure the projection used (no re-solve)."""
+    import jax.numpy as jnp
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.dycore.state import State
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.physics.params import NSParams
+    from tlab_tpu.stats import averages as avg
+
+    nx, ny, nz = 32, 96, 16
+    grid = uniform_grid(nx, ny, nz, 2.0 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    P = dyn.build_device_plans(
+        fdm, NSParams(reynolds=500.0, schmidt=(1.0,)),
+        dyn.WallBCs.from_velocity_kind("freeslip", "freeslip",
+                                       scalar_bcs=(("neumann", "neumann"),)),
+        dtype=jnp.float64)
+
+    # smooth 3-D solenoidal-ish field with mean shear
+    X = grid.x.nodes[:, None, None] * np.ones(grid.shape)
+    Y = grid.y.nodes[None, :, None] * np.ones(grid.shape)
+    Z = grid.z.nodes[None, None, :] * np.ones(grid.shape)
+    env = np.sin(np.pi * Y) ** 2
+    u = np.tanh((Y - 0.5) / 0.15) + 0.1 * env * np.sin(2 * X) * np.cos(2 * Z)
+    v = 0.1 * env * np.cos(2 * X) * np.sin(2 * Z)
+    w = 0.1 * env * np.sin(2 * X + 1.0) * np.cos(4 * Z)
+    st = State(u=jnp.asarray(u), v=jnp.asarray(v), w=jnp.asarray(w),
+               s=jnp.zeros((1,) + grid.shape))
+    # project once so the state is solenoidal, then evaluate the tendency
+    st, _ = dyn.rk_step(P, st, 1e-6)
+    z = jnp.zeros_like(st.u)
+    (h1, h2, h3), hs, p = dyn.substep_rhs(P, st, (z, z, z),
+                                          jnp.zeros_like(st.s), 1.0)
+
+    visc = P["visc"]
+    out = avg.flow_statistics(P, st, visc, p=p)
+
+    def pavg(a):
+        return np.asarray(jnp.mean(a, axis=(0, 2)))
+
+    fl = {"x": st.u - jnp.mean(st.u, axis=(0, 2))[None, :, None],
+          "y": st.v - jnp.mean(st.v, axis=(0, 2))[None, :, None],
+          "z": st.w - jnp.mean(st.w, axis=(0, 2))[None, :, None]}
+    hf = {"x": h1 - jnp.mean(h1, axis=(0, 2))[None, :, None],
+          "y": h2 - jnp.mean(h2, axis=(0, 2))[None, :, None],
+          "z": h3 - jnp.mean(h3, axis=(0, 2))[None, :, None]}
+
+    sl = slice(4, ny - 4)                       # skip bc-modified rows
+    worst = 0.0
+    for tag, i, j in (("xx", "x", "x"), ("yy", "y", "y"), ("zz", "z", "z"),
+                      ("xy", "x", "y"), ("xz", "x", "z"), ("yz", "y", "z")):
+        dRdt = pavg(fl[i] * hf[j] + fl[j] * hf[i])
+        rhs = np.asarray(out[f"P{tag}"] + out[f"T{tag}"] + out[f"PI{tag}"]
+                         + out[f"G{tag}"] + out[f"D{tag}"]
+                         - out[f"E{tag}"] + out[f"C{tag}"])
+        scale = max(np.max(np.abs(dRdt[sl])),
+                    np.max(np.abs(out[f"E{tag}"])), 1e-12)
+        res = np.max(np.abs(dRdt[sl] - rhs[sl])) / scale
+        worst = max(worst, res)
+        assert res < 0.05, (tag, res, scale)
+    # trace of the pressure-strain tensor vanishes for solenoidal flow
+    tr = np.asarray(out["PIxx"] + out["PIyy"] + out["PIzz"])
+    assert np.max(np.abs(tr[sl])) < 0.05 * max(
+        np.max(np.abs(np.asarray(out["PIxx"]))), 1e-12)
+
+
+def test_scalar_variance_budget_closure():
+    """Scalar-variance budget (reference AVG_SCAL_XZ): 2<s' hs'> equals
+    Pss + Tss + Dss - Chi + Css to discretization error."""
+    import jax.numpy as jnp
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.dycore.state import State
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.physics.params import NSParams
+    from tlab_tpu.stats import averages as avg
+
+    nx, ny, nz = 32, 96, 16
+    grid = uniform_grid(nx, ny, nz, 2.0 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    P = dyn.build_device_plans(
+        fdm, NSParams(reynolds=500.0, schmidt=(1.0,)),
+        dyn.WallBCs.from_velocity_kind("freeslip", "freeslip",
+                                       scalar_bcs=(("neumann", "neumann"),)),
+        dtype=jnp.float64)
+    X = grid.x.nodes[:, None, None] * np.ones(grid.shape)
+    Y = grid.y.nodes[None, :, None] * np.ones(grid.shape)
+    Z = grid.z.nodes[None, None, :] * np.ones(grid.shape)
+    env = np.sin(np.pi * Y) ** 2
+    u = np.tanh((Y - 0.5) / 0.15) + 0.1 * env * np.sin(2 * X) * np.cos(2 * Z)
+    v = 0.1 * env * np.cos(2 * X) * np.sin(2 * Z)
+    w = 0.1 * env * np.sin(2 * X + 1.0) * np.cos(4 * Z)
+    s = 0.5 - 0.5 * np.tanh((Y - 0.5) / 0.15) \
+        + 0.05 * env * np.sin(3 * X) * np.cos(2 * Z)
+    st = State(u=jnp.asarray(u), v=jnp.asarray(v), w=jnp.asarray(w),
+               s=jnp.asarray(s)[None])
+    st, _ = dyn.rk_step(P, st, 1e-6)
+    z = jnp.zeros_like(st.u)
+    _, hs, _ = dyn.substep_rhs(P, st, (z, z, z), jnp.zeros_like(st.s), 1.0)
+
+    out = avg.scalar_statistics(P, st, P["diff"][0], 0)
+
+    sf = st.s[0] - jnp.mean(st.s[0], axis=(0, 2))[None, :, None]
+    hsf = hs[0] - jnp.mean(hs[0], axis=(0, 2))[None, :, None]
+    dRdt = np.asarray(jnp.mean(2.0 * sf * hsf, axis=(0, 2)))
+    rhs = np.asarray(out["Pss"] + out["Tss"] + out["Dss"]
+                     - out["Chi"] + out["Css"])
+    ny_ = dRdt.shape[0]
+    sl = slice(4, ny_ - 4)
+    scale = max(np.max(np.abs(dRdt[sl])), 1e-12)
+    res = np.max(np.abs(dRdt[sl] - rhs[sl])) / scale
+    assert res < 0.05, res

@@ -21,8 +21,13 @@ def _pavg(a):
     return jnp.mean(a, axis=(0, 2))
 
 
-def flow_statistics(P, state, visc):
-    """Returns dict name -> (ny,) profile."""
+def flow_statistics(P, state, visc, p=None):
+    """Returns dict name -> (ny,) profile.
+
+    p: optional pressure field to use for the pressure-correlation terms
+    (the projection pressure the dycore already computed this step);
+    when absent the diagnostic Boussinesq pressure is re-solved as the
+    reference's offline averages.x does."""
     u, v, w = state.u, state.v, state.w
     out = {}
     U, V, W = _pavg(u), _pavg(v), _pavg(w)
@@ -40,14 +45,15 @@ def flow_statistics(P, state, visc):
     out["Ryz"] = _pavg(vf * wf)
     out["Tke"] = 0.5 * (out["Rxx"] + out["Ryy"] + out["Rzz"])
 
-    # higher moments
+    # higher moments (guard AFTER the power: tiny**1.5 underflows to 0
+    # and 0/0 poisons wall rows / quiescent components with NaN)
     for name, f in (("U", uf), ("V", vf), ("W", wf)):
         var = _pavg(f * f)
         m3 = _pavg(f ** 3)
         m4 = _pavg(f ** 4)
         eps = jnp.finfo(var.dtype).tiny
-        out[f"S{name}"] = m3 / jnp.maximum(var, eps) ** 1.5
-        out[f"F{name}"] = m4 / jnp.maximum(var, eps) ** 2
+        out[f"S{name}"] = m3 / jnp.maximum(var ** 1.5, eps)
+        out[f"F{name}"] = m4 / jnp.maximum(var ** 2, eps)
 
     # velocity gradients (full fields, then fluctuation parts)
     grads = {}
@@ -86,12 +92,17 @@ def flow_statistics(P, state, visc):
         out[f"W{name}"] = m
         out[f"W{name}2"] = _pavg((om - m[None, :, None]) ** 2)
 
-    # -- Reynolds-stress budget terms (reference avg_flow_xz.f90 budget
-    # groups: per-component production, dissipation, pressure-strain,
-    # turbulent/viscous/pressure transport of the TKE) ---------------------
+    # -- Complete Reynolds-stress budgets, all six components (reference
+    # avg_flow_xz.f90 budget groups: production, turbulent transport,
+    # pressure transport, pressure-strain, viscous transport, dissipation
+    # and mean convection per R_ij) ----------------------------------------
     d1y = P.get("d1y")
     if d1y is not None:
-        fl = {"u": uf, "v": vf, "w": wf}
+        fl = {"x": uf, "y": vf, "z": wf}
+        Rm = {"x": {"x": out["Rxx"], "y": out["Rxy"], "z": out["Rxz"]},
+              "y": {"x": out["Rxy"], "y": out["Ryy"], "z": out["Ryz"]},
+              "z": {"x": out["Rxz"], "y": out["Ryz"], "z": out["Rzz"]}}
+        comp_of = {"x": "u", "y": "v", "z": "w"}
         gfl = {}
         for cname in ("u", "v", "w"):
             for aname in ("x", "y", "z"):
@@ -99,29 +110,48 @@ def flow_statistics(P, state, visc):
                 mg = mean_grad.get((cname, aname))
                 gfl[cname + aname] = g - mg[None, :, None] \
                     if mg is not None else g - _pavg(g)[None, :, None]
-        # per-component production against the mean shear
-        out["PxxC"] = -2.0 * out["Rxy"] * dUdy
-        out["PzzC"] = -2.0 * out["Ryz"] * dWdy
-        out["PxyC"] = -out["Ryy"] * dUdy
-        # per-component dissipation eps_ij = 2 nu <du'_i/dx_k du'_j/dx_k>
-        for tag, (ci, cj) in (("Exx", ("u", "u")), ("Eyy", ("v", "v")),
-                              ("Ezz", ("w", "w")), ("Exy", ("u", "v"))):
+        # mean-velocity y-gradients (homogeneous x,z: only d/dy survives)
+        dmean = {"x": dUdy, "y": d1y @ V, "z": dWdy}
+        # pressure: reuse the projection pressure when given
+        if p is None:
+            from tlab_tpu.dycore.pressure import pressure_boussinesq
+            p = pressure_boussinesq(P, state)
+        pf = p - _pavg(p)[None, :, None]
+
+        pairs = (("xx", "x", "x"), ("yy", "y", "y"), ("zz", "z", "z"),
+                 ("xy", "x", "y"), ("xz", "x", "z"), ("yz", "y", "z"))
+        d2y = None
+        for tag, i, j in pairs:
+            ci, cj = comp_of[i], comp_of[j]
+            # production: -R_iy dU_j/dy - R_jy dU_i/dy
+            out[f"P{tag}"] = -(Rm[i]["y"] * dmean[j]
+                               + Rm[j]["y"] * dmean[i])
+            # dissipation: 2 nu <du'_i/dx_k du'_j/dx_k>
             acc = 0.0
             for aname in ("x", "y", "z"):
                 acc = acc + _pavg(gfl[ci + aname] * gfl[cj + aname])
-            out[tag] = 2.0 * visc * acc
-        # pressure fluctuation terms (diagnostic Boussinesq pressure)
-        from tlab_tpu.dycore.pressure import pressure_boussinesq
-        p = pressure_boussinesq(P, state)
-        pf = p - _pavg(p)[None, :, None]
+            out[f"E{tag}"] = 2.0 * visc * acc
+            # turbulent transport: -d/dy <u'_i u'_j v'>
+            out[f"T{tag}"] = -(d1y @ _pavg(fl[i] * fl[j] * vf))
+            # pressure-strain: <p'(du'_i/dx_j + du'_j/dx_i)>
+            out[f"PI{tag}"] = _pavg(pf * (gfl[ci + j] + gfl[cj + i]))
+            # pressure transport: -d/dy(<p'u'_i> d_jy + <p'u'_j> d_iy)
+            g = 0.0
+            if j == "y":
+                g = g + _pavg(pf * fl[i])
+            if i == "y":
+                g = g + _pavg(pf * fl[j])
+            out[f"G{tag}"] = -(d1y @ g) if not isinstance(g, float) \
+                else jnp.zeros_like(out["Tke"])
+            # viscous transport: nu d^2 R_ij / dy^2
+            out[f"D{tag}"] = visc * (d1y @ (d1y @ Rm[i][j]))
+            # mean convection: -V d R_ij / dy
+            out[f"C{tag}"] = -V * (d1y @ Rm[i][j])
+        # legacy aliases kept for the core table
+        out["PxxC"] = out["Pxx"]
+        out["PzzC"] = out["Pzz"]
+        out["PxyC"] = -out["Ryy"] * dUdy
         out["PresTrp"] = -(d1y @ _pavg(vf * pf))
-        for tag, (ci, ai, cj, aj) in (
-                ("PIxx", ("u", "x", "u", "x")),
-                ("PIyy", ("v", "y", "v", "y")),
-                ("PIzz", ("w", "z", "w", "z")),
-                ("PIxy", ("u", "y", "v", "x"))):
-            out[tag] = _pavg(pf * (gfl[ci + ai] + gfl[cj + aj]))
-        # viscous transport of TKE: nu d2<k>/dy2 via two first derivatives
         out["ViscTrp"] = visc * (d1y @ (d1y @ out["Tke"]))
     return out
 
@@ -138,8 +168,8 @@ def scalar_statistics(P, state, diff, i):
     out["Rsv"] = _pavg(sf * (v - _pavg(v)[None, :, None]))
     out["Rsw"] = _pavg(sf * (w - _pavg(w)[None, :, None]))
     eps = jnp.finfo(S.dtype).tiny
-    out["Ss"] = _pavg(sf ** 3) / jnp.maximum(out["Rss"], eps) ** 1.5
-    out["Fs"] = _pavg(sf ** 4) / jnp.maximum(out["Rss"], eps) ** 2
+    out["Ss"] = _pavg(sf ** 3) / jnp.maximum(out["Rss"] ** 1.5, eps)
+    out["Fs"] = _pavg(sf ** 4) / jnp.maximum(out["Rss"] ** 2, eps)
     # scalar-variance dissipation chi = 2 D <grad s' . grad s'>
     chi = 0.0
     dSdy = P["d1y"] @ S if "d1y" in P else jnp.zeros_like(S)
@@ -151,6 +181,15 @@ def scalar_statistics(P, state, diff, i):
             g = g - _pavg(g)[None, :, None]
         chi = chi + _pavg(g * g)
     out["Chi"] = 2.0 * diff * chi
+    # scalar-variance budget (reference AVG_SCAL_XZ budget columns):
+    # d<s'2>/dt = Pss + Tss + Dss - Chi (+ mean convection)
+    d1y = P.get("d1y")
+    if d1y is not None:
+        vf = v - _pavg(v)[None, :, None]
+        out["Pss"] = -2.0 * out["Rsv"] * dSdy
+        out["Tss"] = -(d1y @ _pavg(vf * sf * sf))
+        out["Dss"] = diff * (d1y @ (d1y @ out["Rss"]))
+        out["Css"] = -_pavg(v) * (d1y @ out["Rss"])
     return out
 
 

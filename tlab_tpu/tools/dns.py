@@ -85,7 +85,10 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             v = new_U.rhov / new_U.rho
             w = new_U.rhow / new_U.rho
             div = dyn.divergence(P, u, v, w)
-            return new_U, cfl, jnp.min(div), jnp.max(div)
+            prim = comp_mod.primitive(P, new_U, c["gamma"], c["mach"]) \
+                if c["energy"] == "total" else comp_mod.primitive_internal(
+                    P, new_U, c["gamma"], c["mach"])
+            return new_U, prim[4], cfl, jnp.min(div), jnp.max(div)
 
         @jax.jit
         def cfl_only(U):
@@ -109,10 +112,10 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
     if particles is None and unsteady_inflow:
         @jax.jit
         def _step(state, dtime, aux):
-            new_state, _ = dyn.rk_step(P, state, dtime, aux=aux)
+            new_state, p = dyn.rk_step(P, state, dtime, aux=aux)
             cfl = dyn.cfl_advective_max(P, new_state)
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
-            return new_state, cfl, dmin, dmax
+            return new_state, p, cfl, dmin, dmax
 
         def step(state, dtime, aux):
             return _step(state, dtime, _aux(aux))
@@ -120,15 +123,15 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
         @jax.jit
         def _step(state, dtime, aux):
             if inner_steps > 1:
-                new_state = jax.lax.fori_loop(
+                new_state, p = jax.lax.fori_loop(
                     0, inner_steps,
-                    lambda i, st: dyn.rk_step(P, st, dtime, aux=aux)[0],
-                    state)
+                    lambda i, c: dyn.rk_step(P, c[0], dtime, aux=aux),
+                    (state, jnp.zeros_like(state.u)))
             else:
-                new_state, _ = dyn.rk_step(P, state, dtime, aux=aux)
+                new_state, p = dyn.rk_step(P, state, dtime, aux=aux)
             cfl = dyn.cfl_advective_max(P, new_state)
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
-            return new_state, cfl, dmin, dmax
+            return new_state, p, cfl, dmin, dmax
 
         def step(state, dtime):
             return _step(state, dtime, _aux())
@@ -154,13 +157,15 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
 
 
 def write_statistics(sim: Simulation, state: State, outdir: str,
-                     itime: int, rtime: float) -> None:
+                     itime: int, rtime: float, p=None) -> None:
     """avg<itime> / avg<itime>s<i> plane-statistics tables
-    (reference DNS_STATISTICS_TEMPORAL, dns_statistics.f90:56)."""
+    (reference DNS_STATISTICS_TEMPORAL, dns_statistics.f90:56). p: the
+    projection pressure the step already computed (avoids the extra
+    Poisson solve of the diagnostic route)."""
     from tlab_tpu.stats import averages as avg
 
     y = sim.grid.y.nodes
-    flow = avg.flow_statistics(sim.P, state, sim.nsp.visc)
+    flow = avg.flow_statistics(sim.P, state, sim.nsp.visc, p=p)
     avg.write_table(os.path.join(outdir, f"avg{itime}"), y, flow,
                     itime, rtime)
     for i in range(sim.nsp.n_scalars):
@@ -296,11 +301,12 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     for _ in range(0, n_steps, inner_steps):
         if pstate is not None:
             state, pstate, cmax_dev, dmin, dmax = step(state, pstate, dtime)
+            p_cur = None
         elif inflow is not None:
             aux = {"refs_x": inflow.refs_at(rtime, dtype=state.u.dtype)}
-            state, cmax_dev, dmin, dmax = step(state, dtime, aux)
+            state, p_cur, cmax_dev, dmin, dmax = step(state, dtime, aux)
         else:
-            state, cmax_dev, dmin, dmax = step(state, dtime)
+            state, p_cur, cmax_dev, dmin, dmax = step(state, dtime)
         itime += inner_steps
         rtime += dtime * inner_steps
         if sponge_fn is not None:
@@ -331,7 +337,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 write_particles(os.path.join(outdir, f"part.{itime}"),
                                 pstate, itime)
         if case.it_stats > 0 and itime % case.it_stats == 0 and not is_comp:
-            write_statistics(sim, state, outdir, itime, rtime)
+            write_statistics(sim, state, outdir, itime, rtime,
+                             p=p_cur)
         if obs_log and itime % case.it_log == 0 and not is_comp:
             write_obs(sim, state, outdir, itime, rtime)
         if plane_specs and itime % planes_cfg["step"] == 0 and not is_comp:
