@@ -494,3 +494,37 @@ scales_1=1.0
     assert "surface_bc" not in sim2.P
     ns2, _ = dyn.rk_step(sim2.P, state, 1e-3)
     assert np.max(np.abs(np.asarray(ns2.s[0, :, 0, :]) - wall0)) < 1e-14
+
+
+def test_consistency_check():
+    """INI option cross-validation (reference tlab_consistency_check.f90):
+    bad combinations are rejected with a clear error at setup time."""
+    import pytest
+    from tlab_tpu.config import load_case, consistency_check, Ini
+    base = open("tests/data/case01_small.ini").read()
+
+    # valid case passes
+    consistency_check(load_case(Ini(text=base)))
+
+    # temporal + non-periodic x
+    bad = base.replace("XPeriodic=yes", "XPeriodic=no")
+    with pytest.raises(ValueError, match="periodic in direction X"):
+        consistency_check(load_case(Ini(text=bad)))
+
+    # version gate
+    bad = base.replace("Major=7", "Major=6")
+    with pytest.raises(ValueError, match="version must be 7"):
+        consistency_check(load_case(Ini(text=bad)))
+
+    # staggering constraints
+    bad = base + "\n[Staggering]\nStaggerHorizontalPressure=yes\n"
+    bad = bad.replace("SpaceOrder=CompactJacobian6",
+                      "SpaceOrder=CompactJacobian4")
+    with pytest.raises(ValueError, match="staggering"):
+        consistency_check(load_case(Ini(text=bad)))
+
+    # anelastic requires an airwater-family mixture
+    bad = base.replace("Equations=incompressible", "Equations=anelastic")
+    bad += "\n[Thermodynamics]\nMixture=airwaterlinear\n"
+    with pytest.raises(ValueError, match="anelastic mode requires"):
+        consistency_check(load_case(Ini(text=bad)))

@@ -415,3 +415,63 @@ def load_case(path_or_ini) -> CaseSetup:
             "phasez": ini.get_floats("Discrete", "PhaseZ", (0.0,)),
         },
     )
+
+
+def consistency_check(case: CaseSetup) -> None:
+    """Cross-validate INI option combinations before building plans
+    (reference TLab_Consistency_Check, tlab_consistency_check.f90 +
+    the hard version gate of tlab_initialize_parameters.f90:30-39).
+    Raises ValueError with a reference-style message."""
+    ini = case.ini
+    if ini is not None:
+        major = ini.get_int("Version", "Major", 7)
+        if major != 7:
+            raise ValueError(
+                f"[Version] Major={major}: file format version must be 7.")
+
+    if case.flow_type == "temporal" and not case.periodic[0]:
+        raise ValueError(
+            "Grid must be uniform and periodic in direction X for "
+            "temporal simulation (tlab_consistency_check.f90).")
+
+    eqs = case.equations
+    adv = case.term_advection
+    if getattr(case, "stagger", False):
+        if eqs not in ("incompressible", "anelastic"):
+            raise ValueError(
+                "Horizontal pressure staggering only implemented for "
+                "anelastic or incompressible mode.")
+        if adv not in ("convective", "skewsymmetric", ""):
+            raise ValueError(
+                "Horizontal pressure staggering not implemented for "
+                "current advection scheme.")
+        if "jacobian6" not in case.space_order1.lower():
+            raise ValueError(
+                "Horizontal pressure staggering only implemented for "
+                "compact jacobian 6th-order scheme.")
+
+    ibm_on = ini is not None and \
+        ini.get("IBMParameter", "Status", "off").lower() == "on"
+    if ibm_on:
+        if eqs != "incompressible":
+            raise ValueError("IBM only implemented for incompressible "
+                             "mode.")
+        if adv not in ("convective", "skewsymmetric", ""):
+            raise ValueError("IBM not implemented for current advection "
+                             "scheme.")
+
+    mixture = (case.thermo or {}).get("mixture", "none")
+    if eqs == "anelastic" and mixture not in ("air", "airvapor",
+                                              "airwater", "none", ""):
+        raise ValueError(
+            f"Mixture={mixture}: anelastic mode requires Air/AirVapor/"
+            "AirWater (thermodynamics.f90:205-208).")
+
+    rad_type = ini.get("Infrared", "Type",
+                       ini.get("Radiation", "Type", "none")).lower() \
+        if ini is not None else "none"
+    if rad_type not in ("none", "") and eqs == "anelastic" \
+            and mixture not in ("airwater", "airwaterlinear", "none", ""):
+        raise ValueError(
+            "Infrared radiation only derived for airwater mixtures "
+            "(radiation.f90:171-180).")

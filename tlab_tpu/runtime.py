@@ -294,6 +294,8 @@ class Simulation:
                   mesh=None) -> "Simulation":
         case = case_or_path if isinstance(case_or_path, CaseSetup) \
             else load_case(case_or_path)
+        from tlab_tpu.config import consistency_check
+        consistency_check(case)
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         if grid is None:

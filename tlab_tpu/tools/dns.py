@@ -27,17 +27,29 @@ from tlab_tpu.utils.fortran_fmt import fort_e
 class RunLog:
     path: Optional[str] = None
     lines: list = dataclasses.field(default_factory=list)
+    comp: bool = False
 
     def header(self):
-        h = ("#" * 93 + "\n"
-             "#  Itn.    time          dt         CFL#       D#         "
-             "visc       DilMin        DilMax     #\n" + "#" * 93)
+        if self.comp:
+            # compressible columns (reference DNS_LOGS_INITIALIZE,
+            # dns_main.f90:434-439): p and rho extrema
+            h = ("#" * 93 + "\n"
+                 "#  Itn.    time          dt         CFL#       D#      "
+                 "   visc       PMin       PMax       RMin       RMax #\n"
+                 + "#" * 93)
+        else:
+            h = ("#" * 93 + "\n"
+                 "#  Itn.    time          dt         CFL#       D#         "
+                 "visc       DilMin        DilMax     #\n" + "#" * 93)
         self._write(h)
 
-    def step(self, status, itime, rtime, dt, cfl, dnum, visc, dmin, dmax):
+    def step(self, status, itime, rtime, dt, cfl, dnum, visc, *extra):
         line = (f"{status} {itime:7d}  {fort_e(rtime, 6)}  {fort_e(dt, 3)}  "
-                f"{fort_e(cfl, 3)}  {fort_e(dnum, 3)}  {fort_e(visc, 3)} "
-                f"{fort_e(dmin, 6)}  {fort_e(dmax, 6)}")
+                f"{fort_e(cfl, 3)}  {fort_e(dnum, 3)}  {fort_e(visc, 3)}")
+        if self.comp:
+            line += "".join(f" {fort_e(v, 3)}" for v in extra)
+        else:
+            line += " " + "  ".join(fort_e(v, 6) for v in extra)
         self._write(line)
 
     def _write(self, text):
@@ -88,7 +100,10 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             prim = comp_mod.primitive(P, new_U, c["gamma"], c["mach"]) \
                 if c["energy"] == "total" else comp_mod.primitive_internal(
                     P, new_U, c["gamma"], c["mach"])
-            return new_U, prim[4], cfl, jnp.min(div), jnp.max(div)
+            p_f = prim[4]
+            return (new_U, p_f, cfl,
+                    jnp.stack([jnp.min(p_f), jnp.max(p_f),
+                               jnp.min(new_U.rho), jnp.max(new_U.rho)]))
 
         @jax.jit
         def cfl_only(U):
@@ -115,7 +130,7 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             new_state, p = dyn.rk_step(P, state, dtime, aux=aux)
             cfl = dyn.cfl_advective_max(P, new_state)
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
-            return new_state, p, cfl, dmin, dmax
+            return new_state, p, cfl, jnp.stack([dmin, dmax])
 
         def step(state, dtime, aux):
             return _step(state, dtime, _aux(aux))
@@ -131,7 +146,7 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
                 new_state, p = dyn.rk_step(P, state, dtime, aux=aux)
             cfl = dyn.cfl_advective_max(P, new_state)
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
-            return new_state, p, cfl, dmin, dmax
+            return new_state, p, cfl, jnp.stack([dmin, dmax])
 
         def step(state, dtime):
             return _step(state, dtime, _aux())
@@ -147,7 +162,7 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
                 P, sim.grid, locate, pprops, state, pstate, dtime)
             cfl = dyn.cfl_advective_max(P, new_state)
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
-            return new_state, new_ps, cfl, dmin, dmax
+            return new_state, new_ps, cfl, jnp.stack([dmin, dmax])
 
     @jax.jit
     def cfl_only(state):
@@ -244,7 +259,7 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         filter_fn = None
 
     write_tlab_log(sim, outdir)
-    log = RunLog(path=log_path)
+    log = RunLog(path=log_path, comp=is_comp)
     if opr_check:
         # startup operator self-test + micro-benchmark (reference OPR_CHECK)
         from tlab_tpu.ops.check import opr_check as run_check, format_report
@@ -287,43 +302,73 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     dconst = sim.P["diffusion_constant"]
     visc = sim.nsp.visc
 
+    # walltime watchdog (reference [Iteration] Runtime,
+    # dns_main.f90:355-360: write tlab.err so job chains stop)
+    runtime_sec = case.ini.get_float("Iteration", "Runtime", 1.0e7) \
+        if getattr(case, "ini", None) else 1.0e7
+    # per-dispatch profiling (reference USE_PROFILE per-RK-substep timing,
+    # time.f90:228-329)
+    profile = bool(getattr(case, "ini", None)
+                   and case.ini.get_bool("Main", "Profiling", False))
+    n_sub = len(sim.P["rk"]["kdt"])
+    prof_samples = []
+    t_start = time.monotonic()
+
     # initial dt + step-0 log line
     cmax = float(cfl_only(state))
     dtime = fixed_dt or dyn.next_dt(sim.P, cmax, cfla, cfld)
     if is_comp:
-        dmin0 = dmax0 = 0.0
+        extra0 = (0.0, 0.0, 0.0, 0.0)
     else:
         dmin0, dmax0 = dyn.dilatation_minmax(sim.P, state)
+        extra0 = (float(dmin0), float(dmax0))
     log.step(0, itime, rtime, dtime, dtime * cmax, dtime * dconst, visc,
-             float(dmin0), float(dmax0))
+             *extra0)
 
     status = 0
     for _ in range(0, n_steps, inner_steps):
+        t_it = time.monotonic()
         if pstate is not None:
-            state, pstate, cmax_dev, dmin, dmax = step(state, pstate, dtime)
+            state, pstate, cmax_dev, aux_v = step(state, pstate, dtime)
             p_cur = None
         elif inflow is not None:
             aux = {"refs_x": inflow.refs_at(rtime, dtype=state.u.dtype)}
-            state, p_cur, cmax_dev, dmin, dmax = step(state, dtime, aux)
+            state, p_cur, cmax_dev, aux_v = step(state, dtime, aux)
         else:
-            state, p_cur, cmax_dev, dmin, dmax = step(state, dtime)
+            state, p_cur, cmax_dev, aux_v = step(state, dtime)
         itime += inner_steps
         rtime += dtime * inner_steps
         if sponge_fn is not None:
             state = sponge_fn(state)
         if filter_fn is not None and itime % filt_step == 0:
             state = filter_fn(state)        # reference DNS_FILTER cadence
-        cmax = float(cmax_dev)
-        dmin, dmax = float(dmin), float(dmax)
+        cmax = float(cmax_dev)              # forces a device sync
+        extras = tuple(float(v) for v in np.asarray(aux_v))
+        if profile:
+            prof_samples.append(time.monotonic() - t_it)
         if nan_abort and not np.isfinite(cmax):
             status = 1                   # reference logs_data(1) != 0 path
             log.step(status, itime, rtime, dtime, np.nan, np.nan, visc,
-                     dmin, dmax)
+                     *extras)
             break
         new_dt = fixed_dt or dyn.next_dt(sim.P, cmax, cfla, cfld)
         if itime % case.it_log == 0:
             log.step(status, itime, rtime, new_dt, new_dt * cmax,
-                     new_dt * dconst, visc, dmin, dmax)
+                     new_dt * dconst, visc, *extras)
+        if time.monotonic() - t_start > runtime_sec:
+            with open(os.path.join(outdir, "tlab.err"), "a") as fh:
+                fh.write(f"Maximum walltime of {runtime_sec:g} seconds "
+                         f"is reached at It{itime}.\n")
+            if checkpoint and case.it_restart > 0:
+                if is_comp:
+                    fields_io.write_comp_state(
+                        os.path.join(outdir, "flow"), itime, state,
+                        rtime, visc)
+                else:
+                    fields_io.write_state(os.path.join(outdir, "flow"),
+                                          os.path.join(outdir, "scal"),
+                                          itime, state, rtime, visc)
+            break
         if checkpoint and case.it_restart > 0 and itime % case.it_restart == 0:
             if is_comp:
                 fields_io.write_comp_state(os.path.join(outdir, "flow"),
@@ -371,6 +416,21 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 spatial_stats.save(os.path.join(outdir, f"st{itime}.npz"),
                                    itime)
         dtime = new_dt
+
+    if profile and prof_samples:
+        samples = np.asarray(prof_samples)
+        per_sub = samples / (inner_steps * n_sub)
+        with open(os.path.join(outdir, "dns.prof"), "w") as fh:
+            fh.write("# per-dispatch wall time [s]; per-RK-substep [s] "
+                     f"(n_sub={n_sub}, inner_steps={inner_steps})\n")
+            fh.write(f"# dispatches={len(samples)} "
+                     f"total={samples.sum():.6f}\n")
+            fh.write(f"# substep mean={per_sub.mean():.6e} "
+                     f"min={per_sub.min():.6e} max={per_sub.max():.6e}\n")
+            for s in samples:
+                fh.write(f"{s:.6e}\n")
+        log._write(f"# profiling: {per_sub.mean()*1e3:.3f} ms/RK-substep "
+                   f"(min {per_sub.min()*1e3:.3f})")
 
     if checkpoint and status != 0 and case.it_restart > 0 \
             and itime % case.it_restart != 0:
