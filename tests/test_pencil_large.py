@@ -1,0 +1,95 @@
+"""Multi-chip stress past toy shapes (VERDICT r1 item 10):
+decomposition invariance at production-class shapes, non-power-of-two
+local extents, and the all-to-all transpose micro-benchmark."""
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tlab_tpu.dycore import incompressible as dyn
+from tlab_tpu.dycore.state import State
+from tlab_tpu.fdm.plan import build_fdm_plan
+from tlab_tpu.grid import uniform_grid
+from tlab_tpu.physics.params import NSParams
+from tlab_tpu.parallel import make_mesh, field_sharding, pencil
+from tlab_tpu.parallel.mesh import scalar_field_sharding
+
+
+def _setup(nx, ny, nz, dtype=jnp.float32):
+    grid = uniform_grid(nx, ny, nz, 2 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    nsp = NSParams(reynolds=1000.0, schmidt=(1.0,))
+    bcs = dyn.WallBCs.from_velocity_kind(
+        "freeslip", "freeslip", scalar_bcs=(("neumann", "neumann"),))
+    P = dyn.build_device_plans(fdm, nsp, bcs, dtype=dtype)
+    rng = np.random.default_rng(3)
+    y = grid.y.nodes
+    env = np.sin(np.pi * y)[None, :, None].astype(np.float64)
+
+    def f():
+        return jnp.asarray(env * rng.standard_normal((nx, ny, nz)), dtype)
+    state = State(u=f(), v=f(), w=f(), s=f()[None])
+    return P, state
+
+
+def _shard(state, mesh):
+    sh = field_sharding(mesh)
+    sh4 = scalar_field_sharding(mesh)
+    return State(u=jax.device_put(state.u, sh),
+                 v=jax.device_put(state.v, sh),
+                 w=jax.device_put(state.w, sh),
+                 s=jax.device_put(state.s, sh4))
+
+
+def test_decomposition_invariance_production_shape():
+    """One full RK step at a (256,128,128)-class shape: the 8-device
+    pencil result matches single-device to f32 round-off. This exercises
+    bench-like message sizes through the all-to-all engine (the round-1
+    evidence stopped at (32,64,32))."""
+    assert len(jax.devices()) >= 8
+    nx, ny, nz = 256, 96, 128
+    P, state = _setup(nx, ny, nz, jnp.float32)
+    mesh = make_mesh(4, 2)
+    step_p = pencil.make_pencil_step(mesh, P, dyn.rk_step)
+    out_p = step_p(_shard(state, mesh), 1e-3)
+    out_1 = jax.jit(lambda st: dyn.rk_step(P, st, 1e-3)[0])(state)
+    for name in ("u", "v", "w"):
+        a = np.asarray(getattr(out_p, name))
+        b = np.asarray(getattr(out_1, name))
+        scale = max(np.max(np.abs(b)), 1.0)
+        err = np.max(np.abs(a - b)) / scale
+        assert err < 5e-5, (name, err)
+
+
+@pytest.mark.parametrize("px,pz,nx,nz", [(8, 1, 96, 40), (1, 8, 56, 96),
+                                         (2, 4, 72, 88)])
+def test_decomposition_invariance_odd_extents(px, pz, nx, nz):
+    """Non-power-of-two global extents with uneven relation to the mesh
+    (nx/px, nz/pz in {12, 7, 36, 11, ...}): the padded-kx bookkeeping in
+    the pencil Poisson and the all-to-all tiling must stay exact."""
+    assert len(jax.devices()) >= 8
+    ny = 24
+    P, state = _setup(nx, ny, nz, jnp.float64)
+    mesh = make_mesh(px, pz)
+    step_p = pencil.make_pencil_step(mesh, P, dyn.rk_step)
+    out_p = step_p(_shard(state, mesh), 1e-3)
+    out_1 = jax.jit(lambda st: dyn.rk_step(P, st, 1e-3)[0])(state)
+    for name in ("u", "v", "w"):
+        err = np.max(np.abs(np.asarray(getattr(out_p, name))
+                            - np.asarray(getattr(out_1, name))))
+        assert err < 1e-11, (name, err)
+
+
+def test_transpose_microbenchmark():
+    """The startup all-to-all check (reference OPR_CHECK transpose
+    round-trip, opr_check.f90:46-100): exact round-trip and a reported
+    bandwidth figure on the 8-device mesh."""
+    assert len(jax.devices()) >= 8
+    from tlab_tpu.ops.check import transpose_check
+    mesh = make_mesh(4, 2)
+    out = transpose_check(mesh, (128, 64, 64), jnp.float32)
+    assert out["transpose_roundtrip_residual"] == 0.0
+    assert out["transpose_bandwidth_GBps"] > 0
+    assert out["mesh"] == "4x2"

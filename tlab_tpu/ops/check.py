@@ -73,3 +73,54 @@ def format_report(results: dict) -> str:
         lines.append(f"#   {k}: {v:.6e}" if isinstance(v, float)
                      else f"#   {k}: {v}")
     return "\n".join(lines)
+
+
+def transpose_check(mesh, shape, dtype=jnp.float32, n_rep: int = 3):
+    """Multi-device all-to-all round-trip check + micro-benchmark, the
+    pencil analog of the reference's startup transpose test
+    (opr_check.f90:46-100): forward+backward gather/scatter along x and
+    z under shard_map, reporting max residual, wall time and an
+    aggregate bandwidth estimate.
+
+    shape is the GLOBAL (nx, ny, nz); fields are sharded P('x', None,
+    'z') on the ('x','z') mesh."""
+    import functools
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+    from jax import shard_map
+    from tlab_tpu.parallel import pencil
+
+    nx, ny, nz = shape
+    key = jax.random.PRNGKey(1)
+    a = jax.random.normal(key, shape, dtype)
+    sh = NamedSharding(mesh, PSpec("x", None, "z"))
+    a = jax.device_put(a, sh)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=PSpec("x", None, "z"),
+                       out_specs=PSpec("x", None, "z"))
+    def roundtrip(blk):
+        gx = pencil.gather_x(blk)
+        bx = pencil.scatter_x(gx)
+        gz = pencil.gather_z(bx)
+        return pencil.scatter_z(gz)
+
+    out = {}
+    r = roundtrip(a)
+    jax.block_until_ready(r)
+    out["transpose_roundtrip_residual"] = float(jnp.max(jnp.abs(r - a)))
+    best = float("inf")
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        r = roundtrip(a)
+        jax.block_until_ready(r)
+        best = min(best, time.perf_counter() - t0)
+    out["transpose_roundtrip_time_s"] = best
+    # 4 all-to-alls, each moving ~the full field (P-1)/P of bytes twice
+    # (send+receive); report the aggregate moved volume per second
+    nbytes = np.prod(shape) * np.dtype(jnp.dtype(dtype)).itemsize
+    ndev = len(mesh.devices.flat)
+    moved = 4 * nbytes * (ndev - 1) / ndev * 2
+    out["transpose_bandwidth_GBps"] = moved / best / 1e9
+    out["mesh"] = f"{mesh.devices.shape[0]}x{mesh.devices.shape[1]}"
+    out["shape"] = tuple(int(s) for s in shape)
+    return out
