@@ -1,0 +1,82 @@
+"""Spatial-mode running statistics: reference avg_spatial/avg_flow_zt_reduce analogs."""
+import numpy as np
+
+
+def test_reduce_station_table_derived_quantities():
+    """The avg_flow_zt_reduce analog: dissipation, vorticity variances and
+    pressure correlations from the running gradient/pressure sums match
+    direct single-snapshot computation."""
+    import jax.numpy as jnp
+    from tlab_tpu.stats.spatial import SpatialStats, state_fields
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.dycore.state import State
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.physics.params import NSParams
+
+    nx, ny, nz = 16, 24, 32
+    grid = uniform_grid(nx, ny, nz, 2 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    P = dyn.build_device_plans(
+        fdm, NSParams(reynolds=100.0, schmidt=()),
+        dyn.WallBCs.from_velocity_kind("freeslip", "freeslip",
+                                       scalar_bcs=()),
+        dtype=jnp.float64, with_elliptic=False)
+    rng = np.random.default_rng(11)
+    st = State(u=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+               v=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+               w=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+               s=jnp.zeros((0, nx, ny, nz)))
+    grads = {c + a: dyn._d1(P, a, i, getattr(st, c))
+             for c in ("u", "v", "w") for a, i in (("x", 0), ("y", 1),
+                                                  ("z", 2))}
+    p = jnp.asarray(rng.standard_normal((nx, ny, nz)))
+
+    ss = SpatialStats.create(nx, ny, ("u", "v", "w"))
+    ss.accumulate(state_fields(st), grads=grads, p=p)
+    visc = 0.01
+    tab = ss.reduce_station_table([3], visc, d1y=P["d1y"])[3]
+
+    # direct z-statistics at station ix=3
+    def zvar(a):
+        a = np.asarray(a)[3]
+        return (a ** 2).mean(axis=-1) - a.mean(axis=-1) ** 2
+
+    eps_direct = visc * sum(zvar(grads[k]) for k in
+                            ("ux", "uy", "uz", "vx", "vy", "vz",
+                             "wx", "wy", "wz"))
+    assert np.allclose(tab["Eps"], eps_direct, rtol=1e-10)
+
+    wz = np.asarray(grads["vx"] - grads["uy"])[3]
+    wz2_direct = (wz ** 2).mean(axis=-1) - wz.mean(axis=-1) ** 2
+    assert np.allclose(tab["WZ2"], wz2_direct, rtol=1e-10)
+
+    pp = np.asarray(p)[3]
+    assert np.allclose(tab["Rpp"],
+                       (pp ** 2).mean(axis=-1) - pp.mean(axis=-1) ** 2,
+                       rtol=1e-10)
+    u3 = np.asarray(st.u)[3]
+    assert np.allclose(tab["Rpu"],
+                       (pp * u3).mean(axis=-1)
+                       - pp.mean(axis=-1) * u3.mean(axis=-1), rtol=1e-10)
+    assert "Trp" in tab and np.isfinite(tab["Trp"]).all()
+    assert "SU" in tab
+
+
+def test_spatial_stats_restart_roundtrip_extended():
+    from tlab_tpu.stats.spatial import SpatialStats
+    import tempfile, os
+    ss = SpatialStats.create(8, 6, ("u", "v", "w"))
+    rng = np.random.default_rng(0)
+    fields = {n: rng.standard_normal((8, 6, 4)) for n in ("u", "v", "w")}
+    grads = {n: rng.standard_normal((8, 6, 4))
+             for n in SpatialStats.GRAD_NAMES}
+    ss.accumulate(fields, grads=grads, p=rng.standard_normal((8, 6, 4)))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "st10.npz")
+        ss.save(path, 10)
+        ss2 = SpatialStats.load(path)
+    assert np.array_equal(ss.grad_sums, ss2.grad_sums)
+    assert np.array_equal(ss.p_sums, ss2.p_sums)
+    assert np.array_equal(ss.triple_sums, ss2.triple_sums)
+    assert ss2.n_samples == 1

@@ -291,11 +291,22 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         phavg = PhaseAverage.create(ph_stride, max(case.it_restart, ph_stride),
                                     nxp, nyp, n_scalars=sim.nsp.n_scalars)
     spatial_stats = None
+    spatial_grads_fn = None
     if case.flow_type == "spatial":
         from tlab_tpu.stats.spatial import SpatialStats, state_fields
         nx, ny, _ = sim.grid.shape
         names = ["u", "v", "w"] + [f"s{i+1}" for i in range(sim.nsp.n_scalars)]
         spatial_stats = SpatialStats.create(nx, ny, names)
+
+        @jax.jit
+        def spatial_grads_fn(st):
+            # velocity-gradient fields for the reference's MA_Ux..MA_Wz
+            # correlation families (avgij_map.h:14-37)
+            g = {}
+            for cname, comp in (("u", st.u), ("v", st.v), ("w", st.w)):
+                for aname, ax in (("x", 0), ("y", 1), ("z", 2)):
+                    g[cname + aname] = dyn._d1(sim.P, aname, ax, comp)
+            return g
     cfla = case.time_cfl
     cfld = case.time_cfl_diffusive
     fixed_dt = case.time_step if case.time_step > 0 else None
@@ -410,7 +421,9 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 phavg.save(os.path.join(outdir, f"phavg{itime}.npz"), itime)
         if spatial_stats is not None:
             from tlab_tpu.stats.spatial import state_fields
-            spatial_stats.accumulate(state_fields(state))
+            spatial_stats.accumulate(state_fields(state),
+                                     grads=spatial_grads_fn(state),
+                                     p=p_cur)
             if checkpoint and case.it_restart > 0 \
                     and itime % case.it_restart == 0:
                 spatial_stats.save(os.path.join(outdir, f"st{itime}.npz"),
