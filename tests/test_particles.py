@@ -172,3 +172,34 @@ def test_assemble_trajectories(tmp_path):
     assert traj.shape == (3, 2, 3)
     assert np.allclose(traj[2, 0] - traj[0, 0], 0.2)
     assert np.allclose(traj[1, 1], x0[7] + 0.1)
+
+
+def test_tinia_type_sticks():
+    """PART_TYPE_TINIA_1 (reference particle_vars.f90:8-15): parsed type
+    with stick wall BCs; the reference's RHS is commented out so tinia
+    particles carry zero tendency, and stick-BC particles at the wall
+    stay frozen for every type."""
+    import jax.numpy as jnp
+    grid = _grid()
+    locate = pc.make_locator(grid)
+    n = 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0.1, 0.9, (n, 3)))
+    ps = pc.ParticleState(x=x, v=jnp.zeros((n, 3)),
+                          props=jnp.zeros((n, 0)),
+                          tags=jnp.arange(n, dtype=jnp.int64))
+    u = jnp.ones(grid.shape)
+    props = pc.ParticleProps(type="tinia", bcs="stick")
+    dx, dv = pc.particle_rhs(props, ps, locate, u, u, u)
+    assert float(jnp.max(jnp.abs(dx))) == 0.0
+
+    # stick BC freezes a tracer parked at the wall, moving elsewhere
+    y0 = grid.y.nodes[0]
+    x2 = x.at[0, 1].set(y0)
+    ps2 = pc.ParticleState(x=x2, v=jnp.zeros((n, 3)),
+                           props=jnp.zeros((n, 0)),
+                           tags=jnp.arange(n, dtype=jnp.int64))
+    props2 = pc.ParticleProps(type="tracer", bcs="stick")
+    dx2, _ = pc.particle_rhs(props2, ps2, locate, u, u, u)
+    assert float(jnp.max(jnp.abs(dx2[0]))) == 0.0
+    assert float(jnp.min(jnp.abs(dx2[1:, 0]))) > 0.0

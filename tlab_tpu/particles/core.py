@@ -31,10 +31,14 @@ class ParticleState(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class ParticleProps:
-    type: str = "tracer"          # tracer | inertia | bil_cloud_3 | bil_cloud_4
+    type: str = "tracer"   # tracer | inertia | bil_cloud_3 | bil_cloud_4 | tinia
     stokes: float = 0.0
     settling: float = 0.0
     bil_cloud: object = None      # BilCloudParams for the bil_cloud types
+    # wall behavior: 'none' (clip) | 'stick' (freeze at the wall) --
+    # reference part_bcs, PART_BCS_STICK forced for TINIA_1
+    # (particle_procs.f90:67)
+    bcs: str = "none"
 
 
 # ---------------------------------------------------------------------------
@@ -97,6 +101,7 @@ def make_locator(grid):
             fz = jnp.zeros(pos.shape[0])
         return (i0, i1, fx), (j0, j1, fy), (k0, k1, fz)
 
+    locate.y_bounds = (float(gy.nodes[0]), float(gy.nodes[-1]))
     return locate
 
 
@@ -148,14 +153,33 @@ def particle_rhs(props: ParticleProps, pstate: ParticleState, locate,
     uf = jnp.stack([interpolate_to_particles(u, loc),
                     interpolate_to_particles(v, loc),
                     interpolate_to_particles(w, loc)], axis=1)
+    if props.type == "tinia":
+        # PART_TYPE_TINIA_1: the reference parses the type and forces
+        # stick wall BCs, but its RHS is commented out
+        # (rhs_part_1.f90:143-144) -- particles carry zero tendency.
+        dx = jnp.zeros_like(pstate.x)
+        return dx, jnp.zeros_like(pstate.v)
     if props.type == "tracer" or props.type.startswith("bil_cloud"):
         # bil_cloud droplets advect as tracers; their droplet scalars are
         # integrated separately (bil_cloud.droplet_rhs)
-        return uf, jnp.zeros_like(pstate.v)
-    # inertia: Stokes drag + settling
-    acc = (uf - pstate.v) / max(props.stokes, 1e-30)
-    acc = acc.at[:, 1].add(-props.settling)
-    return pstate.v, acc
+        dx, dv = uf, jnp.zeros_like(pstate.v)
+    else:
+        # inertia: Stokes drag + settling
+        acc = (uf - pstate.v) / max(props.stokes, 1e-30)
+        acc = acc.at[:, 1].add(-props.settling)
+        dx, dv = pstate.v, acc
+    if props.bcs == "stick":
+        # stick BC (reference PART_BCS_STICK): particles that reached a
+        # y wall stay there permanently
+        y = pstate.x[:, 1]
+        # y-extent bounds ride on the locate closure's grid; particles
+        # are clipped to [y0, y1] by wrap_positions, so equality marks
+        # "at the wall"
+        at_wall = (y <= locate.y_bounds[0]) | (y >= locate.y_bounds[1]) \
+            if hasattr(locate, "y_bounds") else jnp.zeros_like(y, bool)
+        dx = jnp.where(at_wall[:, None], 0.0, dx)
+        dv = jnp.where(at_wall[:, None], 0.0, dv)
+    return dx, dv
 
 
 def wrap_positions(grid, x):
@@ -196,3 +220,34 @@ def init_particles(grid, n_part: int, seed: int = 7,
     return ParticleState(x=pos, v=jnp.zeros_like(pos),
                          props=jnp.zeros((n_part, 0), dtype),
                          tags=jnp.arange(n_part, dtype=jnp.int64))
+
+
+def props_from_ini(ini) -> "ParticleProps | None":
+    """[Particles] block (reference Particle_Initialize_Parameters,
+    particle_procs.f90:25-157): Type=None/Tracer/Inertia/
+    BilinearCloudThree/Four/TiniaOne, Parameters=(Stokes, Settling...).
+    Returns None when Type is none."""
+    t = ini.get("Particles", "Type", "none").lower()
+    mapping = {"none": None, "tracer": "tracer", "inertia": "inertia",
+               "bilinearcloudthree": "bil_cloud_3",
+               "bilinearcloudfour": "bil_cloud_4",
+               "tiniaone": "tinia"}
+    if t not in mapping:
+        raise ValueError(f"[Particles] Type={t!r} unknown")
+    typ = mapping[t]
+    if typ is None:
+        return None
+    pars = ini.get_floats("Particles", "Parameters", ())
+    stokes = ini.get_float("Parameters", "Stokes",
+                           pars[0] if pars else 0.0)
+    settling = ini.get_float("Parameters", "Settling",
+                             pars[1] if len(pars) > 1 else 0.0)
+    # TINIA forces stick wall BCs (particle_procs.f90:67)
+    bcs = "stick" if typ == "tinia" else \
+        ini.get("Particles", "Bcs", "none").lower()
+    props = ParticleProps(type=typ, stokes=stokes, settling=settling,
+                          bcs=bcs)
+    if typ.startswith("bil_cloud"):
+        from tlab_tpu.particles.bil_cloud import BilCloudParams
+        props = dataclasses.replace(props, bil_cloud=BilCloudParams())
+    return props

@@ -148,20 +148,35 @@ def main(argv=None):
         state = State(u=jnp.asarray(u, sim.dtype), v=jnp.asarray(v, sim.dtype),
                       w=jnp.asarray(w, sim.dtype),
                       s=jnp.asarray(s, sim.dtype))
+        # Lagrangian particles (reference dns.x particle path): engaged
+        # when [Particles] Type is set and a part.<it> restart exists
+        pstate = pprops = None
+        if getattr(case, "ini", None) is not None:
+            from tlab_tpu.particles.core import props_from_ini
+            pprops = props_from_ini(case.ini)
+            ppath = os.path.join(args.outdir, f"part.{it0}")
+            if pprops is not None and os.path.exists(ppath):
+                from tlab_tpu.particles.io import read_particles
+                pstate, _ = read_particles(ppath)
+            elif pprops is not None:
+                pprops = None           # no particle restart -> flow only
         run = dns_tool.run(sim, state, outdir=args.outdir, itime=it0,
                            rtime=float(rtime), n_steps=args.steps,
                            log_path=os.path.join(args.outdir, "dns.out"),
-                           inner_steps=args.inner_steps)
+                           inner_steps=args.inner_steps,
+                           pstate=pstate, particle_props=pprops)
         print("\n".join(run.log.lines[-3:]))
         return 0
 
     if args.command == "inipart":
         from tlab_tpu.particles.core import init_particles
         from tlab_tpu.particles.io import write_particles
-        ps = init_particles(sim.grid, args.nparticles, seed=args.seed)
+        n_part = case.ini.get_int("Particles", "Number", args.nparticles) \
+            if getattr(case, "ini", None) else args.nparticles
+        ps = init_particles(sim.grid, n_part, seed=args.seed)
         write_particles(os.path.join(args.outdir, f"part.{case.it_start}"),
                         ps, case.it_start)
-        print(f"{args.nparticles} particles written")
+        print(f"{n_part} particles written")
         return 0
 
     if args.command == "transfields":
