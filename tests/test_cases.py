@@ -528,3 +528,49 @@ def test_consistency_check():
     bad += "\n[Thermodynamics]\nMixture=airwaterlinear\n"
     with pytest.raises(ValueError, match="anelastic mode requires"):
         consistency_check(load_case(Ini(text=bad)))
+
+
+def test_inflow_box_reference_semantics():
+    """Broadband inflow machinery (boundary_inflow.f90:194-433): cubic
+    sweep sampling recovering a smooth signal, 3-D planes, transient
+    ramp, y-centering, and the mode-3 box sequence."""
+    from tlab_tpu.dycore.inflow import InflowBox, _catmull_rom_weights
+
+    # cubic interpolation is exact for cubics on the periodic samples
+    nx_i, ny, nz = 64, 8, 4
+    lx = 2.0
+    x = np.arange(nx_i) / nx_i * lx
+    sig = np.sin(2 * np.pi * x / lx)
+    box = {"u": np.broadcast_to(sig[:, None, None],
+                                (nx_i, ny, nz)).copy()}
+    uc = 1.0
+    ib = InflowBox(fields=box, u_convect=uc, lx=lx)
+    for t in (0.13, 0.77, 1.4, 2.9):
+        plane = np.asarray(ib.refs_at(t)["u"])
+        assert plane.shape == (1, ny, nz)
+        xaux = lx - (uc * t % lx)
+        expect = np.sin(2 * np.pi * xaux / lx)
+        assert abs(plane[0, 0, 0] - expect) < 5e-4, (t, plane[0, 0, 0],
+                                                     expect)
+    # weights sum to one
+    assert abs(sum(_catmull_rom_weights(0.3)) - 1.0) < 1e-14
+
+    # transient ramp
+    ib2 = InflowBox(fields=box, u_convect=uc, lx=lx, adapt=1.0)
+    p_half = np.asarray(ib2.refs_at(0.5)["u"])
+    p_ref = np.asarray(InflowBox(fields=box, u_convect=uc,
+                                 lx=lx).refs_at(0.5)["u"])
+    assert np.allclose(p_half, 0.5 * p_ref)
+
+    # y-centering of a smaller inflow grid
+    p_pad = np.asarray(ib.refs_at(0.13, ny=14)["u"])
+    assert p_pad.shape == (1, 14, nz)
+    assert np.allclose(p_pad[0, 3:11], np.asarray(ib.refs_at(0.13)["u"])[0])
+
+    # mode-3 sequence: boxes cycle as the sweep exhausts each box
+    box2 = {"u": 2.0 * box["u"]}
+    seq = InflowBox(fields=box, u_convect=uc, lx=lx,
+                    boxes=[box, box2])
+    a = np.asarray(seq.refs_at(0.3)["u"])       # first box
+    b = np.asarray(seq.refs_at(lx + 0.3)["u"])  # second box
+    assert np.allclose(b, 2.0 * a)

@@ -44,3 +44,59 @@ def test_thomas_compact_derivative():
                                     interpret=True))
     df_dense = f @ plan.d1[BC.DD].T
     assert np.max(np.abs(df - df_dense)) < 1e-10
+
+
+def test_thomas_solve_unpadded_batch():
+    """Arbitrary batch sizes: m not a multiple of 128 pads internally."""
+    rng = np.random.default_rng(2)
+    n, m = 48, 200                      # 200 % 128 != 0
+    a = np.concatenate([[0.0], rng.uniform(0.1, 0.3, n - 1)])
+    b = rng.uniform(1.0, 2.0, n)
+    c = np.concatenate([rng.uniform(0.1, 0.3, n - 1), [0.0]])
+    factors = pt.device_factors(a, b, c, jnp.float64)
+    rhs = rng.standard_normal((m, n))
+    u = np.asarray(pt.thomas_solve(factors, jnp.asarray(rhs),
+                                   interpret=True))
+    A = np.diag(b) + np.diag(a[1:], -1) + np.diag(c[:-1], 1)
+    ref = np.linalg.solve(A, rhs.T).T
+    assert np.max(np.abs(u - ref)) < 1e-12
+
+
+def test_banded_der1_matches_dense():
+    """banded_plan + banded_der1 equal the dense A^{-1}B application for a
+    non-periodic compact D1 incl. the biased boundary rows."""
+    from tlab_tpu.fdm.plan import build_deriv_plan
+    from tlab_tpu.grid import make_axis
+    n = 96
+    ax = make_axis(np.linspace(0.0, 1.0, n), False)
+    plan = build_deriv_plan(ax)
+    bp = pt.banded_plan(plan.A1, plan.B1, jnp.float64)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((5, n, 4)))
+    from tlab_tpu.constants import BC
+    dense = np.einsum("ab,ibk->iak", plan.d1[BC.DD], np.asarray(u))
+    got = np.asarray(pt.banded_der1(bp, u, 1))
+    assert np.max(np.abs(got - dense)) < 1e-11
+
+
+def test_thomas_production_selection(monkeypatch):
+    """TLAB_TPU_THOMAS_MIN_N makes build_device_plans attach the banded
+    backend for long non-periodic lines, and _d1 matches the dense path."""
+    import os
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.physics.params import NSParams
+    monkeypatch.setenv("TLAB_TPU_THOMAS_MIN_N", "64")
+    grid = uniform_grid(16, 96, 1, 1.0, 1.0, 1.0)
+    fdm = build_fdm_plan(grid)
+    P = dyn.build_device_plans(
+        fdm, NSParams(schmidt=()), dyn.WallBCs.from_velocity_kind(
+            "freeslip", "freeslip", scalar_bcs=()),
+        dtype=jnp.float64, with_elliptic=False)
+    assert "d1y_banded" in P and "d1x_banded" not in P   # x periodic
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.standard_normal(grid.shape))
+    got = np.asarray(dyn._d1(P, "y", 1, a))
+    dense = np.einsum("ab,ibk->iak", P["d1y"], np.asarray(a))
+    assert np.max(np.abs(got - dense)) < 1e-11

@@ -122,11 +122,21 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
     # plan constants are HOST numpy: device-resident constants must be
     # fetched D2H at jit-lowering time, which the axon tunnel cannot do
     nt = np.dtype(jnp.dtype(dtype))
+    import os
+    thomas_min_n = int(os.environ.get("TLAB_TPU_THOMAS_MIN_N", "4096"))
     for name, plan in (("x", fdm.x), ("y", fdm.y), ("z", fdm.z)):
         if plan.size > 1:
             P[f"d1{name}"] = np.asarray(plan.d1[BC.DD], nt)
             P[f"d12{name}"] = np.asarray(plan.d12[BC.DD], nt)
             P[f"iod{name}"] = np.asarray(1.0 / plan.jac, nt)
+            if plan.size >= thomas_min_n and not plan.periodic:
+                # O(N) Thomas backend for very long lines (dense MXU
+                # matmuls win below ~2k, measured; TLAB_TPU_THOMAS_MIN_N
+                # selects the crossover). Periodic lines would need the
+                # Sherman-Morrison corner correction -- dense there.
+                from tlab_tpu.ops import pallas_thomas as pthomas
+                P[f"d1{name}_banded"] = pthomas.banded_plan(
+                    plan.A1, plan.B1, dtype)
 
     # wall-tendency BC rows along y (meaningless on periodic y)
     def rows_for(pair):
@@ -188,6 +198,10 @@ def _d1(P, axis_name: str, axis: int, a):
     M = P.get(f"d1{axis_name}")
     if M is None:
         return jnp.zeros_like(a)
+    bp = P.get(f"d1{axis_name}_banded")
+    if bp is not None and P.get("comm") is None:
+        from tlab_tpu.ops.pallas_thomas import banded_der1
+        return banded_der1(bp, a, axis if a.ndim == 3 else axis + 1)
     comm = _axis_comm(P, axis_name)
     if comm is not None:
         from tlab_tpu.parallel import pencil

@@ -56,13 +56,22 @@ def _thomas_kernel(w_ref, binv_ref, c_ref, d_ref, out_ref, *, n):
     jax.lax.fori_loop(0, n - 1, bwd, 0)
 
 
-def thomas_solve(factors, rhs, interpret: bool = False):
+def thomas_solve(factors, rhs, interpret=None):
     """Solve for all lines: rhs (m, N) -> u (m, N); factors from
-    thomas_factor (device arrays shaped (1, N))."""
+    thomas_factor (device arrays shaped (1, N)). Arbitrary batch sizes:
+    m is zero-padded up to the 128-lane tile (padding lanes solve the
+    same system on zero data and are dropped)."""
+    if interpret is None:
+        # pallas TPU kernels need interpret mode on the CPU backend
+        interpret = jax.default_backend() == "cpu"
     w, binv, c = factors
-    m, n = rhs.shape
+    m0, n = rhs.shape
     tile = 128
-    assert m % tile == 0, "batch must be a multiple of 128 lanes"
+    pad = (-m0) % tile
+    if pad:
+        rhs = jnp.concatenate(
+            [rhs, jnp.zeros((pad, n), rhs.dtype)], axis=0)
+    m = m0 + pad
     rhs_t = rhs.T                                   # (N, m): lines in lanes
 
     out = pl.pallas_call(
@@ -81,7 +90,7 @@ def thomas_solve(factors, rhs, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(w, binv, c, rhs_t)
-    return out.T
+    return out.T[:m0]
 
 
 def device_factors(a, b, c, dtype=jnp.float32):
@@ -89,3 +98,62 @@ def device_factors(a, b, c, dtype=jnp.float32):
     return (jnp.asarray(w, dtype)[None, :],
             jnp.asarray(binv, dtype)[None, :],
             jnp.asarray(cs, dtype)[None, :])
+
+
+# ---------------------------------------------------------------------------
+# Production banded D1 path: B u via shifted diagonal adds + Thomas solve
+# of A -- the O(N) alternative to the dense A^{-1}B matmul for very long
+# lines. Selected by build_device_plans when the line length reaches
+# TLAB_TPU_THOMAS_MIN_N (default 4096; dense wins below -- measured on
+# TPU v5e at N=1024).
+# ---------------------------------------------------------------------------
+
+def banded_plan(A1: np.ndarray, B1: np.ndarray, dtype=jnp.float32,
+                band: int = 3):
+    """Factor the tridiagonal A and extract B's diagonals -band..band;
+    rows with out-of-band entries (the biased boundary rows) are applied
+    densely on top."""
+    A1 = np.asarray(A1, np.float64)
+    B1 = np.asarray(B1, np.float64)
+    n = A1.shape[0]
+    a = np.concatenate([[0.0], np.diagonal(A1, -1)])
+    b = np.diagonal(A1).copy()
+    c = np.concatenate([np.diagonal(A1, 1), [0.0]])
+    factors = device_factors(a, b, c, dtype)
+
+    diags = {}
+    mask_in = np.zeros_like(B1, bool)
+    for k in range(-band, band + 1):
+        d = np.zeros(n)
+        idx = np.arange(max(0, -k), min(n, n - k))
+        d[idx] = B1[idx, idx + k]
+        diags[k] = jnp.asarray(d, dtype)
+        mask_in[idx, idx + k] = True
+    resid = np.where(mask_in, 0.0, B1)
+    rows = np.nonzero(np.abs(resid).sum(axis=1) > 0)[0]
+    dense_rows = (jnp.asarray(rows, jnp.int32),
+                  jnp.asarray(B1[rows], dtype)) if rows.size else None
+    return {"factors": factors, "diags": diags, "dense_rows": dense_rows,
+            "n": n, "band": band}
+
+
+def banded_der1(plan: dict, u, axis: int):
+    """D1 u along `axis` via banded matvec + Thomas solve; u any rank."""
+    n = plan["n"]
+    u_m = jnp.moveaxis(u, axis, -1)
+    lead = u_m.shape[:-1]
+    u2 = u_m.reshape(-1, n)
+
+    rhs = jnp.zeros_like(u2)
+    for k, d in plan["diags"].items():
+        if k == 0:
+            rhs = rhs + d[None, :] * u2
+        elif k > 0:
+            rhs = rhs.at[:, :n - k].add(d[None, :n - k] * u2[:, k:])
+        else:
+            rhs = rhs.at[:, -k:].add(d[None, -k:] * u2[:, :n + k])
+    if plan["dense_rows"] is not None:
+        idx, Brows = plan["dense_rows"]
+        rhs = rhs.at[:, idx].set(u2 @ Brows.T)
+    out = thomas_solve(plan["factors"], rhs)
+    return jnp.moveaxis(out.reshape(*lead, n), -1, axis)

@@ -343,7 +343,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             state, pstate, cmax_dev, aux_v = step(state, pstate, dtime)
             p_cur = None
         elif inflow is not None:
-            aux = {"refs_x": inflow.refs_at(rtime, dtype=state.u.dtype)}
+            aux = {"refs_x": inflow.refs_at(rtime, dtype=state.u.dtype,
+                                           ny=state.u.shape[1])}
             state, p_cur, cmax_dev, aux_v = step(state, dtime, aux)
         else:
             state, p_cur, cmax_dev, aux_v = step(state, dtime)
