@@ -574,3 +574,33 @@ def test_inflow_box_reference_semantics():
     a = np.asarray(seq.refs_at(0.3)["u"])       # first box
     b = np.asarray(seq.refs_at(lx + 0.3)["u"])  # second box
     assert np.allclose(b, 2.0 * a)
+
+
+def test_dt_lag_pipelining():
+    """[Iteration] DtLag=yes: the adaptive dt uses the previous step's
+    CFL (no per-step device sync); the run completes with a dt history
+    close to the synchronous one."""
+    import tempfile, os
+    from tlab_tpu.config import load_case, Ini
+    from tlab_tpu.runtime import Simulation
+    from tlab_tpu.tools.initialize import initial_state
+    from tlab_tpu.tools import dns as dns_tool
+    base = open("tests/data/case01_small.ini").read()
+    base = base.replace("End=10", "End=6")
+    outs = {}
+    for lag in ("no", "yes"):
+        txt = base.replace("[Iteration]", f"[Iteration]\nDtLag={lag}")
+        sim = Simulation.from_case(load_case(Ini(text=txt)))
+        state = initial_state(sim, seed=3)
+        with tempfile.TemporaryDirectory() as d:
+            run = dns_tool.run(sim, state, outdir=d, checkpoint=False)
+        dts = [float(l.split()[3]) for l in run.log.lines
+               if not l.startswith("#") and len(l.split()) > 4]
+        outs[lag] = (dts, run.itime)
+    assert outs["yes"][1] == outs["no"][1] == 6
+    a = np.asarray(outs["no"][0][1:])
+    b = np.asarray(outs["yes"][0][1:])
+    # lagged dts track the synchronous ones (one-step stale + 3% safety
+    # keeps them slightly SMALLER -- conservative by construction)
+    assert np.all(np.abs(b / a - 1.0) < 0.12), (a, b)
+    assert np.all(b <= a * 1.001), (a, b)

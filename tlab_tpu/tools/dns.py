@@ -313,6 +313,17 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     dconst = sim.P["diffusion_constant"]
     visc = sim.nsp.visc
 
+    # lagged-dt pipelining: compute the next dt from the PREVIOUS step's
+    # CFL (already materialized on the host) so the next device dispatch
+    # never waits for a D2H fetch -- removes the per-step tunnel sync
+    # that dominates short runs (round-1 VERDICT weak item 8). One-step-
+    # stale CFL is compensated by a 0.97 safety factor; disabled when dt
+    # is fixed. [Iteration] DtLag=yes.
+    dt_lag = bool(getattr(case, "ini", None)
+                  and case.ini.get_bool("Iteration", "DtLag", False)
+                  and fixed_dt is None)
+    prev_cfl = None
+
     # walltime watchdog (reference [Iteration] Runtime,
     # dns_main.f90:355-360: write tlab.err so job chains stop)
     runtime_sec = case.ini.get_float("Iteration", "Runtime", 1.0e7) \
@@ -354,8 +365,17 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             state = sponge_fn(state)
         if filter_fn is not None and itime % filt_step == 0:
             state = filter_fn(state)        # reference DNS_FILTER cadence
-        cmax = float(cmax_dev)              # forces a device sync
-        extras = tuple(float(v) for v in np.asarray(aux_v))
+        if dt_lag and prev_cfl is not None:
+            # fetch the PREVIOUS step's CFL (device already produced it;
+            # no stall) and let this step's dispatch overlap the host work
+            cmax = float(prev_cfl[0]) * (1.0 / 0.97)
+            extras = tuple(float(v) for v in np.asarray(prev_cfl[1]))
+            prev_cfl = (cmax_dev, aux_v)
+        else:
+            if dt_lag:
+                prev_cfl = (cmax_dev, aux_v)
+            cmax = float(cmax_dev)          # forces a device sync
+            extras = tuple(float(v) for v in np.asarray(aux_v))
         if profile:
             prof_samples.append(time.monotonic() - t_it)
         if nan_abort and not np.isfinite(cmax):

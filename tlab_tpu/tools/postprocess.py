@@ -53,6 +53,23 @@ def run_averages(sim: Simulation, outdir: str, iterations,
             averages.write_table(
                 os.path.join(outdir, f"int{it}"), sim.grid.y.nodes,
                 {"gamma": gamma}, it, rtime)
+        # [PostProcessing] ParamAverages analysis modes (reference
+        # averages.f90:150-204: mode 1/2 are the tables above; 3-17 are
+        # the specialised budgets/diagnostics in stats.analysis)
+        ini = getattr(sim.case, "ini", None)
+        pvec = ini.get_floats("PostProcessing", "ParamAverages", ()) \
+            if ini is not None else ()
+        mode = int(pvec[0]) if pvec else 0
+        if mode >= 3:
+            from tlab_tpu.stats import analysis
+            tab = analysis.run_mode(sim.P, st, sim.nsp.visc, mode,
+                                    diff=[sim.nsp.diffusivity(i)
+                                          for i in
+                                          range(sim.nsp.n_scalars)])
+            name = analysis.MODES[mode][0]
+            averages.write_table(
+                os.path.join(outdir, f"avg{it}_{name}"),
+                sim.grid.y.nodes, tab, it, rtime)
 
 
 def _snapshot_fields(sim, st):
