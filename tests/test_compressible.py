@@ -12,7 +12,8 @@ from tlab_tpu.physics.params import NSParams
 GAMMA, MACH = 1.4, 0.5
 
 
-def _setup(nx=64, ny=8, nz=1, reynolds=1e6, y_periodic=True):
+def _setup(nx=64, ny=8, nz=1, reynolds=1e6, y_periodic=True,
+           schmidt=()):
     # use a periodic-y box by making y a periodic axis
     from tlab_tpu.grid import make_axis, Grid
     lx = 2 * np.pi
@@ -23,8 +24,10 @@ def _setup(nx=64, ny=8, nz=1, reynolds=1e6, y_periodic=True):
         make_axis(np.arange(nz) * (1.0 / nz), periodic=True)
     grid = Grid(gx, gy, gz)
     fdm = build_fdm_plan(grid)
-    nsp = NSParams(reynolds=reynolds, schmidt=())
-    bcs = dyn.WallBCs.from_velocity_kind("freeslip", "freeslip", scalar_bcs=())
+    nsp = NSParams(reynolds=reynolds, schmidt=schmidt)
+    bcs = dyn.WallBCs.from_velocity_kind(
+        "freeslip", "freeslip",
+        scalar_bcs=(("neumann", "neumann"),) * len(schmidt))
     P = dyn.build_device_plans(fdm, nsp, bcs, dtype=jnp.float64,
                                with_elliptic=False)
     P["y_periodic"] = y_periodic
@@ -475,3 +478,36 @@ def test_nscbc_transverse_terms_smoke():
     # measured up to 16.4% -> 14.4% on longer boxes)
     assert res[0.25] < 0.2, res
     assert res[0.25] < 1.1 * res[0.0], res
+
+
+def test_nscbc_scalar_outflow():
+    """Scalar characteristic treatment (BOUNDARY_BCS_SCAL_NR_3): a scalar
+    blob advected through the ymax outflow leaves without blowing up and
+    without spurious scalar production at the boundary."""
+    from tlab_tpu.dycore.nscbc import NSCBCSpec
+    grid, nsp, P = _setup(nx=8, ny=192, nz=1, reynolds=1e9,
+                          y_periodic=False, schmidt=(1.0,))
+    nx, ny, nz = grid.shape
+    Y = grid.y.nodes[None, :, None] * np.ones((nx, ny, nz))
+    v0 = 0.3
+    s0 = np.exp(-(((Y - 0.6) / 0.08) ** 2))
+    U = comp.from_primitive(jnp.ones((nx, ny, nz)),
+                            jnp.zeros((nx, ny, nz)),
+                            v0 * jnp.ones((nx, ny, nz)),
+                            jnp.zeros((nx, ny, nz)),
+                            jnp.ones((nx, ny, nz)), GAMMA, MACH,
+                            s=jnp.asarray(s0)[None])
+    spec = NSCBCSpec(ymin="inflow", ymax="outflow",
+                     p_inf=1.0 / (GAMMA * MACH ** 2),
+                     u_inf=(0.0, v0, 0.0), cinf=2.0)
+    dt = 2e-4
+    n = int(0.8 / (v0 * dt))          # blob crosses and leaves
+    step = jax.jit(lambda U: comp.rk_step_compressible(
+        P, U, dt, GAMMA, MACH, 0.0, 1.0, nscbc=spec, ly=1.0))
+    for _ in range(n):
+        U = step(U)
+    s_end = np.asarray(U.rhos[0] / U.rho)
+    assert np.isfinite(s_end).all()
+    # blob has left: remaining scalar mass is a small fraction
+    assert s_end.max() < 0.25 * s0.max(), s_end.max()
+    assert s_end.min() > -0.05

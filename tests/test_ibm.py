@@ -115,3 +115,57 @@ def test_valley_geometry():
     assert not eps[16, :, 0].any()
     # z-invariant
     assert np.array_equal(eps[:, :, 0], eps[:, :, -1])
+
+
+def test_spline_fill_wall_anchor_semi_immersed():
+    """Semi-immersed solid on the bottom wall of a non-periodic axis
+    (reference ibm_spline.f90 case 3): the interpolant is anchored at the
+    wall with the prescribed value, so the fill honors no-slip instead of
+    extrapolating from above-only support."""
+    import jax.numpy as jnp
+    n = 32
+    nodes = np.linspace(0.0, 1.0, n)
+    eps = np.zeros((4, n, 1))
+    eps[:, :5, :] = 1.0                     # solid touching the wall
+    idx, w, const = ibmmod.build_spline_fill(eps, 1, nodes, periodic=False,
+                                          wall_values=(0.0, 0.0))
+    # a linear field u = y through the anchor (0 at y=0): the fill on the
+    # solid run must reproduce y exactly (cubic exact for linear + anchor)
+    u = jnp.asarray(np.broadcast_to(nodes[None, :, None], eps.shape).copy())
+    fill = {"idx": jnp.asarray(idx), "w": jnp.asarray(w),
+            "const": jnp.asarray(const), "solid": jnp.asarray(eps > 0.5)}
+    filled = np.asarray(ibmmod.apply_spline_fill(u, fill, 1))
+    assert np.max(np.abs(filled[:, :5, :] - nodes[None, :5, None])) < 1e-12
+    # nonzero wall value enters through const
+    _, _, const2 = ibmmod.build_spline_fill(eps, 1, nodes, periodic=False,
+                                         wall_values=(0.7, 0.0))
+    assert np.abs(const2[:, :5, :]).max() > 0.0
+
+
+def test_spline_fill_periodic_wrap():
+    """Solid run touching the edge of a PERIODIC axis takes support from
+    the opposite end with wrapped coordinates (reference cases 2/5)."""
+    import jax.numpy as jnp
+    n = 32
+    lx = 2.0
+    nodes = np.arange(n) * (lx / n)
+    eps = np.zeros((1, 1, n))
+    eps[..., :3] = 1.0                       # solid at the k=0 edge
+    idx, w, const = ibmmod.build_spline_fill(eps, 2, nodes, periodic=True,
+                                          scale=lx)
+    # periodic smooth field: fill must be accurate across the wrap
+    u = np.cos(2 * np.pi * nodes / lx)[None, None, :]
+    fill = {"idx": jnp.asarray(idx), "w": jnp.asarray(w),
+            "const": jnp.asarray(const), "solid": jnp.asarray(eps > 0.5)}
+    filled = np.asarray(ibmmod.apply_spline_fill(jnp.asarray(u), fill, 2))
+    assert np.max(np.abs(filled[..., :3] - u[..., :3])) < 5e-3
+
+
+def test_xbars_mirrored():
+    from tlab_tpu.grid import uniform_grid
+    grid = uniform_grid(8, 24, 16, 1.0, 1.0, 1.0)
+    eps = ibmmod.geometry_xbars(grid, nbars=2, height=4, width=3,
+                             mirrored=True)
+    assert eps[:, :4].max() == 1.0
+    assert eps[:, -4:].max() == 1.0          # mirrored on the upper wall
+    assert eps[:, 8:16].max() == 0.0

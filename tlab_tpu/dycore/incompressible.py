@@ -286,6 +286,8 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
         fl = ibm["fills"][axis_name]
         fl4 = {"idx": fl["idx"][None], "w": fl["w"][None],
                "solid": fl["solid"][None]}
+        if "const" in fl:
+            fl4["const"] = fl["const"][None]
         fields = ibmmod.apply_spline_fill(fields, fl4, axis + 1)
         conv = ibmmod.apply_spline_fill(conv, fl, axis)
     if comm is not None:

@@ -251,6 +251,7 @@ def apply_nscbc(P, U: CompState, h: CompState, gamma: float, mach: float,
     drift = jnp.maximum(1.0 - m2, 0.0)
 
     comps = [h.rho, h.rhou, h.rhov, h.rhow, h.rhoE]
+    hs = h.rhos
     axes = ((1, (spec.ymin, spec.ymax), ly, 2),
             (0, (spec.xmin, spec.xmax), lx, 1))
     for axis, kinds, length, idir in axes:
@@ -318,4 +319,60 @@ def apply_nscbc(P, U: CompState, h: CompState, gamma: float, mach: float,
             comps[mom_idx[1]] = comps[mom_idx[1]].at[idx].add(hv1)
             comps[mom_idx[2]] = comps[mom_idx[2]].at[idx].add(hv2)
             comps[4] = comps[4].at[idx].add(hE)
-    return CompState(*comps, h.rhos)
+            if hs is not None:
+                for i_s in range(hs.shape[0]):
+                    s_f = U.rhos[i_s] / rho
+                    dsdn = _edge_deriv(P, s_f, axis, side)
+                    hz = _nr_scalar_corrections(
+                        side, r_b, un_b, s_f[sl], p_b, g_b, drdn, dundn,
+                        dsdn, dpdn, gn, pl_out, pl_inf,
+                        jnp.full_like(r_b, spec.p_inf),
+                        jnp.full_like(r_b, spec.rho_inf),
+                        jnp.zeros_like(r_b), idir=idir)
+                    hs = hs.at[(i_s,) + idx].add(hz)
+    return CompState(*comps, hs)
+
+
+def _nr_scalar_corrections(side, r, un, s, p, gam, drdn, dundn, dsdn,
+                           dpdn, gn, pl_out, pl_inf, p_ref, r_ref, s_ref,
+                           idir=2):
+    """BOUNDARY_BCS_SCAL_NR_3: additive correction for d(rho s) at an
+    open boundary (same wave bookkeeping as the flow NR_3; the scalar
+    rides the entropy/vorticity characteristics)."""
+    c = jnp.sqrt(gam * p / r)
+    Mn = un / c
+    z = jnp.zeros_like(r)
+    if side == 0:
+        subsonic = un + c > 0.0
+        inflow = un > 0.0
+        dmy_i = 0.5 * (r * (1.0 + Mn) * dundn + (1.0 - Mn) / c * dpdn
+                       - r * gn / c)
+        h_i = un * s * drdn + r * un * dsdn + dmy_i * s
+        if idir == 2:
+            F2 = -pl_inf * c * (r - r_ref)
+            F5 = -pl_inf * c * (p - p_ref)
+            FZ = -pl_inf * c * (s - s_ref)
+        else:
+            F2 = -pl_inf * (r - r_ref)
+            F5 = -pl_inf * (p + r * c * un - p_ref)
+            FZ = -pl_inf * (s - s_ref)
+        h_i = h_i + r * FZ + s * (F2 + 0.5 * F5 / (c * c))
+        F5o = -pl_out * (p - p_ref)
+        dmy_o = 0.5 * (r * (1.0 + Mn) * dundn + (1.0 + Mn) / c * dpdn
+                       - r * gn / c + F5o / c)
+        h_o = dmy_o * s
+    else:
+        subsonic = un - c < 0.0
+        inflow = un < 0.0
+        dmy_i = 0.5 * (r * (1.0 - Mn) * dundn - (1.0 + Mn) / c * dpdn
+                       + r * gn / c)
+        h_i = un * s * drdn + r * un * dsdn + dmy_i * s
+        F1 = -pl_inf * c * (p - p_ref)
+        F2 = -pl_inf * c * (r - r_ref)
+        FZ = -pl_inf * c * (s - s_ref)
+        h_i = h_i + r * FZ + s * (F2 + 0.5 * F1 / (c * c))
+        F1o = -pl_out * (p - p_ref)
+        dmy_o = 0.5 * (r * (1.0 - Mn) * dundn - (1.0 - Mn) / c * dpdn
+                       + r * gn / c + F1o / c)
+        h_o = dmy_o * s
+    return jnp.where(subsonic, jnp.where(inflow, h_i, h_o), z)

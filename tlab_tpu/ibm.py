@@ -13,9 +13,12 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def geometry_xbars(grid, nbars: int, height: int, width: int) -> np.ndarray:
+def geometry_xbars(grid, nbars: int, height: int, width: int,
+                   mirrored: bool = False) -> np.ndarray:
     """Streamwise-aligned square bars on the bottom wall, spanwise-periodic
-    (reference ibm_generate_geometry_xbars)."""
+    (reference ibm_generate_geometry_xbars); mirrored=True repeats the
+    bars on the upper wall (ibm_generate_geometry_xbars.f90:124-136,
+    [IBMParameter] Mirrored=yes)."""
     nx, ny, nz = grid.shape
     eps = np.zeros((nx, ny, nz), dtype=np.float64)
     if nz == 1:
@@ -24,6 +27,8 @@ def geometry_xbars(grid, nbars: int, height: int, width: int) -> np.ndarray:
     for b in range(nbars):
         k0 = b * period
         eps[:, :height, k0:k0 + width] = 1.0
+        if mirrored:
+            eps[:, ny - height:, k0:k0 + width] = 1.0
     return eps
 
 
@@ -58,25 +63,39 @@ def geometry_valley(grid, height_pts: int, slope: int = 1) -> np.ndarray:
     return eps
 
 
-def build_spline_fill(eps: np.ndarray, axis: int, nodes: np.ndarray):
+def build_spline_fill(eps: np.ndarray, axis: int, nodes: np.ndarray,
+                      periodic: bool = False, scale: float = None,
+                      wall_values=(0.0, 0.0)):
     """Per-direction solid-region fill (reference IBM_SPLINE_XYZ,
     src/ibm/ibm_spline.f90): before taking derivatives along `axis`, solid
     points are replaced by a cubic Lagrange interpolant through the two
     fluid points on each side of the interval.
 
-    With a static geometry this is a fixed gather: returns (idx, w) with
-    shapes eps.shape + (4,) such that
-        filled = where(solid, sum_m w[..., m] * u[gather idx[..., m]], u).
+    Special cases matching the reference's interval taxonomy
+    (ibm_spline.f90:155-260):
+    - PERIODIC axis: a solid run touching the line's edge takes its
+      support from the opposite end with wrapped abscissae (cases 2/5).
+    - NON-periodic axis: a solid run touching the wall anchors the
+      interpolant at the wall coordinate with the prescribed wall value
+      (case 3: zero for velocity, ibmscaljmin/jmax for scalars); the
+      anchor value enters through the additive `const` array.
+
+    Returns (idx, w, const): filled = where(solid,
+        sum_m w[..., m] * u[gather idx[..., m]] + const, u).
     """
     shape = eps.shape
     n = shape[axis]
     idx = np.zeros(shape + (4,), dtype=np.int32)
     w = np.zeros(shape + (4,))
+    const = np.zeros(shape)
     solid = eps > 0.5
+    if scale is None and periodic:
+        scale = nodes[-1] - nodes[0] + (nodes[1] - nodes[0])
 
     lines = np.moveaxis(solid, axis, -1).reshape(-1, n)
     idx_l = np.moveaxis(idx, axis, -2).reshape(-1, n, 4)
     w_l = np.moveaxis(w, axis, -2).reshape(-1, n, 4)
+    c_l = np.moveaxis(const, axis, -1).reshape(-1, n)
     for li in range(lines.shape[0]):
         s = lines[li]
         if not s.any():
@@ -90,48 +109,74 @@ def build_spline_fill(eps: np.ndarray, axis: int, nodes: np.ndarray):
             j = i
             while j < n and s[j]:
                 j += 1
-            # solid run [i, j); support = up to 2 fluid points on each side
-            below = fluid[fluid < i][-2:]
-            above = fluid[fluid >= j][:2]
-            sup = list(below) + list(above)
-            if not sup:
-                i = j                               # fully solid line -> 0
+            # solid run [i, j); support = up to 2 fluid points per side,
+            # plus wrap (periodic) or wall anchors (non-periodic)
+            below = list(fluid[fluid < i][-2:])
+            above = list(fluid[fluid >= j][:2])
+            sup = below + above
+            xs = list(nodes[below]) + list(nodes[above])
+            anchors = []                       # (x, value) fixed points
+            if not below:
+                if periodic and len(fluid) >= 2:
+                    wrap = fluid[-2:]
+                    sup = list(wrap) + sup
+                    xs = [nodes[kf] - scale for kf in wrap] + xs
+                elif not periodic:
+                    anchors.append((nodes[0], wall_values[0]))
+            if not above:
+                if periodic and len(fluid) >= 2:
+                    wrap = fluid[:2]
+                    sup = sup + list(wrap)
+                    xs = xs + [nodes[kf] + scale for kf in wrap]
+                elif not periodic:
+                    anchors.append((nodes[-1], wall_values[1]))
+            if not sup and not anchors:
+                i = j                           # fully solid line -> 0
                 continue
-            xs = nodes[sup]
+            all_x = xs + [a[0] for a in anchors]
+            sup = sup[:4]
             for p in range(i, j):
                 xp = nodes[p]
-                for a in range(len(sup)):
+                for a in range(len(all_x)):
                     wa = 1.0
-                    for b in range(len(sup)):
+                    for b in range(len(all_x)):
                         if b != a:
-                            wa *= (xp - xs[b]) / (xs[a] - xs[b])
-                    w_l[li, p, a] = wa
-                    idx_l[li, p, a] = sup[a]
+                            wa *= (xp - all_x[b]) / (all_x[a] - all_x[b])
+                    if a < len(sup):
+                        w_l[li, p, a] = wa
+                        idx_l[li, p, a] = sup[a]
+                    elif a >= len(xs):
+                        c_l[li, p] += wa * anchors[a - len(xs)][1]
             i = j
-    return idx, w
+    return idx, w, const
 
 
 def apply_spline_fill(u, fill, axis: int):
     """filled field: fluid points unchanged, solid points interpolated."""
     idx, w, solid = fill["idx"], fill["w"], fill["solid"]
-    parts = 0.0
+    parts = fill.get("const", 0.0)
     for m in range(4):
         parts = parts + w[..., m] * jnp.take_along_axis(
             u, idx[..., m], axis=axis)
     return jnp.where(solid, parts, u)
 
 
-def build_ibm_spline(eps: np.ndarray, grid, dtype=jnp.float64) -> dict:
+def build_ibm_spline(eps: np.ndarray, grid, dtype=jnp.float64,
+                     wall_values=(0.0, 0.0)) -> dict:
     """Fill plans for all three directions (consumed by the Burgers ops
-    when ibm mode is 'spline')."""
+    when ibm mode is 'spline'). wall_values anchors semi-immersed
+    intervals on the non-periodic walls (velocity: 0)."""
     fills = {}
     for name, axis, ax in (("x", 0, grid.x), ("y", 1, grid.y),
                            ("z", 2, grid.z)):
         if ax.size == 1:
             continue
-        idx, w = build_spline_fill(eps, axis, ax.nodes)
+        idx, w, const = build_spline_fill(
+            eps, axis, ax.nodes, periodic=ax.periodic, scale=ax.scale,
+            wall_values=wall_values)
         fills[name] = {"idx": jnp.asarray(idx),
                        "w": jnp.asarray(w, dtype),
+                       "const": jnp.asarray(const, dtype),
                        "solid": jnp.asarray(eps > 0.5)}
     return fills
 

@@ -369,6 +369,37 @@ class Simulation:
         if case.term_advection in ("divergence", "skewsymmetric") \
                 and case.equations != "anelastic":
             P["adv_form"] = case.term_advection
+        # [IBMParameter]/[IBMGeometry]: solid mask + spline fills
+        # (reference IBM_READ_INI + IBM_INITIALIZE_GEOMETRY,
+        # ibm_read.f90:47-127)
+        ini2 = case.ini
+        if ini2 is not None and ini2.get("IBMParameter", "Status",
+                                         "off").lower() == "on":
+            from tlab_tpu import ibm as ibmmod
+            gtype = ini2.get("IBMGeometry", "Type", "xbars").lower()
+            mirrored = ini2.get_bool("IBMGeometry", "Mirrored", False)
+            if gtype in ("xbars", "bars"):
+                eps = ibmmod.geometry_xbars(
+                    grid, ini2.get_int("IBMGeometry", "Number", 1),
+                    ini2.get_int("IBMGeometry", "Height", 4),
+                    ini2.get_int("IBMGeometry", "Width", 4),
+                    mirrored=mirrored)
+            elif gtype == "hill":
+                eps = ibmmod.geometry_hill(
+                    grid, ini2.get_float("IBMGeometry", "Height", 0.1),
+                    ini2.get_float("IBMGeometry", "Width", 0.2),
+                    ini2.get_float("IBMGeometry", "Center",
+                                   0.5 * grid.x.scale))
+            elif gtype == "valley":
+                eps = ibmmod.geometry_valley(
+                    grid, ini2.get_int("IBMGeometry", "Height", 4),
+                    ini2.get_int("IBMGeometry", "Alpha", 1))
+            else:
+                raise ValueError(f"[IBMGeometry] Type={gtype!r} unknown")
+            ib = ibmmod.build_ibm(np.asarray(eps, float), dtype=dtype)
+            ib["fills"] = ibmmod.build_ibm_spline(np.asarray(eps, float),
+                                                  grid, dtype=dtype)
+            P["ibm"] = ib
         P["ell_dd"] = ell_plans[BC.DD]
         # EllipticOrder: the factorized formulation is the default (as the
         # reference): its D1-consistent integrals make the projection
