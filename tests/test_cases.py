@@ -604,3 +604,60 @@ def test_dt_lag_pipelining():
     # keeps them slightly SMALLER -- conservative by construction)
     assert np.all(np.abs(b / a - 1.0) < 0.12), (a, b)
     assert np.all(b <= a * 1.001), (a, b)
+
+
+def test_profile_families_complete():
+    """All 20 parseable reference profile families evaluate
+    (profiles.f90:81-101) incl. the post-term specials."""
+    from tlab_tpu.physics.profiles import Profile, der_to_thick, der_to_delta
+    y = np.linspace(0.0, 1.0, 64)
+    names = ("none", "tanh", "tanhsymmetric", "tanhantisymmetric",
+             "linear", "linearcrop", "erf", "erfsurface", "erfantisym",
+             "bickley", "gaussian", "gaussiansurface",
+             "gaussianvaricose", "gaussiansinuous", "ekmanu", "ekmanp",
+             "parabolic", "parabolicsurface", "mixedlayer",
+             "gaussiantanhsymmetric")
+    for name in names:
+        p = Profile(type=name, mean=0.3, delta=1.0, thick=0.1, ymean=0.5,
+                    diam=0.2, lslope=0.1, uslope=-0.2,
+                    surface_thick=0.05, surface_delta=0.4)
+        f = p(y)
+        assert np.isfinite(f).all(), name
+    # erfsurface adds the surface term near y=0
+    pe = Profile(type="erfsurface", delta=0.0, thick=0.1, ymean=0.5,
+                 surface_thick=0.05, surface_delta=1.0)
+    pb = Profile(type="erf", delta=0.0, thick=0.1, ymean=0.5)
+    d = pe(y) - pb(y)
+    # at y=0 the surface term is exactly 0.5*SurfaceDelta, decaying above
+    assert abs(d[0] - 0.5) < 1e-12 and abs(d[-1]) < 1e-6
+    # ekmanp differs from ekmanu by the perturbation
+    pu = Profile(type="ekmanu", delta=1.0, thick=0.1)
+    pp_ = Profile(type="ekmanp", delta=1.0, thick=0.1)
+    assert np.max(np.abs(pu(y) - pp_(y))) > 0.0
+    # derivative alternative input round-trips
+    th = der_to_thick("tanh", 1.0, -2.5)
+    assert abs(der_to_delta("tanh", th, -2.5) - 1.0) < 1e-14
+
+
+def test_profile_ini_keys():
+    """LowerSlope/UpperSlope/Diam/SurfaceThick/SurfaceDelta/YMean and
+    Derivative keys reach the Profile (Profiles_ReadBlock)."""
+    from tlab_tpu.config import Ini, _read_profile
+    txt = """
+[Scalar]
+ProfileScalar1=Erf
+DeltaScalar1=2.0
+DerivativeScalar1=-4.0
+LowerSlopeScalar1=0.3
+UpperSlopeScalar1=-0.1
+YMeanScalar1=0.77
+SurfaceThickScalar1=0.02
+SurfaceDeltaScalar1=0.5
+"""
+    p = _read_profile(Ini(text=txt), "scalar", "Scalar1", 1.0)
+    assert p.lslope == 0.3 and p.uslope == -0.1
+    assert p.ymean == 0.77
+    assert p.surface_thick == 0.02 and p.surface_delta == 0.5
+    # thick derived from the derivative: -delta/(der - uslope)/(2 sqrt(pi))
+    expect = -2.0 / (-4.0 - (-0.1)) / (2.0 * np.sqrt(np.pi))
+    assert abs(p.thick - expect) < 1e-14

@@ -155,10 +155,34 @@ def _read_profile(ini: Ini, section: str, tag: str, yscale: float) -> Profile:
         mean = ini.get_float(section, tag, mean)
     delta = ini.get_float(section, f"Delta{tag}", 0.0)
     thick = ini.get_float(section, f"Thick{tag}", 1.0)
-    ycoor = ini.get_float(section, f"YCoor{tag}",
-                          ini.get_float(section, f"YMeanRelative{tag}", 0.5))
+    # YMean<tag> = absolute height; YMeanRelative/YCoor = relative
+    # (Profiles_ReadBlock, profiles.f90:113-127)
+    ymean_abs = ini.get(section, f"YMean{tag}", "")
+    if ymean_abs != "":
+        ymean = float(ymean_abs)
+    else:
+        ycoor = ini.get_float(
+            section, f"YCoor{tag}",
+            ini.get_float(section, f"YMeanRelative{tag}", 0.5))
+        ymean = ycoor * yscale
+    lslope = ini.get_float(section, f"LowerSlope{tag}", 0.0)
+    uslope = ini.get_float(section, f"UpperSlope{tag}", 0.0)
+    diam = ini.get_float(section, f"Diam{tag}", 0.0)
+    s_thick = ini.get_float(section, f"SurfaceThick{tag}", 1.0)
+    s_delta = ini.get_float(section, f"SurfaceDelta{tag}", 0.0)
+    # Derivative<tag>: thick/delta from the max-derivative value
+    # (profiles.f90:131-143)
+    der = ini.get(section, f"Derivative{tag}", "")
+    if der != "":
+        from tlab_tpu.physics.profiles import der_to_thick, der_to_delta
+        d = float(der)
+        if ini.get(section, f"Thick{tag}", "") == "":
+            thick = der_to_thick(ptype, delta, d, uslope)
+        if ini.get(section, f"Delta{tag}", "") == "":
+            delta = der_to_delta(ptype, thick, d, uslope)
     return Profile(type=ptype, mean=mean, delta=delta, thick=thick,
-                   ymean=ycoor * yscale)
+                   ymean=ymean, lslope=lslope, uslope=uslope, diam=diam,
+                   surface_thick=s_thick, surface_delta=s_delta)
 
 
 def _read_grid_segments(ini: Ini, dirname: str) -> dict:
