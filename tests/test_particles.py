@@ -203,3 +203,60 @@ def test_tinia_type_sticks():
     dx2, _ = pc.particle_rhs(props2, ps2, locate, u, u, u)
     assert float(jnp.max(jnp.abs(dx2[0]))) == 0.0
     assert float(jnp.min(jnp.abs(dx2[1:, 0]))) > 0.0
+
+
+def test_bil_cloud_radiation_coupling():
+    """Radiation enters the droplet equations (reference rhs_part_1.f90:
+    82-86): with [Infrared] active, the non-diffusive droplet property
+    (second slot) evolves differently than without radiation."""
+    import jax.numpy as jnp
+    from tlab_tpu.config import load_case, Ini
+    from tlab_tpu.runtime import Simulation
+    from tlab_tpu.particles.core import make_locator
+    from tlab_tpu.particles.bil_cloud import BilCloudParams
+    from tlab_tpu.particles.stepping import rk_step_with_particles
+    base = open("tests/data/case01_small.ini").read()
+    base = base.replace("Schmidt=1.0", "Schmidt=1.0,1.0")
+    base = base.replace("""[Scalar]
+ProfileScalar1=Tanh""", """[Scalar]
+ProfileScalar2=Tanh
+ThickScalar2=0.05
+DeltaScalar2=-1.0
+MeanScalar2=0.5
+Scalar2Jmin=neumann
+Scalar2Jmax=neumann
+ProfileScalar1=Tanh""")
+    rad_blk = """
+[Infrared]
+Type=grayliquid
+Scalar=1
+BoundaryConditions=1.0, 0.0
+AbsorptionComponent1=10.0
+"""
+    outs = {}
+    for tag, txt in (("norad", base), ("rad", base + rad_blk)):
+        sim = Simulation.from_case(load_case(Ini(text=txt)))
+        nx, ny, nz = sim.grid.shape
+        rng = np.random.default_rng(4)
+        y = sim.grid.y.nodes
+        sfield = np.broadcast_to(
+            0.5 + 0.3 * np.sin(np.pi * y)[None, :, None], (nx, ny, nz))
+        st = State(u=jnp.zeros((nx, ny, nz)), v=jnp.zeros((nx, ny, nz)),
+                   w=jnp.zeros((nx, ny, nz)),
+                   s=jnp.stack([jnp.asarray(sfield)] * 2))
+        n = 32
+        x = np.stack([rng.uniform(0.2, 1.8, n), rng.uniform(0.2, 0.8, n),
+                      np.zeros(n)], axis=1)
+        ps = pc.ParticleState(x=jnp.asarray(x), v=jnp.zeros((n, 3)),
+                              props=jnp.zeros((n, 2)),
+                              tags=jnp.arange(n, dtype=jnp.int64))
+        props = pc.ParticleProps(
+            type="bil_cloud_3",
+            bil_cloud=BilCloudParams(thermo=(1.0, 0.5, 0.2)))
+        locate = make_locator(sim.grid)
+        _, ps_out = rk_step_with_particles(sim.P, sim.grid, locate, props,
+                                           st, ps, 1e-3)
+        outs[tag] = np.asarray(ps_out.props)
+    d = np.abs(outs["rad"][:, 1] - outs["norad"][:, 1])
+    assert d.max() > 0.0, "radiation did not reach the droplet equations"
+    assert np.isfinite(outs["rad"]).all()

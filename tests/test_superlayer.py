@@ -83,3 +83,33 @@ def test_surface_jpdf():
     # correlation shows as diagonal mass concentration
     diag = sum(counts[i, i] for i in range(8))
     assert diag > 0.5
+
+
+def test_sample_along_normals():
+    """Normal-direction sampling (reference sl_normal_sample.f90): on a
+    tilted planar interface inside a linear field, samples at distance d
+    along the true normal recover f(surface) + d * (grad f . n)."""
+    import jax.numpy as jnp
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.stats import superlayer as sl
+    grid = uniform_grid(32, 64, 16, 2.0, 1.0, 1.0)
+    nx, ny, nz = grid.shape
+    X = grid.x.nodes[:, None]
+    slope = 0.2
+    ysl = jnp.asarray(0.4 + slope * X * np.ones((nx, nz)))
+    # field f = y (linear): sample at distance d along n gives
+    # ysl + d * n_y with n_y = 1/sqrt(1+slope^2)
+    f = jnp.asarray(np.broadcast_to(grid.y.nodes[None, :, None],
+                                    (nx, ny, nz)).copy())
+    d = 0.1
+    vals = sl.sample_along_normals(grid, f, ysl, [0.0, d])
+    ny_comp = 1.0 / np.sqrt(1.0 + slope ** 2)
+    inner = slice(2, nx - 2)
+    err0 = np.abs(np.asarray(vals[0])[inner] - np.asarray(ysl)[inner])
+    err1 = np.abs(np.asarray(vals[1])[inner]
+                  - (np.asarray(ysl)[inner] + d * ny_comp))
+    assert err0.max() < 1e-6
+    assert err1.max() < 1e-3
+    # normals are unit vectors
+    n = np.asarray(sl.surface_normals(grid, ysl))
+    assert np.allclose(np.linalg.norm(n, axis=-1), 1.0)

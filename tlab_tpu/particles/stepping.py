@@ -18,6 +18,9 @@ def rk_step_with_particles(P, grid, locate, pprops: ParticleProps,
     bil = pprops.bil_cloud if pprops.type.startswith("bil_cloud") else None
     if bil is not None:
         from tlab_tpu.particles import bil_cloud as bc
+        # Eulerian radiation feeds the droplet equations (reference
+        # rhs_part_1.f90:82-86); the closure is exposed by make_sources
+        ir_field = getattr(P.get("bodyforce"), "ir_field", None)
     z = jnp.zeros_like(state.u)
     hq = (z, z, z)
     hs = jnp.zeros_like(state.s)
@@ -35,8 +38,9 @@ def rk_step_with_particles(P, grid, locate, pprops: ParticleProps,
         if bil is not None:
             # droplet-scalar sources from the CURRENT Eulerian state
             # (reference RHS_PART_1 computes txc fields inside the substep)
+            rad = ir_field(state) if ir_field is not None else None
             src = bc.eulerian_sources(P, state.s, P["visc"], bil,
-                                      radiation=None)
+                                      radiation=rad)
             loc = locate(pstate.x)
             hpp = hpp.at[:, :2].add(bc.droplet_rhs(bil, src, loc))
             props = props + dte * hpp

@@ -171,6 +171,46 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
         bback = grav.background_profile(buo, profs, grid.y.nodes)
         bback = np.asarray(bback, ntp)
 
+    def compute_ir(state):
+        """IR heating-rate field for the active scalar (also consumed by
+        the bil_cloud droplet equations, reference rhs_part_1.f90:82)."""
+        from tlab_tpu.physics import thermo
+        if anelastic is not None:
+            diag = thermo.diagnostic_fields(anelastic["tp"], state.s,
+                                            anelastic["bg"])
+            ql = diag["ql"]
+            rho_b = anelastic["rho"]
+        elif awl_on:
+            diag = {}
+            ql = thermo.airwater_linear(awl_params, state.s)
+            rho_b = jnp.ones_like(y_dev)
+        else:
+            diag = {}
+            ql = state.s[-1]
+            rho_b = jnp.ones_like(y_dev)
+        if rad.type == "gray" and anelastic is not None:
+            qv = diag["qv"] if "qv" in diag else state.s[-1] - ql
+            T_f = diag["T"]
+            a_f = (rad.kappa * ql + rad.kappa_v * qv
+                   + rad.kappa_g) * rho_b[None, :, None]
+            b_f = rad.beta * T_f ** 4
+            return radmod.infrared_gray_source(
+                rad, y_dev, a_f, b_f, emissivity=rad.emissivity)
+        if rad.type == "band" and anelastic is not None:
+            qv = diag["qv"] if "qv" in diag else state.s[-1] - ql
+            T_f = diag["T"]
+            nb = rad.nbands
+            kt = rad.kappa_table or ((rad.kappa,) * nb,)
+            k_l = kt[0]
+            k_v = kt[1] if len(kt) > 1 else (0.0,) * nb
+            k_c = kt[2] if len(kt) > 2 else (0.0,) * nb
+            a_bands = [(k_l[b] * ql + k_v[b] * qv + k_c[b])
+                       * rho_b[None, :, None] for b in range(nb)]
+            return radmod.infrared_band_source(
+                rad, y_dev, a_bands, T_f, rad.beta_table,
+                emissivity=rad.emissivity, bcs_top=rad.bcs_top)
+        return radmod.infrared_source(rad, Jt, Jb, ql, rho_b)
+
     def sources(P, state, h1, h2, h3, hs):
         if cor_on:
             r1, r2, r3 = rot.coriolis_tendency(cor, state.u, state.v, state.w)
@@ -204,39 +244,7 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                 ql = state.s[-1]
                 rho_b = jnp.ones_like(y_dev)
             if rad_on:
-                if rad.type == "gray" and anelastic is not None:
-                    # gray RTE with emission b = beta T^4 (nondim);
-                    # absorption rho_bar (k_l ql + k_v qv + k_g), the
-                    # anelastic weight on the WHOLE sum as in the
-                    # reference (radiation.f90:299-301)
-                    qv = diag["qv"] if "qv" in diag else \
-                        state.s[-1] - ql
-                    T_f = diag["T"]
-                    a_f = (rad.kappa * ql + rad.kappa_v * qv
-                           + rad.kappa_g) * rho_b[None, :, None]
-                    b_f = rad.beta * T_f ** 4
-                    src = radmod.infrared_gray_source(
-                        rad, y_dev, a_f, b_f, emissivity=rad.emissivity)
-                elif rad.type == "band" and anelastic is not None:
-                    # multi-band: per-band (liquid, vapor, constant)
-                    # kappas + polynomial emission fractions + per-band
-                    # top fluxes (reference TYPE_IR_BAND,
-                    # radiation.f90:341-346)
-                    qv = diag["qv"] if "qv" in diag else \
-                        state.s[-1] - ql
-                    T_f = diag["T"]
-                    nb = rad.nbands
-                    kt = rad.kappa_table or ((rad.kappa,) * nb,)
-                    k_l = kt[0]
-                    k_v = kt[1] if len(kt) > 1 else (0.0,) * nb
-                    k_c = kt[2] if len(kt) > 2 else (0.0,) * nb
-                    a_bands = [(k_l[b] * ql + k_v[b] * qv + k_c[b])
-                               * rho_b[None, :, None] for b in range(nb)]
-                    src = radmod.infrared_band_source(
-                        rad, y_dev, a_bands, T_f, rad.beta_table,
-                        emissivity=rad.emissivity, bcs_top=rad.bcs_top)
-                else:
-                    src = radmod.infrared_source(rad, Jt, Jb, ql, rho_b)
+                src = compute_ir(state)
                 hs = hs.at[rad.scalar].add(src)
             if mic_on:
                 sed = micmod.sedimentation_source(mic, P, ql)
@@ -255,6 +263,7 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
             h3 = h3 + forcmod.subsidence_source(sub, P, y_dev, state.w)
         return h1, h2, h3, hs
 
+    sources.ir_field = compute_ir if rad_on else None
     return sources
 
 

@@ -96,3 +96,45 @@ def surface_jpdf(vals_a, vals_b, nbins: int = 32, ranges=None):
         ranges = [[a.min(), a.max()], [b.min(), b.max()]]
     counts, ea, eb = np.histogram2d(a, b, bins=nbins, range=ranges)
     return counts / max(a.size, 1), ea, eb
+
+
+def surface_normals(grid, ysl):
+    """Unit normals of the interface surface y = ysl(x, z), pointing to
+    the irrotational (outer) side (reference SL_NORMAL_SAMPLE: the normal
+    is the gradient direction of the conditioning field; for a
+    height-function surface n ~ (-dh/dx, 1, -dh/dz)/|.|)."""
+    nx, nz = ysl.shape
+    dx = grid.x.nodes[1] - grid.x.nodes[0] if grid.x.size > 1 else 1.0
+    dz = grid.z.nodes[1] - grid.z.nodes[0] if grid.z.size > 1 else 1.0
+    hx = (jnp.roll(ysl, -1, 0) - jnp.roll(ysl, 1, 0)) / (2.0 * dx) \
+        if nx > 1 else jnp.zeros_like(ysl)
+    hz = (jnp.roll(ysl, -1, 1) - jnp.roll(ysl, 1, 1)) / (2.0 * dz) \
+        if nz > 1 else jnp.zeros_like(ysl)
+    mag = jnp.sqrt(hx * hx + 1.0 + hz * hz)
+    return jnp.stack([-hx / mag, 1.0 / mag, -hz / mag], axis=-1)
+
+
+def sample_along_normals(grid, field, ysl, distances, side="upper"):
+    """Fields sampled along the LOCAL interface normal at the given
+    signed distances (reference sl_normal_sample.f90:55-96; replaces the
+    vertical-ray sampling of sample_at_surface): returns
+    (ndist, nx, nz). side='lower' flips the normal."""
+    from tlab_tpu.particles.core import make_locator, \
+        interpolate_to_particles
+    nx, nz = ysl.shape
+    n = surface_normals(grid, ysl)
+    if side == "lower":
+        n = -n
+    X = jnp.asarray(grid.x.nodes)[:, None] * jnp.ones((nx, nz))
+    Z = jnp.ones((nx, nz)) * (jnp.asarray(grid.z.nodes)[None, :]
+                              if grid.z.size > 1 else 0.0)
+    locate = make_locator(grid)
+    out = []
+    for d in distances:
+        px = (X + d * n[..., 0]).reshape(-1)
+        py = (ysl + d * n[..., 1]).reshape(-1)
+        pz = (Z + d * n[..., 2]).reshape(-1)
+        pos = jnp.stack([px, py, pz], axis=1)
+        vals = interpolate_to_particles(field, locate(pos))
+        out.append(vals.reshape(nx, nz))
+    return jnp.stack(out)

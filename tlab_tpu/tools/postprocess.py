@@ -152,11 +152,27 @@ _VISUAL_FIELDS = ("VelocityX", "VelocityY", "VelocityZ", "Scalar1",
                   "Buoyancy", "LogEnstrophy", "ScalarGradientVector")
 
 
+def subdomain_slices(sim):
+    """[PostProcessing] Subdomain=i0,i1,j0,j1,k0,k1 (1-based inclusive,
+    reference REDUCE_BLOCK_INPLACE consumption, visuals.f90:274-292);
+    None when absent/incomplete."""
+    ini = getattr(sim.case, "ini", None)
+    vec = ini.get_floats("PostProcessing", "Subdomain", ()) \
+        if ini is not None else ()
+    if len(vec) < 6:
+        return None
+    i = [int(v) for v in vec[:6]]
+    return (slice(i[0] - 1, i[1]), slice(i[2] - 1, i[3]),
+            slice(i[4] - 1, i[5]))
+
+
 def run_visuals(sim: Simulation, outdir: str, iterations,
                 which=("Enstrophy",)) -> None:
     """Derived-field extraction in single precision
-    (reference visuals.f90, 20+ quantities; core subset here)."""
+    (reference visuals.f90, 20+ quantities; core subset here), optionally
+    restricted to [PostProcessing] Subdomain."""
     from tlab_tpu.dycore import incompressible as dyn
+    sub = subdomain_slices(sim)
     for it in iterations:
         st, rtime = load_snapshot(sim, outdir, it)
         P = sim.P
@@ -215,8 +231,11 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                 fld = st.s[int(name[6:]) - 1]
             else:
                 raise ValueError(name)
+            arr = np.asarray(fld)
+            if sub is not None:
+                arr = arr[sub]
             fields_io.write_field(os.path.join(outdir, f"vis{it}.{name}"),
-                                  np.asarray(fld), it, (rtime,), dtype="<f4")
+                                  arr, it, (rtime,), dtype="<f4")
 
 
 def run_superlayer(sim: Simulation, outdir: str, iterations,
@@ -259,4 +278,13 @@ def run_superlayer(sim: Simulation, outdir: str, iterations,
                            "VelocityZ": st.w}[name]
                 out[f"{tag}_{name}"] = np.asarray(
                     sl.sample_at_surface(fld, y, ysl))[0]
+                # samples along the LOCAL interface normal (reference
+                # sl_normal_sample.f90): 3 distances into the outer side
+                dists = (0.0, 0.05 * sim.grid.y.scale,
+                         0.10 * sim.grid.y.scale)
+                side = "upper" if tag == "up" else "lower"
+                out[f"{tag}_{name}_normal"] = np.asarray(
+                    sl.sample_along_normals(sim.grid, fld, ysl, dists,
+                                            side=side))
+                out[f"{tag}_normal_dists"] = np.asarray(dists)
         np.savez(os.path.join(outdir, f"sl{it}.npz"), **out)
