@@ -167,3 +167,32 @@ def test_case43_mirrored_fixed_scale_channel():
     assert np.all(dy > 0)
     assert abs(y[0] + y[-1]) < 1e-12          # symmetric
     assert dy[0] < 0.1 * dy[len(dy) // 2]     # wall-refined
+
+
+def test_case10_deterministic_end_to_end(tmp_path):
+    """Case10 (RB-type layer, stretched tanh grid, DeltaDiscrete scalar
+    IC, zero initial velocity) is fully DETERMINISTIC -- no RNG anywhere.
+    Run from the unmodified reference tlab.ini, the dns.out columns
+    match dns.out.ref tightly: dt/CFL to all printed digits, dilatation
+    min/max to ~0.2% (residual solver/discretization differences)."""
+    out = str(tmp_path)
+    ini = f"{REF}/Case10/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case10/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    # dt, CFL, D#, visc: exact to log precision at every step
+    for col in (3, 4, 5, 6):
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
+                           atol=1e-12), col
+    # time column exact
+    assert np.allclose(ours[:, 2], ref[:, 2], rtol=1e-6)
+    # dilatation extrema within 0.5% relative at every nonzero step
+    for col in (7, 8):
+        a, b = ours[1:, col], ref[1:, col]
+        assert np.all(np.abs(a - b) <= 5e-3 * np.abs(b) + 1e-9), col

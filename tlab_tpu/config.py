@@ -216,6 +216,28 @@ def _read_grid_segments(ini: Ini, dirname: str) -> dict:
             "fixed_scale": ini.get_float(sec, "fixed_scale", -1.0)}
 
 
+def _read_discrete(ini: Ini) -> dict:
+    """[Discrete] block (reference Discrete_ReadBlock, discrete.f90:43-99):
+    Amplitude (legacy 2DAmpl) sets the mode count; ModeX defaults to
+    1..n, ModeZ to 0; PhaseX legacy 2DPhi."""
+    amps = ini.get_floats("Discrete", "Amplitude", ())
+    if not amps:
+        amps = ini.get_floats("Discrete", "2DAmpl", (1e-2,))
+    n = len(amps)
+    modex = ini.get_floats("Discrete", "ModeX", ())
+    modex = tuple(int(v) for v in modex) if modex \
+        else tuple(range(1, n + 1))
+    modez = ini.get_floats("Discrete", "ModeZ", ())
+    modez = tuple(int(v) for v in modez) if modez else (0,) * n
+    phasex = ini.get_floats("Discrete", "PhaseX", ())
+    if not phasex:
+        phasex = ini.get_floats("Discrete", "2DPhi", (0.0,) * n)
+    phasez = ini.get_floats("Discrete", "PhaseZ", (0.0,) * n)
+    return {"amplitude": tuple(amps), "modex": modex, "modez": modez,
+            "phasex": tuple(phasex) + (0.0,) * n,
+            "phasez": tuple(phasez) + (0.0,) * n}
+
+
 def load_case(path_or_ini) -> CaseSetup:
     ini = path_or_ini if isinstance(path_or_ini, Ini) else Ini(path_or_ini)
 
@@ -429,15 +451,7 @@ def load_case(path_or_ini) -> CaseSetup:
         ini=ini,
         stagger=ini.get_bool("Staggering", "StaggerHorizontalPressure",
                              False),
-        discrete={
-            "amplitude": ini.get_floats("Discrete", "Amplitude", (1e-2,)),
-            "modex": tuple(int(v) for v in
-                           ini.get_floats("Discrete", "ModeX", (1,))),
-            "modez": tuple(int(v) for v in
-                           ini.get_floats("Discrete", "ModeZ", (0,))),
-            "phasex": ini.get_floats("Discrete", "PhaseX", (0.0,)),
-            "phasez": ini.get_floats("Discrete", "PhaseZ", (0.0,)),
-        },
+        discrete=_read_discrete(ini),
     )
 
 

@@ -233,7 +233,8 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
     for i, prof in enumerate(sim.case.scal_profiles):
         base = jnp.broadcast_to(jnp.asarray(prof(y))[None, :, None],
                                 (nx, ny, nz)).astype(sim.dtype)
-        if sim.case.ini_scalar in ("layerbroadband", "planebroadband"):
+        mode = sim.case.ini_scalar
+        if mode in ("layerbroadband", "planebroadband"):
             # broadband scalar perturbation shaped by the IniK envelope
             # (reference iniscal LayerBroadband mode)
             pert = random_field(sim, rng)
@@ -241,6 +242,40 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
             env = sim.case.profile_ini_k(y)[None, :, None]
             amp = sim.case.normalize_k if sim.case.normalize_k > 0 else 1e-2
             base = base + jnp.asarray(amp * env * pert, sim.dtype)
+        elif mode in ("deltadiscrete", "planediscrete"):
+            # discrete-mode displacement field disp(x, z) (reference
+            # SCAL_FLUCTUATION_PLANE, scal_local.f90:275-345):
+            # deltadiscrete perturbs the profile THICKNESS, planediscrete
+            # shifts the layer position -- both deterministic, so Case10-
+            # family runs have no RNG dependence
+            import dataclasses as _dc
+            spec = sim.case.discrete or {}
+            xg = sim.grid.x.nodes[:, None]
+            zg = (sim.grid.z.nodes[None, :] if nz > 1
+                  else np.zeros((1, 1)))
+            wx1 = 2.0 * np.pi / sim.grid.x.scale
+            wz1 = 2.0 * np.pi / sim.grid.z.scale if nz > 1 else 0.0
+            disp = np.zeros((nx, nz))
+            amps = spec.get("amplitude", ())
+            for im, amp_m in enumerate(amps):
+                wx = spec["modex"][im] * wx1 if im < len(spec["modex"]) \
+                    else (im + 1) * wx1
+                wz = spec["modez"][im] * wz1 if im < len(spec["modez"]) \
+                    else 0.0
+                phx = spec["phasex"][im]
+                phz = spec["phasez"][im]
+                disp = disp + amp_m * np.cos(wx * xg + phx) \
+                    * np.cos(wz * zg + phz)
+            field = np.empty((nx, ny, nz))
+            for ii in range(nx):
+                for kk in range(nz):
+                    if mode == "deltadiscrete":
+                        p = _dc.replace(prof,
+                                        thick=prof.thick + disp[ii, kk])
+                        field[ii, :, kk] = p(y)
+                    else:
+                        field[ii, :, kk] = prof(y - disp[ii, kk])
+            base = jnp.asarray(field, sim.dtype)
         scals.append(base)
     s = jnp.stack(scals) if scals else jnp.zeros((0, nx, ny, nz), sim.dtype)
     return State(u=u, v=v, w=w, s=s)
