@@ -281,7 +281,8 @@ def test_tke_budget_closure():
                w=jnp.asarray(env * rng.standard_normal((nx, ny, nz))),
                s=jnp.zeros((0, nx, ny, nz)))
     out = averages.flow_statistics(P, st, nsp.visc)
-    for key in ("PxxC", "Exx", "PIxx", "PresTrp", "ViscTrp", "Exy"):
+    for key in ("Pxx", "Exx", "PIxx", "Trp2", "Trp3", "Exy", "Tke_t",
+                "Txxy_y", "Phi", "UgradP", "U_y2", "rU3"):
         assert key in out and np.isfinite(np.asarray(out[key])).all(), key
     # transport terms integrate to ~0 over the channel (flux form,
     # envelope vanishes at walls)
@@ -350,9 +351,9 @@ def test_rij_budget_closure():
     for tag, i, j in (("xx", "x", "x"), ("yy", "y", "y"), ("zz", "z", "z"),
                       ("xy", "x", "y"), ("xz", "x", "z"), ("yz", "y", "z")):
         dRdt = pavg(fl[i] * hf[j] + fl[j] * hf[i])
-        rhs = np.asarray(out[f"P{tag}"] + out[f"T{tag}"] + out[f"PI{tag}"]
-                         + out[f"G{tag}"] + out[f"D{tag}"]
-                         - out[f"E{tag}"] + out[f"C{tag}"])
+        # reference transient term: Rij_t = -Fij + Bij + Cij + Pij - Eij
+        #                                   + (PIij - Tijy_y - Gij + Dij)/rR
+        rhs = np.asarray(out[f"R{tag}_t"])
         scale = max(np.max(np.abs(dRdt[sl])),
                     np.max(np.abs(out[f"E{tag}"])), 1e-12)
         res = np.max(np.abs(dRdt[sl] - rhs[sl])) / scale
@@ -403,10 +404,61 @@ def test_scalar_variance_budget_closure():
     sf = st.s[0] - jnp.mean(st.s[0], axis=(0, 2))[None, :, None]
     hsf = hs[0] - jnp.mean(hs[0], axis=(0, 2))[None, :, None]
     dRdt = np.asarray(jnp.mean(2.0 * sf * hsf, axis=(0, 2)))
-    rhs = np.asarray(out["Pss"] + out["Tss"] + out["Dss"]
-                     - out["Chi"] + out["Css"])
+    # reference transient term: Rss_t = Css + Pss - Ess + Qss
+    #                                   + (Dss - Tssy_y)/rR
+    rhs = np.asarray(out["Rss_t"])
     ny_ = dRdt.shape[0]
     sl = slice(4, ny_ - 4)
     scale = max(np.max(np.abs(dRdt[sl])), 1e-12)
     res = np.max(np.abs(dRdt[sl] - rhs[sl])) / scale
     assert res < 0.05, res
+
+
+def test_full_table_reference_format(tmp_path):
+    """The avg<it> file layout matches the reference (io_averages.f90:
+    RTIME line, GROUP lines, I J Y header): full column set, roundtrip
+    through read_avg, and the anelastic Stratification group is filled."""
+    from tlab_tpu.config import load_case, Ini
+    from tlab_tpu.runtime import Simulation
+    from tests.test_anelastic import INI_TEXT, _background_state
+
+    sim = Simulation.from_case(load_case(Ini(text=INI_TEXT)),
+                               dtype=jnp.float64)
+    st = _background_state(sim)
+    extras = averages.build_extras(sim, st)
+    out = averages.flow_statistics(sim.P, st, sim.nsp.visc, extras=extras)
+
+    names = [n for _, vars_ in averages.FLOW_GROUPS for n in vars_.split()]
+    assert len(names) == 191
+    for n in names:
+        assert n in out, n
+        assert np.isfinite(np.asarray(out[n])).all(), n
+    # anelastic: density/temperature/stratification columns are live
+    assert np.all(np.asarray(out["rT"]) > 0)
+    assert np.all(np.asarray(out["rR"]) > 0)
+    assert np.all(np.asarray(out["PotTemp"]) > 0)
+    assert np.all(np.asarray(out["SaturationPressure"]) > 0)
+    assert np.all(np.asarray(out["LapseRate_fr"]) > 0)
+
+    path = tmp_path / "avg100"
+    averages.write_avg(str(path), sim.grid.y.nodes, out,
+                       averages.FLOW_GROUPS, 100, 1.5)
+    rtime, groups, back = averages.read_avg(str(path))
+    assert rtime == 1.5
+    assert [g for g, _ in groups] == [g for g, _ in averages.FLOW_GROUPS]
+    assert np.allclose(back["Tke"], np.asarray(out["Tke"]), atol=1e-7)
+    assert np.allclose(back["PotTemp"], np.asarray(out["PotTemp"]),
+                       rtol=1e-7)
+
+    sgroups = averages.scal_groups(st.s.shape[0])
+    sc = averages.scalar_statistics(sim.P, st, sim.nsp.diffusivity(0), 0,
+                                    visc=sim.nsp.visc, extras=extras)
+    snames = [n for _, vars_ in sgroups for n in vars_.split()]
+    assert len(snames) == 6 + 9 + 9 + 13 + 14 + 13 + 9 + 2 * st.s.shape[0]
+    for n in snames:
+        assert n in sc, n
+        assert np.isfinite(np.asarray(sc[n])).all(), n
+    averages.write_avg(str(tmp_path / "avg100s1"), sim.grid.y.nodes, sc,
+                       sgroups, 100, 1.5)
+    _, _, sback = averages.read_avg(str(tmp_path / "avg100s1"))
+    assert np.allclose(sback["rS"], np.asarray(sc["rS"]), atol=1e-7)

@@ -180,13 +180,17 @@ def write_statistics(sim: Simulation, state: State, outdir: str,
     from tlab_tpu.stats import averages as avg
 
     y = sim.grid.y.nodes
-    flow = avg.flow_statistics(sim.P, state, sim.nsp.visc, p=p)
-    avg.write_table(os.path.join(outdir, f"avg{itime}"), y, flow,
-                    itime, rtime)
+    extras = avg.build_extras(sim, state)
+    flow = avg.flow_statistics(sim.P, state, sim.nsp.visc, p=p,
+                               extras=extras)
+    avg.write_avg(os.path.join(outdir, f"avg{itime}"), y, flow,
+                  avg.FLOW_GROUPS, itime, rtime)
+    sgroups = avg.scal_groups(state.s.shape[0])
     for i in range(sim.nsp.n_scalars):
-        sc = avg.scalar_statistics(sim.P, state, sim.nsp.diffusivity(i), i)
-        avg.write_table(os.path.join(outdir, f"avg{itime}s{i + 1}"), y, sc,
-                        itime, rtime)
+        sc = avg.scalar_statistics(sim.P, state, sim.nsp.diffusivity(i), i,
+                                   p=p, visc=sim.nsp.visc, extras=extras)
+        avg.write_avg(os.path.join(outdir, f"avg{itime}s{i + 1}"), y, sc,
+                      sgroups, itime, rtime)
     ini = getattr(sim.case, "ini", None)
     if ini is not None and ini.get_bool("Statistics", "Pdfs", False):
         # in-run PDFs (reference DNS_STATISTICS_TEMPORAL pdf branch)

@@ -36,14 +36,20 @@ def run_averages(sim: Simulation, outdir: str, iterations,
     conditional analysis, igate/gate_level)."""
     for it in iterations:
         st, rtime = load_snapshot(sim, outdir, it)
-        flow = averages.flow_statistics(sim.P, st, sim.nsp.visc)
-        averages.write_table(os.path.join(outdir, f"avg{it}"),
-                             sim.grid.y.nodes, flow, it, rtime)
+        extras = averages.build_extras(sim, st)
+        flow = averages.flow_statistics(sim.P, st, sim.nsp.visc,
+                                        extras=extras)
+        averages.write_avg(os.path.join(outdir, f"avg{it}"),
+                           sim.grid.y.nodes, flow, averages.FLOW_GROUPS,
+                           it, rtime)
+        sgroups = averages.scal_groups(st.s.shape[0])
         for i in range(sim.nsp.n_scalars):
             sc = averages.scalar_statistics(sim.P, st,
-                                            sim.nsp.diffusivity(i), i)
-            averages.write_table(os.path.join(outdir, f"avg{it}s{i + 1}"),
-                                 sim.grid.y.nodes, sc, it, rtime)
+                                            sim.nsp.diffusivity(i), i,
+                                            visc=sim.nsp.visc,
+                                            extras=extras)
+            averages.write_avg(os.path.join(outdir, f"avg{it}s{i + 1}"),
+                               sim.grid.y.nodes, sc, sgroups, it, rtime)
         if gate_scalar > 0:
             gate = st.s[gate_scalar - 1] > gate_level
             cond = averages.conditional_flow_statistics(sim.P, st, gate)
