@@ -80,3 +80,96 @@ def test_spatial_stats_restart_roundtrip_extended():
     assert np.array_equal(ss.p_sums, ss2.p_sums)
     assert np.array_equal(ss.triple_sums, ss2.triple_sums)
     assert ss2.n_samples == 1
+
+
+def test_station_budgets_match_direct():
+    """Full station Rij budgets: every accumulated term equals the direct
+    two-pass computation over the same (z,t)-ensemble (3 snapshots), and
+    the transient column is the documented sum."""
+    import jax.numpy as jnp
+    from tlab_tpu.stats.spatial import SpatialStats, state_fields
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.dycore.state import State
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.physics.params import NSParams
+
+    nx, ny, nz = 12, 16, 20
+    grid = uniform_grid(nx, ny, nz, 2 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    P = dyn.build_device_plans(
+        fdm, NSParams(reynolds=100.0, schmidt=()),
+        dyn.WallBCs.from_velocity_kind("freeslip", "freeslip",
+                                       scalar_bcs=()),
+        dtype=jnp.float64, with_elliptic=False)
+    rng = np.random.default_rng(7)
+    visc = 0.02
+    ss = SpatialStats.create(nx, ny, ("u", "v", "w"))
+    ens = []
+    for _ in range(3):
+        st = State(u=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+                   v=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+                   w=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+                   s=jnp.zeros((0, nx, ny, nz)))
+        grads = {c + a: dyn._d1(P, a, i, getattr(st, c))
+                 for c in ("u", "v", "w")
+                 for a, i in (("x", 0), ("y", 1), ("z", 2))}
+        p = jnp.asarray(rng.standard_normal((nx, ny, nz)))
+        ss.accumulate(state_fields(st), grads=grads, p=p)
+        ens.append((st, grads, p))
+
+    d1x, d1y = np.asarray(P["d1x"]), np.asarray(P["d1y"])
+    ix = 4
+    tab = ss.station_budgets([ix], visc, d1x=d1x, d1y=d1y)[ix]
+
+    # direct two-pass: ensemble = concatenation of the z-samples
+    def em(a3s):
+        """(z,t)-ensemble mean map (nx, ny)."""
+        return np.mean([np.asarray(a).mean(axis=2) for a in a3s], axis=0)
+
+    def ecov(a3s, b3s):
+        return np.mean([np.asarray(a * b).mean(axis=2)
+                        for a, b in zip(a3s, b3s)], axis=0) \
+            - em(a3s) * em(b3s)
+
+    us = [st.u for st, _, _ in ens]
+    vs = [st.v for st, _, _ in ens]
+    ws = [st.w for st, _, _ in ens]
+    ps = [p for _, _, p in ens]
+    gall = {k: [g[k] for _, g, _ in ens]
+            for k in ("ux", "uy", "uz", "vx", "vy", "vz",
+                      "wx", "wy", "wz")}
+
+    # E_xy = 2 nu sum_a <u_a' v_a'>
+    Exy_direct = 2.0 * visc * sum(
+        ecov(gall["u" + a], gall["v" + a]) for a in "xyz")
+    assert np.allclose(tab["Exy"], Exy_direct[ix], rtol=1e-10)
+    # PI_xy = <p'(uy' + vx')>
+    PIxy_direct = ecov(ps, gall["uy"]) + ecov(ps, gall["vx"])
+    assert np.allclose(tab["PIxy"], PIxy_direct[ix], rtol=1e-10)
+    # P_xy = -(R_xk dV/dxk + R_yk dU/dxk)
+    comps = {"x": us, "y": vs, "z": ws}
+    Pxy_direct = 0.0
+    for a, ck in zip("xyz", ("x", "y", "z")):
+        Pxy_direct = Pxy_direct - ecov(us, comps[ck]) * em(gall["v" + a]) \
+            - ecov(vs, comps[ck]) * em(gall["u" + a])
+    assert np.allclose(tab["Pxy"], Pxy_direct[ix], rtol=1e-10)
+    # triple flux T_xy,y = <u'v'v'>
+    ufs = [np.asarray(u) - em(us)[:, :, None] for u in us]
+    vfs = [np.asarray(v) - em(vs)[:, :, None] for v in vs]
+    Txy_direct = np.mean([(uf * vf * vf).mean(axis=2)
+                          for uf, vf in zip(ufs, vfs)], axis=0)
+    assert np.allclose(tab["Txyy"], Txy_direct[ix], rtol=1e-9)
+    # D_xy = nu (dxx + dyy) R_xy
+    Rxy_map = ecov(us, vs)
+    Dxy_direct = visc * (d1x @ (d1x @ Rxy_map)
+                         + (Rxy_map @ d1y.T) @ d1y.T)
+    assert np.allclose(tab["Dxy"], Dxy_direct[ix], rtol=1e-9, atol=1e-12)
+    # transient column is the documented sum
+    s_expected = (tab["Cxy"] + tab["Pxy"] + tab["PIxy"] - tab["Exy"]
+                  + tab["Dxy"] + tab["Txy_flux"] + tab["Gxy_flux"])
+    assert np.allclose(tab["Rxy_t"], s_expected, rtol=1e-12)
+    # all columns finite, all six components present
+    for t in ("xx", "yy", "zz", "xy", "xz", "yz"):
+        for c in ("R", "C", "P", "PI", "E", "D"):
+            assert np.isfinite(tab[f"{c}{t}"]).all(), (c, t)

@@ -28,18 +28,29 @@ class SpatialStats:
     pair_sums: np.ndarray = None
     n_samples: int = 0
 
-    # gradient-correlation sums (reference MA_Ux..MA_Wz2 + the six cross
-    # products MA_VxUy.., avgij_map.h:14-37): (9, 2, nx, ny) + (6, nx, ny)
+    # gradient-correlation sums (reference MA_Ux..MA_Wz2 + the cross
+    # products MA_VxUy.., avgij_map.h:14-37): (9, 2, nx, ny) + (15, nx, ny)
     grad_sums: np.ndarray = None
     gradx_sums: np.ndarray = None
-    # pressure correlations (MA_P, MA_PP, pressure-velocity): (5, nx, ny)
+    # pressure correlations (MA_P, MA_PP, MA_PU.., + the nine p*grad
+    # products feeding the pressure-strain, avgij_map.h:51-53,62-69):
+    # (14, nx, ny)
     p_sums: np.ndarray = None
-    # mixed third moments for transport: u^2 v, w^2 v: (2, nx, ny)
+    # third moments for Rij turbulent transport: the six <ui uj v> and the
+    # six <ui uj u> raw products (y- and x-direction fluxes): (12, nx, ny)
     triple_sums: np.ndarray = None
 
     GRAD_NAMES = ("ux", "uy", "uz", "vx", "vy", "vz", "wx", "wy", "wz")
-    GRADX_PAIRS = ((3, 1), (6, 2), (7, 5), (0, 4), (0, 8), (4, 8))
-    #              VxUy    WxUz    WyVz    UxVy    UxWz    VyWz
+    # first 6: vorticity/dilatation pairs; last 9: dissipation pairs
+    # <gi_a gj_a> for (i,j) in (uv, uw, vw), a in (x, y, z)
+    GRADX_PAIRS = ((3, 1), (6, 2), (7, 5), (0, 4), (0, 8), (4, 8),
+                   (0, 3), (1, 4), (2, 5),
+                   (0, 6), (1, 7), (2, 8),
+                   (3, 6), (4, 7), (5, 8))
+    COMP_PAIRS = (("u", "u"), ("v", "v"), ("w", "w"),
+                  ("u", "v"), ("u", "w"), ("v", "w"))
+    TRIPLES = tuple((a, b, "v") for a, b in COMP_PAIRS) \
+        + tuple((a, b, "u") for a, b in COMP_PAIRS)
 
     @classmethod
     def create(cls, nx: int, ny: int, names=("u", "v", "w", "s1"),
@@ -55,9 +66,9 @@ class SpatialStats:
                    pairs=tuple(pairs),
                    pair_sums=np.zeros((len(pairs), nx, ny)), n_samples=0,
                    grad_sums=np.zeros((9, 2, nx, ny)),
-                   gradx_sums=np.zeros((6, nx, ny)),
-                   p_sums=np.zeros((5, nx, ny)),
-                   triple_sums=np.zeros((2, nx, ny)))
+                   gradx_sums=np.zeros((len(cls.GRADX_PAIRS), nx, ny)),
+                   p_sums=np.zeros((14, nx, ny)),
+                   triple_sums=np.zeros((len(cls.TRIPLES), nx, ny)))
 
     def accumulate(self, fields: dict, grads: dict = None,
                    p=None) -> None:
@@ -76,12 +87,15 @@ class SpatialStats:
             self.sums[i, 3] += (a2 * a2).mean(axis=2)
         for j, (na, nb) in enumerate(self.pairs):
             self.pair_sums[j] += (za[na] * za[nb]).mean(axis=2)
+        g = None
         if grads is not None and self.grad_sums is not None:
             g = [np.asarray(grads[n]) for n in self.GRAD_NAMES]
             for k in range(9):
                 self.grad_sums[k, 0] += g[k].mean(axis=2)
                 self.grad_sums[k, 1] += (g[k] * g[k]).mean(axis=2)
             for j, (ka, kb) in enumerate(self.GRADX_PAIRS):
+                if j >= self.gradx_sums.shape[0]:
+                    break
                 self.gradx_sums[j] += (g[ka] * g[kb]).mean(axis=2)
         if p is not None and self.p_sums is not None:
             pa = np.asarray(p)
@@ -90,10 +104,16 @@ class SpatialStats:
             for j, n in enumerate(("u", "v", "w")):
                 if n in za:
                     self.p_sums[2 + j] += (pa * za[n]).mean(axis=2)
+            if g is not None and self.p_sums.shape[0] >= 14:
+                for k in range(9):
+                    self.p_sums[5 + k] += (pa * g[k]).mean(axis=2)
         if self.triple_sums is not None and all(
                 n in za for n in ("u", "v", "w")):
-            self.triple_sums[0] += (za["u"] ** 2 * za["v"]).mean(axis=2)
-            self.triple_sums[1] += (za["w"] ** 2 * za["v"]).mean(axis=2)
+            for j, (na, nb, nc) in enumerate(self.TRIPLES):
+                if j >= self.triple_sums.shape[0]:
+                    break
+                self.triple_sums[j] += (za[na] * za[nb]
+                                        * za[nc]).mean(axis=2)
         self.n_samples += 1
 
     def mean(self, name: str) -> np.ndarray:
@@ -173,20 +193,128 @@ class SpatialStats:
                     nm in self.names for nm in ("u", "v", "w")) \
                     and d1y is not None:
                 # turbulent transport of TKE: -d/dy <v'(u'^2+v'^2+w'^2)/2>
-                U, V, W = (self.mean(nm) for nm in ("u", "v", "w"))
-                uuv = self.triple_sums[0] / n
-                wwv = self.triple_sums[1] / n
-                vvv = self.sums[self.names.index("v"), 2] / n
-                Ruv = self.covariance("u", "v")
-                Rvw = self.covariance("v", "w")
-                Ruu = self.variance("u")
-                Rvv = self.variance("v")
-                Rww = self.variance("w")
-                t_u = uuv - 2.0 * U * Ruv - V * Ruu - U * U * V
-                t_v = vvv - 3.0 * V * Rvv - V ** 3
-                t_w = wwv - 2.0 * W * Rvw - V * Rww - W * W * V
+                t_u = self._triple_fluct("u", "u", "v")
+                t_v = self._triple_fluct("v", "v", "v")
+                t_w = self._triple_fluct("w", "w", "v")
                 flux = 0.5 * (t_u + t_v + t_w)
                 cols["Trp"] = -(np.asarray(d1y) @ flux[ix])
+            out[ix] = cols
+        return out
+
+    # -- full per-station Rij budgets (avg_flow_zt_reduce.f90 analog) ------
+    def _raw_pair(self, na: str, nb: str) -> np.ndarray:
+        """<a b> raw second-moment map."""
+        n = max(self.n_samples, 1)
+        if na == nb:
+            return self.sums[self.names.index(na), 1] / n
+        if (na, nb) in self.pairs:
+            return self.pair_sums[self.pairs.index((na, nb))] / n
+        return self.pair_sums[self.pairs.index((nb, na))] / n
+
+    def _triple_fluct(self, na: str, nb: str, nc: str) -> np.ndarray:
+        """<a'b'c'> = <abc> - A<bc> - B<ac> - C<ab> + 2ABC from the raw
+        accumulated triple products."""
+        n = max(self.n_samples, 1)
+        key = (na, nb, nc)
+        if key not in self.TRIPLES:       # symmetric in the first two
+            key = (nb, na, nc)
+        abc = self.triple_sums[self.TRIPLES.index(key)] / n
+        A, B, C = self.mean(na), self.mean(nb), self.mean(nc)
+        return abc - A * self._raw_pair(nb, nc) - B * self._raw_pair(na, nc) \
+            - C * self._raw_pair(na, nb) + 2.0 * A * B * C
+
+    def station_budgets(self, stations, visc: float, d1x=None,
+                        d1y=None) -> dict:
+        """Full incompressible Rij budgets at the x-stations from the
+        (z,t)-accumulated families (the avg_flow_zt_reduce.f90 station
+        tables, pseudo-dissipation form):
+
+          dRij/dt = Cij + Pij + PIij - Eij + Dij - Tijx_x - Tijy_y
+                    - Gijx_x - Gijy_y
+
+        Cij = -(U d/dx + V d/dy) Rij;  Pij = -(R_ik dUj/dxk + R_jk dUi/dxk);
+        PIij = <p'(dui/dxj + duj/dxi)'>;  Eij = 2 nu <dui/dxk' duj/dxk'>;
+        Dij = nu (d2/dx2 + d2/dy2) Rij;  Tij = <ui'uj'uk'> flux;
+        Gij = <p'ui'> d_jk + <p'uj'> d_ik flux.  All derivatives are
+        applied to the accumulated (nx, ny) maps at reduce time (d1x, d1y:
+        dense derivative matrices), so only pointwise products are
+        accumulated in-run."""
+        n = max(self.n_samples, 1)
+        dirs = ("x", "y", "z")
+        gm = {}
+        for k, gname in enumerate(self.GRAD_NAMES):
+            gm[gname] = self.grad_sums[k, 0] / n
+        pm = self.p_sums[0] / n
+        pvel = {c: self.p_sums[2 + j] / n - pm * self.mean(c)
+                for j, c in enumerate(("u", "v", "w"))}
+        pgrad = {g: self.p_sums[5 + k] / n - pm * gm[g]
+                 for k, g in enumerate(self.GRAD_NAMES)}
+
+        def gradcov(ci, cj, a):
+            """<gi_a' gj_a'>"""
+            ki = self.GRAD_NAMES.index(ci + a)
+            kj = self.GRAD_NAMES.index(cj + a)
+            if ki == kj:
+                raw = self.grad_sums[ki, 1] / n
+            else:
+                pair = (ki, kj) if (ki, kj) in self.GRADX_PAIRS else (kj, ki)
+                raw = self.gradx_sums[self.GRADX_PAIRS.index(pair)] / n
+            return raw - gm[ci + a] * gm[cj + a]
+
+        def ddx(m):
+            return np.asarray(d1x) @ m if d1x is not None \
+                else np.zeros_like(m)
+
+        def ddy(m):
+            return m @ np.asarray(d1y).T if d1y is not None \
+                else np.zeros_like(m)
+
+        U, V = self.mean("u"), self.mean("v")
+        Rmap = {(a, b): self._raw_pair(a, b) - self.mean(a) * self.mean(b)
+                for a, b in self.COMP_PAIRS}
+
+        def R(a, b):
+            return Rmap[(a, b)] if (a, b) in Rmap else Rmap[(b, a)]
+
+        axis_of = {"u": "x", "v": "y", "w": "z"}
+        cols_map = {}
+        for ci, cj in self.COMP_PAIRS:
+            tag = axis_of[ci] + axis_of[cj]
+            Rij = R(ci, cj)
+            Cij = -(U * ddx(Rij) + V * ddy(Rij))
+            # production contracts R_ik with dUj/dxk: the velocity index
+            # of R pairs with the gradient DIRECTION via the k-sum
+            Pij = np.zeros_like(Rij)
+            for a, ck in zip(dirs, ("u", "v", "w")):
+                Pij = Pij - R(ci, ck) * gm[cj + a] - R(cj, ck) * gm[ci + a]
+            PIij = pgrad[ci + axis_of[cj]] + pgrad[cj + axis_of[ci]]
+            Eij = np.zeros_like(Rij)
+            for a in dirs:
+                Eij = Eij + gradcov(ci, cj, a)
+            Eij = 2.0 * visc * Eij
+            Dij = visc * (ddx(ddx(Rij)) + ddy(ddy(Rij)))
+            Tx = self._triple_fluct(ci, cj, "u")
+            Ty = self._triple_fluct(ci, cj, "v")
+            zero = np.zeros_like(Rij)
+            Gx = (pvel[ci] if cj == "u" else zero) \
+                + (pvel[cj] if ci == "u" else zero)
+            Gy = (pvel[ci] if cj == "v" else zero) \
+                + (pvel[cj] if ci == "v" else zero)
+            Tflux = -ddx(Tx) - ddy(Ty)
+            Gflux = -ddx(Gx) - ddy(Gy)
+            cols_map[tag] = {
+                f"R{tag}": Rij, f"C{tag}": Cij, f"P{tag}": Pij,
+                f"PI{tag}": PIij, f"E{tag}": Eij, f"D{tag}": Dij,
+                f"T{tag}x": Tx, f"T{tag}y": Ty, f"T{tag}_flux": Tflux,
+                f"G{tag}_flux": Gflux,
+                f"R{tag}_t": Cij + Pij + PIij - Eij + Dij + Tflux + Gflux,
+            }
+        out = {}
+        for ix in stations:
+            cols = {}
+            for tag, cmap in cols_map.items():
+                for name, m in cmap.items():
+                    cols[name] = m[ix]
             out[ix] = cols
         return out
 
@@ -230,6 +358,28 @@ class SpatialStats:
         d = np.load(path, allow_pickle=False)
         return cls(names=tuple(str(n) for n in d["names"]),
                    sums=d["sums"], n_samples=int(d["n"]))
+
+
+def write_station_budgets(path: str, x_nodes, y_nodes, tables: dict,
+                          itime: int, rtime: float) -> None:
+    """Reference-style station table file (the I column is the x-station
+    index, as in IO_WRITE_AVERAGES' `I J Y` layout): one row per
+    (station, y-node) with the full budget columns."""
+    stations = sorted(tables.keys())
+    if not stations:
+        return
+    names = list(tables[stations[0]].keys())
+    with open(path, "w") as fh:
+        fh.write(f"RTIME = {rtime:14.7E}\n")
+        fh.write("GROUP = StationBudgets " + " ".join(names) + "\n")
+        fh.write("I J Y X " + " ".join(names) + "\n")
+        for ix in stations:
+            cols = tables[ix]
+            for j in range(len(y_nodes)):
+                vals = " ".join(f"{np.asarray(cols[n])[j]: .8E}"
+                                for n in names)
+                fh.write(f"{ix + 1:5d} {j + 1:5d} {y_nodes[j]: .8E} "
+                         f"{x_nodes[ix]: .8E} {vals}\n")
 
 
 def state_fields(state) -> dict:

@@ -420,6 +420,23 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         if case.it_stats > 0 and itime % case.it_stats == 0 and not is_comp:
             write_statistics(sim, state, outdir, itime, rtime,
                              p=p_cur)
+            if spatial_stats is not None and spatial_stats.n_samples:
+                # spatial mode: per-station Rij budget tables from the
+                # running (z,t) sums (reference AVG_FLOW_ZT_REDUCE at the
+                # statistics cadence, dns_statistics.f90:233)
+                from tlab_tpu.stats.spatial import write_station_budgets
+                ini = getattr(case, "ini", None)
+                stations = [int(s) - 1 for s in ini.get_floats(
+                    "Statistics", "Stations", ())] if ini is not None else []
+                if not stations:
+                    nx_ = sim.grid.shape[0]
+                    stations = list(range(nx_ // 8, nx_, max(nx_ // 8, 1)))
+                tabs = spatial_stats.station_budgets(
+                    stations, sim.nsp.visc,
+                    d1x=sim.P.get("d1x"), d1y=sim.P.get("d1y"))
+                write_station_budgets(
+                    os.path.join(outdir, f"avg_zt{itime}"),
+                    sim.grid.x.nodes, sim.grid.y.nodes, tabs, itime, rtime)
         if obs_log and itime % case.it_log == 0 and not is_comp:
             write_obs(sim, state, outdir, itime, rtime)
         if plane_specs and itime % planes_cfg["step"] == 0 and not is_comp:
