@@ -511,3 +511,38 @@ def test_nscbc_scalar_outflow():
     # blob has left: remaining scalar mass is a small fraction
     assert s_end.max() < 0.25 * s0.max(), s_end.max()
     assert s_end.min() > -0.05
+
+
+def test_compressible_statistics_table(tmp_path):
+    """Compressible runs write the full avg table with the Favre/Acoustics/
+    RhoBudget groups live (reference AVG_FLOW_XZ compressible branch)."""
+    import os
+    from tlab_tpu.config import load_case, Ini
+    from tlab_tpu.runtime import Simulation
+    from tlab_tpu.tools import dns as dns_tool
+    from tlab_tpu.tools.initialize import compressible_initial_state
+    from tlab_tpu.stats.averages import read_avg
+
+    # reuse the CLI fixture with a statistics cadence
+    import re
+    src = open(__file__).read()
+    ini_txt = re.search(r'ini = """\n(.*?)"""', src, re.S).group(1)
+    ini_txt = ini_txt.replace("Statistics=0", "Statistics=5")
+    sim = Simulation.from_case(load_case(Ini(text=ini_txt)))
+    U = compressible_initial_state(sim, seed=1)
+    dns_tool.run(sim, U, outdir=str(tmp_path), n_steps=5)
+    path = os.path.join(tmp_path, "avg5")
+    assert os.path.exists(path)
+    _, groups, out = read_avg(path)
+    assert [g for g, _ in groups][-3:] == ["Acoustics", "RhoBudget",
+                                           "Stratification"]
+    assert np.all(out["rR"] > 0)
+    assert np.all(out["rT"] > 0)
+    assert np.all(out["C2"] > 0)            # speed of sound live
+    assert np.all(out["M_t"] >= 0)
+    assert np.isfinite(out["RhoProd"]).all()
+    assert np.isfinite(out["Rho_ac"]).all() and np.any(out["Rho_ac"] != 0)
+    assert np.any(out["rR2"] != 0)          # density fluctuations tracked
+    assert np.isfinite(out["Rxy_t"]).all()
+    # scalar table exists too
+    assert os.path.exists(os.path.join(tmp_path, "avg5s1"))

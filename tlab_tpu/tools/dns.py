@@ -207,6 +207,48 @@ def write_statistics(sim: Simulation, state: State, outdir: str,
                         {"gamma": gamma}, itime, rtime)
 
 
+def write_statistics_compressible(sim: Simulation, U, outdir: str,
+                                  itime: int, rtime: float) -> None:
+    """Compressible avg<itime> table: primitive decomposition feeds the
+    density-weighted (Favre) columns, Acoustics and RhoBudget groups of
+    the reference AVG_FLOW_XZ (compressible branch, avg_flow_xz.f90:
+    768-940)."""
+    import jax.numpy as jnp
+    from tlab_tpu.dycore import compressible as comp_mod
+    from tlab_tpu.stats import averages as avg
+
+    c = sim.comp
+    gamma, mach = c["gamma"], c["mach"]
+    prim = comp_mod.primitive(sim.P, U, gamma, mach) \
+        if c["energy"] == "total" else comp_mod.primitive_internal(
+            sim.P, U, gamma, mach)
+    u, v, w, T, p = prim
+    rho = U.rho
+    e = T / (gamma * (gamma - 1.0) * mach ** 2)
+    h = e + p / rho
+    # ideal-gas entropy s = ln(T)/(gamma-1) - ln(rho) (THERMO_ENTROPY
+    # analog in our nondimensionalization)
+    s_ent = jnp.log(T) / (gamma - 1.0) - jnp.log(rho)
+    ns = U.rhos.shape[0] if U.rhos is not None else 0
+    s_scal = (U.rhos / rho[None]) if ns else jnp.zeros((0,) + rho.shape,
+                                                       rho.dtype)
+    state = State(u=u, v=v, w=w, s=s_scal)
+    extras = {"eqns": "compressible", "rho": rho, "T": T, "e": e, "h": h,
+              "entropy": s_ent,
+              "gamma_field": jnp.full_like(T, gamma),
+              "y": np.asarray(sim.grid.y.nodes)}
+    flow = avg.flow_statistics(sim.P, state, sim.nsp.visc, p=p,
+                               extras=extras)
+    avg.write_avg(os.path.join(outdir, f"avg{itime}"), sim.grid.y.nodes,
+                  flow, avg.FLOW_GROUPS, itime, rtime)
+    sgroups = avg.scal_groups(ns)
+    for i in range(ns):
+        sc = avg.scalar_statistics(sim.P, state, sim.nsp.diffusivity(i), i,
+                                   p=p, visc=sim.nsp.visc, extras=extras)
+        avg.write_avg(os.path.join(outdir, f"avg{itime}s{i + 1}"),
+                      sim.grid.y.nodes, sc, sgroups, itime, rtime)
+
+
 def write_obs(sim: Simulation, state: State, outdir: str, itime: int,
               rtime: float) -> None:
     """Ekman-case observables to dns.obs (reference dns_main.f90:500-566):
@@ -417,6 +459,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 from tlab_tpu.particles.io import write_particles
                 write_particles(os.path.join(outdir, f"part.{itime}"),
                                 pstate, itime)
+        if case.it_stats > 0 and itime % case.it_stats == 0 and is_comp:
+            write_statistics_compressible(sim, state, outdir, itime, rtime)
         if case.it_stats > 0 and itime % case.it_stats == 0 and not is_comp:
             write_statistics(sim, state, outdir, itime, rtime,
                              p=p_cur)
