@@ -544,5 +544,59 @@ def test_compressible_statistics_table(tmp_path):
     assert np.isfinite(out["Rho_ac"]).all() and np.any(out["Rho_ac"] != 0)
     assert np.any(out["rR2"] != 0)          # density fluctuations tracked
     assert np.isfinite(out["Rxy_t"]).all()
-    # scalar table exists too
-    assert os.path.exists(os.path.join(tmp_path, "avg5s1"))
+    # scalar table: density-weighted (Favre) branch live
+    # (avg_scal_xz.f90:313-400 compressible path)
+    _, sgroups, sout = read_avg(os.path.join(tmp_path, "avg5s1"))
+    for k in ("fS", "rS", "fS2", "rS2", "Rss_t", "Rsv_t", "Esv", "Gsv"):
+        assert np.isfinite(sout[k]).all(), k
+
+
+def test_scalar_statistics_favre_weighting():
+    """Manufactured rho/s fields: the density-weighted scalar columns
+    follow the reference Favre definitions exactly
+    (avg_scal_xz.f90:320-423)."""
+    from tlab_tpu.stats import averages as avg
+    from tlab_tpu.dycore.state import State
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.physics.params import NSParams
+    import jax.numpy as jnp
+
+    g = uniform_grid(16, 12, 8, 1.0, 1.0, 1.0)
+    nsp = NSParams(reynolds=100.0, schmidt=(1.0,))
+    bcs = dyn.WallBCs.from_velocity_kind(
+        "freeslip", "freeslip", scalar_bcs=(("neumann", "neumann"),))
+    P = dyn.build_device_plans(build_fdm_plan(g), nsp, bcs,
+                               dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    shp = (16, 12, 8)
+    rho = jnp.asarray(1.0 + 0.3 * rng.standard_normal(shp))
+    s = jnp.asarray(rng.standard_normal(shp))
+    u = jnp.asarray(rng.standard_normal(shp))
+    v = jnp.asarray(rng.standard_normal(shp))
+    w = jnp.asarray(rng.standard_normal(shp))
+    st = State(u=u, v=v, w=w, s=s[None])
+    out = avg.scalar_statistics(P, st, 0.01, 0, p=jnp.zeros(shp),
+                                visc=0.01, rho=rho)
+    rR = np.asarray(rho.mean(axis=(0, 2)))
+    fS = np.asarray((rho * s).mean(axis=(0, 2))) / rR
+    rS = np.asarray(s.mean(axis=(0, 2)))
+    assert np.allclose(np.asarray(out["fS"]), fS, rtol=1e-12)
+    assert np.allclose(np.asarray(out["rS"]), rS, rtol=1e-12)
+    assert np.max(np.abs(fS - rS)) > 1e-3        # weighting matters
+    fS2 = np.asarray((rho * (s - fS[None, :, None]) ** 2
+                      ).mean(axis=(0, 2))) / rR
+    assert np.allclose(np.asarray(out["fS2"]), fS2, rtol=1e-12)
+    rS2 = np.asarray(((s - rS[None, :, None]) ** 2).mean(axis=(0, 2)))
+    assert np.allclose(np.asarray(out["rS2"]), rS2, rtol=1e-12)
+    fV = np.asarray((rho * v).mean(axis=(0, 2))) / rR
+    Rsv = np.asarray((rho * (s - fS[None, :, None])
+                      * (np.asarray(v) - fV[None, :, None])
+                      ).mean(axis=(0, 2))) / rR
+    assert np.allclose(np.asarray(out["Rsv"]), Rsv, rtol=1e-12)
+    # variable-viscosity multiplier reaches the molecular terms
+    vis = jnp.asarray(1.0 + 0.5 * rng.uniform(size=shp))
+    out_v = avg.scalar_statistics(P, st, 0.01, 0, p=jnp.zeros(shp),
+                                  visc=0.01, rho=rho, vis=vis)
+    assert np.max(np.abs(np.asarray(out_v["Ess"] - out["Ess"]))) > 0

@@ -169,6 +169,46 @@ def test_case43_mirrored_fixed_scale_channel():
     assert dy[0] < 0.1 * dy[len(dy) // 2]     # wall-refined
 
 
+def test_case51_lagrangian_end_to_end(tmp_path):
+    """Case51 = Case01's shear layer + 800k Tracer particles
+    (examples/Case51/tlab.ini). Full pipeline from the UNMODIFIED INI:
+    ini -> inipart (YMeanRelativeIniP/DiamIniP slab placement,
+    particle_main.f90:198-254) -> dns with the Lagrangian substep.
+    dns.out flow columns obey the same tolerances as Case01; particle
+    restart positions stay inside the y slab's reachable envelope."""
+    out = str(tmp_path)
+    ini = f"{REF}/Case51/tlab.ini"
+    for cmd in (["ini"], ["inipart"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, (cmd, r.stderr[-2000:])
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case51/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    assert np.all(np.abs(ours[:, 3] / ref[:, 3] - 1.0) < 0.15)   # dt
+    assert np.allclose(ours[:, 4], ref[:, 4])                    # CFL
+    assert np.allclose(ours[:, 6], ref[:, 6])                    # visc
+    dil = np.maximum(np.abs(ours[:, 7]), np.abs(ours[:, 8]))
+    dil_ref = np.maximum(np.abs(ref[:, 7]), np.abs(ref[:, 8]))
+    assert np.all(dil <= 2.0 * np.maximum(dil_ref, 1e-3))
+    # particle restart: full population advected, y stays within the
+    # initial slab ± the distance advectable at |v|<~0.2 over t=0.067
+    from tlab_tpu.particles.io import read_particles
+    ps0, _ = read_particles(os.path.join(out, "part.0"))
+    ps, _ = read_particles(os.path.join(out, "part.10"))
+    assert ps.x.shape[0] == 800000
+    y0 = np.asarray(ps0.x[:, 1])
+    assert abs(y0.mean() - 0.5) < 5e-3 and y0.min() > 0.24 and y0.max() < 0.76
+    y = np.asarray(ps.x[:, 1])
+    assert np.isfinite(np.asarray(ps.x)).all()
+    assert y.min() > 0.2 and y.max() < 0.8
+    # x stays inside the periodic box
+    x = np.asarray(ps.x[:, 0])
+    assert x.min() >= 0.0 and x.max() <= 2.0
+
+
 def test_case10_deterministic_end_to_end(tmp_path):
     """Case10 (RB-type layer, stretched tanh grid, DeltaDiscrete scalar
     IC, zero initial velocity) is fully DETERMINISTIC -- no RNG anywhere.

@@ -200,22 +200,69 @@ def wrap_positions(grid, x):
 
 
 def init_particles(grid, n_part: int, seed: int = 7,
-                   y_profile=None, dtype=jnp.float64) -> ParticleState:
-    """Uniform placement, optionally weighted by a y-profile
-    (reference inipart, particle_main.f90)."""
+                   y_profile=None, ymean=None, diam=None,
+                   mode: str = "default", scal=None, scal_mean=0.0,
+                   scal_delta=1.0, dtype=jnp.float64) -> ParticleState:
+    """Particle position ICs (reference inipart, particle_main.f90:198-254):
+    default = uniform in x/z, uniform y slab [ymean - diam/2, ymean + diam/2];
+    mode='hardcoded' pins all particles to the first node column;
+    mode='scalar' rejection-samples the y slab weighted by
+    |(s - mean)/delta + 0.5| of the reference scalar field;
+    y_profile (our extension) draws y from an arbitrary density."""
     rng = np.random.default_rng(seed)
     lx = grid.x.scale if grid.x.size > 1 else 1.0
     lz = grid.z.scale if grid.z.size > 1 else 1.0
-    x = rng.uniform(0, lx, n_part) + grid.x.nodes[0]
-    z = rng.uniform(0, lz, n_part) + (grid.z.nodes[0] if grid.z.size > 1 else 0.0)
-    if y_profile is None:
-        y = rng.uniform(grid.y.nodes[0], grid.y.nodes[-1], n_part)
+    x0 = grid.x.nodes[0]
+    z0 = grid.z.nodes[0] if grid.z.size > 1 else 0.0
+    if grid.z.size == 1:
+        lz = 0.0                                  # 2-D (particle_main.f90:193)
+    ya, yb = grid.y.nodes[0], grid.y.nodes[-1]
+    if ymean is None:
+        ymean = 0.5 * (ya + yb)
+    if diam is None:
+        diam = yb - ya
+    if mode == "hardcoded":                       # PART_INITYPE_HARDCODED
+        x = np.full(n_part, x0)
+        z = np.full(n_part, z0)
+        y = np.full(n_part, ymean)
+    elif mode == "scalar" and scal is not None:   # PART_INITYPE_SCALAR
+        s = np.asarray(scal)
+        nx, ny, nz = s.shape
+        ylo, yhi = ymean - 0.5 * diam, ymean + 0.5 * diam
+        jlo = int(np.searchsorted(grid.y.nodes, ylo))
+        jhi = max(jlo + 1, int(np.searchsorted(grid.y.nodes, yhi)))
+        jhi = min(jhi, ny - 1)
+        dy_loc = grid.y.nodes[jhi] - grid.y.nodes[jlo]
+        xs, ys, zs = [], [], []
+        need = n_part
+        while need > 0:
+            m = max(2 * need, 1024)
+            r = rng.uniform(size=(m, 4))
+            i = np.minimum((r[:, 0] * nx).astype(int), nx - 1)
+            k = np.minimum((r[:, 2] * nz).astype(int), nz - 1)
+            jf = r[:, 1] * (jhi - jlo + 1)
+            j = jlo + np.minimum(jf.astype(int), jhi - jlo)
+            w = np.abs((s[i, j, k] - scal_mean) / scal_delta + 0.5)
+            keep = r[:, 3] <= w
+            xs.append(x0 + r[keep, 0] * lx)
+            zs.append(z0 + r[keep, 2] * lz)
+            ys.append(grid.y.nodes[j[keep]] + (jf[keep] - jf[keep].astype(int)) * dy_loc)
+            need = n_part - sum(a.size for a in xs)
+        x = np.concatenate(xs)[:n_part]
+        y = np.concatenate(ys)[:n_part]
+        z = np.concatenate(zs)[:n_part]
     else:
-        # rejection-free inverse-cdf sampling on the grid
-        pdf = np.maximum(y_profile(grid.y.nodes), 0.0)
-        cdf = np.cumsum(pdf)
-        cdf /= cdf[-1]
-        y = np.interp(rng.uniform(0, 1, n_part), cdf, grid.y.nodes)
+        x = x0 + rng.uniform(0, 1, n_part) * lx
+        z = z0 + rng.uniform(0, 1, n_part) * lz
+        if y_profile is not None:
+            # rejection-free inverse-cdf sampling on the grid
+            pdf = np.maximum(y_profile(grid.y.nodes), 0.0)
+            cdf = np.cumsum(pdf)
+            cdf /= cdf[-1]
+            y = np.interp(rng.uniform(0, 1, n_part), cdf, grid.y.nodes)
+        else:
+            y = ymean + (rng.uniform(0, 1, n_part) - 0.5) * diam
+    y = np.clip(y, ya, yb)
     pos = jnp.asarray(np.stack([x, y, z], axis=1), dtype)
     return ParticleState(x=pos, v=jnp.zeros_like(pos),
                          props=jnp.zeros((n_part, 0), dtype),

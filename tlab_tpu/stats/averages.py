@@ -605,9 +605,16 @@ def _stratification(P, ex, state, T3, ql3):
 # AVG_SCAL_XZ
 # ---------------------------------------------------------------------------
 
-def scalar_statistics(P, state, diff, i, p=None, visc=None, extras=None):
+def scalar_statistics(P, state, diff, i, p=None, visc=None, extras=None,
+                      rho=None, vis=None):
     """Full reference scalar table (avg_scal_xz.f90): dict in reference
-    column order + legacy aliases (Chi, Tss, Dss at the end)."""
+    column order + legacy aliases (Chi, Tss, Dss at the end).
+
+    rho: compressible density field -> Favre (density-weighted) means,
+    second moments, transports and sources (avg_scal_xz.f90:313-400,
+    :421-423, :580-597, :760-763). vis: normalized viscosity field
+    multiplying the visc/diff molecular terms (EQNS_TRANS_SUTHERLAND/
+    POWERLAW branches, avg_scal_xz.f90:610+)."""
     ex = extras or {}
     s = state.s[i]
     u, v, w = state.u, state.v, state.w
@@ -617,28 +624,45 @@ def scalar_statistics(P, state, diff, i, p=None, visc=None, extras=None):
     ny = s.shape[1]
     zero = jnp.zeros((ny,), s.dtype)
     c23 = 2.0 / 3.0
+    comp = rho is not None
 
     def dy(prof):
         return (d1y @ prof) if d1y is not None else jnp.zeros_like(prof)
 
+    def vw(f3):
+        # molecular-term viscosity multiplier (vis field) where active
+        return f3 * vis if vis is not None else f3
+
     out = {}
     rU, rV, rW = _pavg(u), _pavg(v), _pavg(w)
-    fU, fV, fW = rU, rV, rW          # incompressible/anelastic
+    if comp:
+        rR = _pavg(rho)
+        fU = _pavg(rho * u) / rR
+        fV = _pavg(rho * v) / rR
+        fW = _pavg(rho * w) / rR
+    else:
+        rR = jnp.ones((ny,), s.dtype)
+        fU, fV, fW = rU, rV, rW
     rU_y, rV_y, rW_y = dy(rU), dy(rV), dy(rW)
-    fU_y, fV_y, fW_y = rU_y, rV_y, rW_y
-    rR = jnp.ones((ny,), s.dtype)
+    fU_y, fV_y, fW_y = dy(fU), dy(fV), dy(fW)
 
     uf = u - fU[None, :, None]
     vf = v - fV[None, :, None]
     wf = w - fW[None, :, None]
-    Rvu = _pavg(vf * uf)
-    Rvv = _pavg(vf * vf)
-    Rvw = _pavg(vf * wf)
+    if comp:
+        Rvu = _pavg(rho * v * u) / rR - fV * fU
+        Rvv = _pavg(rho * v * v) / rR - fV * fV
+        Rvw = _pavg(rho * v * w) / rR - fV * fW
+    else:
+        Rvu = _pavg(vf * uf)
+        Rvv = _pavg(vf * vf)
+        Rvw = _pavg(vf * wf)
 
     rS = _pavg(s)
-    fS = rS
+    fS = _pavg(rho * s) / rR if comp else rS
     rS_y, fS_y = dy(rS), dy(fS)
     sf = s - fS[None, :, None]
+    srf = s - rS[None, :, None]
     out["rS"], out["fS"] = rS, fS
     out["rS_y"], out["fS_y"] = rS_y, fS_y
 
@@ -646,24 +670,33 @@ def scalar_statistics(P, state, diff, i, p=None, visc=None, extras=None):
     q3 = ex.get("scalar_sources")
     q3 = q3[i] if (q3 is not None and q3.ndim == 4) else q3
     rQ = _pavg(q3) if q3 is not None else zero
-    out["rQ"], out["fQ"] = rQ, rQ
+    fQ = (_pavg(rho * q3) / rR) if (q3 is not None and comp) else rQ
+    out["rQ"], out["fQ"] = rQ, fQ
 
-    out["Rsu"] = _pavg(sf * uf)
-    out["Rsv"] = _pavg(sf * vf)
-    out["Rsw"] = _pavg(sf * wf)
-    rS2 = _pavg(sf * sf)
-    rS3 = _pavg(sf ** 3)
-    rS4 = _pavg(sf ** 4)
-    out["fS2"], out["fS3"], out["fS4"] = rS2, rS3, rS4
+    # density-weighted fluctuation field for cross terms
+    sfw = sf * rho if comp else sf
+    out["Rsu"] = _pavg(sfw * uf) / rR
+    out["Rsv"] = _pavg(sfw * vf) / rR
+    out["Rsw"] = _pavg(sfw * wf) / rR
+    rS2 = _pavg(srf * srf)
+    rS3 = _pavg(srf ** 3)
+    rS4 = _pavg(srf ** 4)
+    if comp:
+        out["fS2"] = _pavg(rho * sf * sf) / rR
+        out["fS3"] = _pavg(rho * sf ** 3) / rR
+        out["fS4"] = _pavg(rho * sf ** 4) / rR
+    else:
+        out["fS2"], out["fS3"], out["fS4"] = rS2, rS3, rS4
     out["rS2"], out["rS3"], out["rS4"] = rS2, rS3, rS4
-    Rss_y = dy(rS2)
+    Rss_y = dy(out["fS2"])
     Rsu_y, Rsv_y, Rsw_y = dy(out["Rsu"]), dy(out["Rsv"]), dy(out["Rsw"])
 
-    # turbulent transport (velocity part)
-    Tssy1 = _pavg(sf * sf * vf)
-    Tsuy1 = _pavg(sf * uf * vf)
-    Tsvy1 = _pavg(sf * vf * vf)
-    Tswy1 = _pavg(sf * wf * vf)
+    # turbulent transport (velocity part; rho-weighted for compressible,
+    # avg_scal_xz.f90:430-443)
+    Tssy1 = _pavg(sfw * sf * vf)
+    Tsuy1 = _pavg(sfw * uf * vf)
+    Tsvy1 = _pavg(sfw * vf * vf)
+    Tswy1 = _pavg(sfw * wf * vf)
 
     # pressure terms
     if p is None:
@@ -691,31 +724,33 @@ def scalar_statistics(P, state, diff, i, p=None, visc=None, extras=None):
     gwx = dyn._d1(P, "x", 0, w)
     guz = dyn._d1(P, "z", 2, u)
 
-    # dissipation accumulations (avg_scal_xz.f90:609-706)
-    Ess = 2.0 * diff * _pavg(dsdx * dsdx + dsdy * dsdy + dsdz * dsdz)
-    Esu = _pavg(dsdx * ((gux * 2.0 - gvy - gwz) * c23 * visc + gux * diff)
-                + dsdy * ((guy + gvx) * visc + guy * diff)
-                + dsdz * ((guz + gwx) * visc + guz * diff))
-    Esv = _pavg(dsdy * ((gvy * 2.0 - gux - gwz) * c23 * visc + gvy * diff)
-                + dsdx * ((guy + gvx) * visc + gvx * diff)
-                + dsdz * ((gwy + gvz) * visc + gvz * diff))
-    Esw = _pavg(dsdz * ((gwz * 2.0 - gux - gvy) * c23 * visc + gwz * diff)
-                + dsdy * ((gwy + gvz) * visc + gwy * diff)
-                + dsdx * ((gwx + guz) * visc + gwx * diff))
+    # dissipation accumulations (avg_scal_xz.f90:609-706; vis multiplies
+    # every molecular term under Sutherland/powerlaw transport)
+    Ess = 2.0 * diff * _pavg(vw(dsdx * dsdx + dsdy * dsdy + dsdz * dsdz))
+    Esu = _pavg(vw(dsdx * ((gux * 2.0 - gvy - gwz) * c23 * visc + gux * diff)
+                   + dsdy * ((guy + gvx) * visc + guy * diff)
+                   + dsdz * ((guz + gwx) * visc + guz * diff)))
+    Esv = _pavg(vw(dsdy * ((gvy * 2.0 - gux - gwz) * c23 * visc + gvy * diff)
+                   + dsdx * ((guy + gvx) * visc + gvx * diff)
+                   + dsdz * ((gwy + gvz) * visc + gvz * diff)))
+    Esw = _pavg(vw(dsdz * ((gwz * 2.0 - gux - gvy) * c23 * visc + gwz * diff)
+                   + dsdy * ((gwy + gvz) * visc + gwy * diff)
+                   + dsdx * ((gwx + guz) * visc + gwx * diff)))
 
     # mean viscous stresses / molecular flux + transport contributions
-    tau_yy3 = (gvy * 2.0 - gux - gwz) * c23 * visc
+    tau_yy3 = vw((gvy * 2.0 - gux - gwz) * c23 * visc)
     Tau_yy = _pavg(tau_yy3)
     Tsvy2 = -_pavg((tau_yy3 - Tau_yy[None, :, None]) * sf)
-    tau_yx3 = (guy + gvx) * visc
+    tau_yx3 = vw((guy + gvx) * visc)
     Tau_yx = _pavg(tau_yx3)
     Tsuy2 = -_pavg((tau_yx3 - Tau_yx[None, :, None]) * sf)
-    tau_yz3 = (gwy + gvz) * visc
+    tau_yz3 = vw((gwy + gvz) * visc)
     Tau_yz = _pavg(tau_yz3)
     Tswy2 = -_pavg((tau_yz3 - Tau_yz[None, :, None]) * sf)
 
-    Fy = _pavg(dsdy)
-    dsdy_f = dsdy - Fy[None, :, None]
+    flux3 = vw(dsdy)                 # molecular scalar flux field
+    Fy = _pavg(flux3)
+    dsdy_f = flux3 - Fy[None, :, None]
     Tssy2 = -2.0 * diff * _pavg(dsdy_f * sf)
     Tsuy2 = Tsuy2 - diff * _pavg(dsdy_f * uf)
     Tsvy2 = Tsvy2 - diff * _pavg(dsdy_f * vf)
@@ -723,28 +758,32 @@ def scalar_statistics(P, state, diff, i, p=None, visc=None, extras=None):
     Fy = Fy * diff
     Fy_y = dy(Fy)
 
-    # dissipation mean-flux corrections (all /rR with rR = 1)
-    Ess = Ess - 2.0 * Fy * rS_y
-    Esu = Esu - Tau_yx * rS_y - Fy * rU_y
-    Esv = Esv - Tau_yy * rS_y - Fy * rV_y
-    Esw = Esw - Tau_yz * rS_y - Fy * rW_y
+    # dissipation mean-flux corrections, /rR (avg_scal_xz.f90:760-763)
+    Ess = (Ess - 2.0 * Fy * rS_y) / rR
+    Esu = (Esu - Tau_yx * rS_y - Fy * rU_y) / rR
+    Esv = (Esv - Tau_yy * rS_y - Fy * rV_y) / rR
+    Esw = (Esw - Tau_yz * rS_y - Fy * rW_y) / rR
 
-    # buoyancy cross term
+    # buoyancy cross term (compressible: rho*g_y, avg_scal_xz.f90:768-783)
     b3 = ex.get("b")
     froude = ex.get("froude", 1.0)
-    if b3 is not None:
+    if comp:
+        gvec_y = ex.get("grav_y", 0.0)
+        Bsv = _pavg(sf * rho) * gvec_y / rR
+    elif b3 is not None:
         Bsv = _pavg(sf * b3) / froude
     else:
         Bsv = zero
     Bsu = zero
     Bsw = zero
 
-    # source-correlation terms
+    # source-correlation terms (rho-weighted total source, then /rR)
     if q3 is not None:
-        Qss = 2.0 * _pavg(sf * q3)
-        Qsu = _pavg(uf * q3)
-        Qsv = _pavg(vf * q3)
-        Qsw = _pavg(wf * q3)
+        q3w = q3 * rho if comp else q3
+        Qss = 2.0 * _pavg(sf * q3w) / rR
+        Qsu = _pavg(uf * q3w) / rR
+        Qsv = _pavg(vf * q3w) / rR
+        Qsw = _pavg(wf * q3w) / rR
     else:
         Qss = Qsu = Qsv = Qsw = zero
 

@@ -171,9 +171,35 @@ def main(argv=None):
     if args.command == "inipart":
         from tlab_tpu.particles.core import init_particles
         from tlab_tpu.particles.io import write_particles
-        n_part = case.ini.get_int("Particles", "Number", args.nparticles) \
-            if getattr(case, "ini", None) else args.nparticles
-        ps = init_particles(sim.grid, n_part, seed=args.seed)
+        ini = getattr(case, "ini", None)
+        n_part = ini.get_int("Particles", "Number", args.nparticles) \
+            if ini is not None else args.nparticles
+        kw = {}
+        if ini is not None:
+            # [Particles] IniP block (particle_main.f90:65-84,198-254):
+            # ymean from YMeanIniP or relative YMeanRelativeIniP*scale,
+            # slab width DiamIniP; ProfileIniP=scalar/hardcoded special.
+            g = sim.grid
+            rel = ini.get("Particles", "YMeanRelativeIniP", "")
+            absm = ini.get("Particles", "YMeanIniP", "")
+            if absm:
+                kw["ymean"] = float(absm)
+            elif rel:
+                kw["ymean"] = float(g.y.nodes[0]) + float(g.y.scale) * float(rel)
+            diam = ini.get("Particles", "DiamIniP", "")
+            if diam:
+                kw["diam"] = float(diam)
+            prof = ini.get("Particles", "ProfileIniP", "none").lower()
+            if prof == "hardcoded":
+                kw["mode"] = "hardcoded"
+            elif prof == "scalar":
+                from tlab_tpu.io import fields_io
+                s1, _, _ = fields_io.read_field(
+                    os.path.join(args.outdir, f"scal.{case.it_start}.1"))
+                kw.update(mode="scalar", scal=s1,
+                          scal_mean=ini.get_float("Scalar", "MeanScalar1", 0.0),
+                          scal_delta=ini.get_float("Scalar", "DeltaScalar1", 1.0))
+        ps = init_particles(sim.grid, n_part, seed=args.seed, **kw)
         write_particles(os.path.join(args.outdir, f"part.{case.it_start}"),
                         ps, case.it_start)
         print(f"{n_part} particles written")

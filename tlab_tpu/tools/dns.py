@@ -242,9 +242,16 @@ def write_statistics_compressible(sim: Simulation, U, outdir: str,
     avg.write_avg(os.path.join(outdir, f"avg{itime}"), sim.grid.y.nodes,
                   flow, avg.FLOW_GROUPS, itime, rtime)
     sgroups = avg.scal_groups(ns)
+    gas = c.get("gas")
+    vis = None
+    if gas is not None and getattr(gas, "transport", "none") in (
+            "powerlaw", "sutherland"):
+        from tlab_tpu.physics import eos
+        vis = eos.viscosity(gas, T)
     for i in range(ns):
         sc = avg.scalar_statistics(sim.P, state, sim.nsp.diffusivity(i), i,
-                                   p=p, visc=sim.nsp.visc, extras=extras)
+                                   p=p, visc=sim.nsp.visc, extras=extras,
+                                   rho=rho, vis=vis)
         avg.write_avg(os.path.join(outdir, f"avg{itime}s{i + 1}"),
                       sim.grid.y.nodes, sc, sgroups, itime, rtime)
 
