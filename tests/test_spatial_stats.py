@@ -173,3 +173,139 @@ def test_station_budgets_match_direct():
     for t in ("xx", "yy", "zz", "xy", "xz", "yz"):
         for c in ("R", "C", "P", "PI", "E", "D"):
             assert np.isfinite(tab[f"{c}{t}"]).all(), (c, t)
+
+
+def test_favre_station_table_matches_direct():
+    """Density-weighted (z,t) family: the Favre station table columns
+    match direct computation from the accumulated snapshots
+    (compressible avg_flow_zt_reduce analog, avgij_map.h MA_R*/MA_RU*/
+    MA_RUU* accumulators)."""
+    from tlab_tpu.stats.spatial import SpatialStats
+
+    nx, ny, nz = 8, 10, 12
+    rng = np.random.default_rng(5)
+    ss = SpatialStats.create(nx, ny, ("u", "v", "w"))
+    snaps = []
+    for _ in range(3):
+        f = {k: rng.standard_normal((nx, ny, nz))
+             for k in ("u", "v", "w")}
+        rho = 1.0 + 0.4 * rng.uniform(size=(nx, ny, nz))
+        T = 1.0 + 0.2 * rng.standard_normal((nx, ny, nz))
+        p = rng.standard_normal((nx, ny, nz))
+        snaps.append((f, rho, T, p))
+        ss.accumulate(f, p=p, comp_fields={"rho": rho, "T": T})
+    tab = ss.favre_station_table([2])[2]
+
+    # direct (z,t) averages over the 3 snapshots at station ix=2
+    def zt(a3_list):
+        return np.mean([a[2].mean(axis=-1) for a in a3_list], axis=0)
+
+    rR = zt([r for _, r, _, _ in snaps])
+    fU = zt([r * f["u"] for f, r, _, _ in snaps]) / rR
+    fV = zt([r * f["v"] for f, r, _, _ in snaps]) / rR
+    fT = zt([r * T for _, r, T, _ in snaps]) / rR
+    assert np.allclose(tab["rR"], rR, rtol=1e-12)
+    assert np.allclose(tab["fU"], fU, rtol=1e-12)
+    assert np.allclose(tab["fT"], fT, rtol=1e-12)
+    Ruv = zt([r * f["u"] * f["v"] for f, r, _, _ in snaps]) / rR - fU * fV
+    assert np.allclose(tab["fRuv"], Ruv, rtol=1e-12)
+    RvT = zt([r * f["v"] * T for f, r, T, _ in snaps]) / rR - fV * fT
+    assert np.allclose(tab["fRvT"], RvT, rtol=1e-12)
+    # Favre triple transport: <rho u''u''v''> expansion identity
+    ruuv = zt([r * f["u"] ** 2 * f["v"] for f, r, _, _ in snaps])
+    ruu = zt([r * f["u"] ** 2 for f, r, _, _ in snaps])
+    ruv = zt([r * f["u"] * f["v"] for f, r, _, _ in snaps])
+    Tuu = ruuv - 2.0 * fU * ruv - fV * ruu + 2.0 * rR * fU * fU * fV
+    assert np.allclose(tab["fTuuy"], Tuu, rtol=1e-11)
+    # restart roundtrip preserves the weighted sums
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        pth = os.path.join(d, "st.npz")
+        ss.save(pth, 3)
+        ss2 = SpatialStats.load(pth)
+        assert np.array_equal(ss2.comp_sums, ss.comp_sums)
+        tab2 = ss2.favre_station_table([2])[2]
+        assert np.allclose(tab2["fRuv"], tab["fRuv"], rtol=0, atol=0)
+
+
+def test_compressible_spatial_mode_writes_favre_tables(tmp_path):
+    """Type=spatial + Equations=compressible: the dns loop accumulates the
+    density-weighted (z,t) family from the primitive decomposition and
+    writes Favre station tables at the statistics cadence (reference
+    compressible-jet spatial mode, avg_flow_zt_reduce.f90)."""
+    import os
+    from tlab_tpu.config import load_case, Ini
+    from tlab_tpu.runtime import Simulation
+    from tlab_tpu.tools import dns as dns_tool
+    from tlab_tpu.tools.initialize import compressible_initial_state
+
+    ini = """
+[Main]
+Type=spatial
+Equations=compressible
+TermAdvection=skewsymmetric
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit3
+TimeCFL=0.5
+[Control]
+ScalLimit=no
+[Parameters]
+Reynolds=500
+Schmidt=1.0
+Mach=0.3
+Gamma=1.4
+Prandtl=0.7
+[Iteration]
+Start=0
+End=6
+Restart=6
+IteraLog=3
+Statistics=3
+[Flow]
+ProfileVelocityX=Tanh
+ThickVelocityX=0.1
+DeltaVelocityX=0.5
+[Scalar]
+ProfileScalar1=Tanh
+ThickScalar1=0.1
+DeltaScalar1=1.0
+[BoundaryConditions]
+VelocityJmin=freeslip
+VelocityJmax=freeslip
+Scalar1Jmin=neumann
+Scalar1Jmax=neumann
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=25
+scales_1=4.0
+[IniGridOy]
+periodic=no
+segments=1
+points_1=17
+scales_1=2.0
+opts_1=uniform
+[IniGridOz]
+periodic=yes
+segments=1
+points_1=8
+scales_1=1.0
+"""
+    sim = Simulation.from_case(load_case(Ini(text=ini)))
+    U = compressible_initial_state(sim, seed=1)
+    dns_tool.run(sim, U, outdir=str(tmp_path), n_steps=6)
+    path = os.path.join(tmp_path, "avg_zt6")
+    assert os.path.exists(path)
+    txt = open(path).read()
+    for col in ("rR", "fU", "fRuv", "fRvT", "fTuuy", "rVis"):
+        assert col in txt, col
+    rows = [ln for ln in txt.splitlines() if not ln[0] in "RGI"]
+    data = np.asarray([[float(v) for v in r.split()] for r in rows])
+    assert np.isfinite(data).all()
+    hdr = txt.splitlines()[2].split()
+    rR = data[:, hdr.index("rR")]
+    assert np.all(rR > 0.5) and np.all(rR < 2.0)
+    # restart carries the weighted sums
+    from tlab_tpu.stats.spatial import SpatialStats
+    ss = SpatialStats.load(os.path.join(tmp_path, "st6.npz"))
+    assert ss.comp_sums is not None and ss.n_samples == 6

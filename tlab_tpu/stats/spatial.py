@@ -39,6 +39,11 @@ class SpatialStats:
     # third moments for Rij turbulent transport: the six <ui uj v> and the
     # six <ui uj u> raw products (y- and x-direction fluxes): (12, nx, ny)
     triple_sums: np.ndarray = None
+    # density-weighted (Favre) accumulators for the compressible spatial
+    # mode: the MA_R/RR/R3/R4, MA_T..T4, MA_VIS/VIS2, MA_RU.., MA_RUU..,
+    # MA_RTT, MA_TU.. families of avgij_map.h:5-58,70,231-242 as raw
+    # (z,t)-sums: (len(COMP_NAMES), nx, ny)
+    comp_sums: np.ndarray = None
 
     GRAD_NAMES = ("ux", "uy", "uz", "vx", "vy", "vz", "wx", "wy", "wz")
     # first 6: vorticity/dilatation pairs; last 9: dissipation pairs
@@ -51,6 +56,12 @@ class SpatialStats:
                   ("u", "v"), ("u", "w"), ("v", "w"))
     TRIPLES = tuple((a, b, "v") for a, b in COMP_PAIRS) \
         + tuple((a, b, "u") for a, b in COMP_PAIRS)
+    COMP_NAMES = ("r", "r2", "r3", "r4", "T", "T2", "T3", "T4",
+                  "vis", "vis2",
+                  "ru", "rv", "rw", "rT", "p", "p2",
+                  "ruu", "rvv", "rww", "ruv", "ruw", "rvw",
+                  "rTT", "ruT", "rvT", "rwT",
+                  "ruuv", "rvvv", "rwwv", "ruvv", "ruwv", "rvwv")
 
     @classmethod
     def create(cls, nx: int, ny: int, names=("u", "v", "w", "s1"),
@@ -71,11 +82,14 @@ class SpatialStats:
                    triple_sums=np.zeros((len(cls.TRIPLES), nx, ny)))
 
     def accumulate(self, fields: dict, grads: dict = None,
-                   p=None) -> None:
+                   p=None, comp_fields: dict = None) -> None:
         """fields: name -> (nx, ny, nz); adds z-mean moments 1..4 and the
         cross products. grads (optional): name in GRAD_NAMES -> field;
-        p (optional): pressure field. Extends the running sums with the
-        reference's gradient/pressure correlation families."""
+        p (optional): pressure field. comp_fields (optional):
+        {"rho": field, "T": field, "vis": field} engage the
+        density-weighted MA_* family (COMP_NAMES) for Favre station
+        statistics. Extends the running sums with the reference's
+        gradient/pressure correlation families."""
         za = {}
         for i, name in enumerate(self.names):
             a = np.asarray(fields[name])
@@ -114,6 +128,34 @@ class SpatialStats:
                     break
                 self.triple_sums[j] += (za[na] * za[nb]
                                         * za[nc]).mean(axis=2)
+        if comp_fields is not None:
+            rho = np.asarray(comp_fields["rho"])
+            T = np.asarray(comp_fields.get("T",
+                                           np.ones_like(rho)))
+            vis = comp_fields.get("vis")
+            vis = np.asarray(vis) if vis is not None \
+                else np.ones_like(rho)
+            pa = np.asarray(p) if p is not None else np.zeros_like(rho)
+            if self.comp_sums is None:
+                self.comp_sums = np.zeros((len(self.COMP_NAMES),)
+                                          + self.sums.shape[2:])
+            u, v, w = za["u"], za["v"], za["w"]
+            prods = {
+                "r": rho, "r2": rho * rho, "r3": rho ** 3, "r4": rho ** 4,
+                "T": T, "T2": T * T, "T3": T ** 3, "T4": T ** 4,
+                "vis": vis, "vis2": vis * vis,
+                "ru": rho * u, "rv": rho * v, "rw": rho * w,
+                "rT": rho * T, "p": pa, "p2": pa * pa,
+                "ruu": rho * u * u, "rvv": rho * v * v, "rww": rho * w * w,
+                "ruv": rho * u * v, "ruw": rho * u * w, "rvw": rho * v * w,
+                "rTT": rho * T * T,
+                "ruT": rho * u * T, "rvT": rho * v * T, "rwT": rho * w * T,
+                "ruuv": rho * u * u * v, "rvvv": rho * v ** 3,
+                "rwwv": rho * w * w * v, "ruvv": rho * u * v * v,
+                "ruwv": rho * u * w * v, "rvwv": rho * v * w * v,
+            }
+            for k, nm in enumerate(self.COMP_NAMES):
+                self.comp_sums[k] += prods[nm].mean(axis=2)
         self.n_samples += 1
 
     def mean(self, name: str) -> np.ndarray:
@@ -323,10 +365,77 @@ class SpatialStats:
         m = self.mean(name)
         return self.sums[i, 1] / max(self.n_samples, 1) - m * m
 
+    # -- density-weighted (Favre) station tables ---------------------------
+    def _c(self, nm: str) -> np.ndarray:
+        return self.comp_sums[self.COMP_NAMES.index(nm)] \
+            / max(self.n_samples, 1)
+
+    def favre_station_table(self, stations) -> dict:
+        """Per-station Favre tables from the density-weighted sums, the
+        compressible AVG_FLOW_ZT_REDUCE analog (avg_flow_zt_reduce.f90:
+        mean/fluctuation blocks built on the avgij_map.h MA_R*/MA_RU*/
+        MA_RUU* accumulators): mean density moments, Favre velocities,
+        Favre Reynolds stresses, Favre temperature stats, turbulent heat
+        fluxes, Favre turbulent-transport fluxes of the stresses."""
+        if self.comp_sums is None:
+            return {}
+        rR = self._c("r")
+        rR2 = self._c("r2") - rR * rR
+        rR3 = self._c("r3") - 3 * rR * self._c("r2") + 2 * rR ** 3
+        rR4 = self._c("r4") - 4 * rR * self._c("r3") \
+            + 6 * rR ** 2 * self._c("r2") - 3 * rR ** 4
+        fU = self._c("ru") / rR
+        fV = self._c("rv") / rR
+        fW = self._c("rw") / rR
+        fT = self._c("rT") / rR
+        rT = self._c("T")
+        rT2 = self._c("T2") - rT * rT
+        rP = self._c("p")
+        rP2 = self._c("p2") - rP * rP
+        fmean = {"u": fU, "v": fV, "w": fW}
+        Rf = {}
+        for (a, b), nm in zip(self.COMP_PAIRS,
+                              ("ruu", "rvv", "rww", "ruv", "ruw", "rvw")):
+            Rf[a + b] = self._c(nm) / rR - fmean[a] * fmean[b]
+        fT2 = self._c("rTT") / rR - fT * fT
+        heat = {c: self._c("r" + c + "T") / rR - fmean[c] * fT
+                for c in ("u", "v", "w")}
+        # Favre turbulent transport <rho ui'' uj'' v''> from the raw
+        # quartic sums (expansion around the Favre means)
+        quart = {"uu": "ruuv", "vv": "rvvv", "ww": "rwwv",
+                 "uv": "ruvv", "uw": "ruwv", "vw": "rvwv"}
+        Tf = {}
+        for (a, b), _ in zip(self.COMP_PAIRS, quart):
+            tag = a + b
+            raw = self._c(quart[tag])
+            rab = self._c("r" + tag)
+            rav = self._c({"u": "ruv", "v": "rvv", "w": "rvw"}[a])
+            rbv = self._c({"u": "ruv", "v": "rvv", "w": "rvw"}[b])
+            A, B, Vm = fmean[a], fmean[b], fV
+            Tf[tag] = raw - A * rbv - B * rav - Vm * rab \
+                + 2.0 * rR * A * B * Vm
+        out = {}
+        for ix in stations:
+            cols = {"rR": rR[ix], "rR2": rR2[ix], "rR3": rR3[ix],
+                    "rR4": rR4[ix],
+                    "fU": fU[ix], "fV": fV[ix], "fW": fW[ix],
+                    "rT": rT[ix], "fT": fT[ix], "rT2": rT2[ix],
+                    "fT2": fT2[ix], "rP": rP[ix], "rP2": rP2[ix],
+                    "rVis": self._c("vis")[ix]}
+            for tag, m in Rf.items():
+                cols[f"fR{tag}"] = m[ix]
+            for c, m in heat.items():
+                cols[f"fR{c}T"] = m[ix]
+            for tag, m in Tf.items():
+                cols[f"fT{tag}y"] = m[ix]
+            out[ix] = cols
+        return out
+
     # -- restart (reference st<itime>, avg_spatial.f90:19-29) ---------------
     def save(self, path: str, itime: int) -> None:
         extra = {}
-        for key in ("grad_sums", "gradx_sums", "p_sums", "triple_sums"):
+        for key in ("grad_sums", "gradx_sums", "p_sums", "triple_sums",
+                    "comp_sums"):
             v = getattr(self, key)
             if v is not None:
                 extra[key] = v
@@ -347,7 +456,7 @@ class SpatialStats:
             if "pairs" in d else ()
         opt = {k: d[k] if k in d else None
                for k in ("grad_sums", "gradx_sums", "p_sums",
-                         "triple_sums")}
+                         "triple_sums", "comp_sums")}
         return cls(names=tuple(str(n) for n in d["names"]), sums=d["sums"],
                    pairs=pairs,
                    pair_sums=d["pair_sums"] if "pair_sums" in d else None,

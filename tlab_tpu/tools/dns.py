@@ -277,6 +277,17 @@ def write_obs(sim: Simulation, state: State, outdir: str, itime: int,
                  f"{utau:.8e} {alpha:.6f}\n")
 
 
+def _stations(case, nx: int) -> list:
+    """x-station indices for the spatial-mode tables: [Statistics]
+    Stations list (1-based, reference statavg) or every nx/8 column."""
+    ini = getattr(case, "ini", None)
+    stations = [int(s) - 1 for s in ini.get_floats(
+        "Statistics", "Stations", ())] if ini is not None else []
+    if not stations:
+        stations = list(range(nx // 8, nx, max(nx // 8, 1)))
+    return stations
+
+
 def run(sim: Simulation, state: State, outdir: str = ".",
         itime: int = 0, rtime: float = 0.0,
         n_steps: Optional[int] = None, log_path: Optional[str] = None,
@@ -468,6 +479,17 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                                 pstate, itime)
         if case.it_stats > 0 and itime % case.it_stats == 0 and is_comp:
             write_statistics_compressible(sim, state, outdir, itime, rtime)
+            if spatial_stats is not None and spatial_stats.n_samples:
+                # compressible spatial mode: Favre station tables from the
+                # density-weighted (z,t) sums (avg_flow_zt_reduce.f90)
+                from tlab_tpu.stats.spatial import write_station_budgets
+                tabs = spatial_stats.favre_station_table(
+                    _stations(case, sim.grid.shape[0]))
+                if tabs:
+                    write_station_budgets(
+                        os.path.join(outdir, f"avg_zt{itime}"),
+                        sim.grid.x.nodes, sim.grid.y.nodes, tabs,
+                        itime, rtime)
         if case.it_stats > 0 and itime % case.it_stats == 0 and not is_comp:
             write_statistics(sim, state, outdir, itime, rtime,
                              p=p_cur)
@@ -476,14 +498,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 # running (z,t) sums (reference AVG_FLOW_ZT_REDUCE at the
                 # statistics cadence, dns_statistics.f90:233)
                 from tlab_tpu.stats.spatial import write_station_budgets
-                ini = getattr(case, "ini", None)
-                stations = [int(s) - 1 for s in ini.get_floats(
-                    "Statistics", "Stations", ())] if ini is not None else []
-                if not stations:
-                    nx_ = sim.grid.shape[0]
-                    stations = list(range(nx_ // 8, nx_, max(nx_ // 8, 1)))
                 tabs = spatial_stats.station_budgets(
-                    stations, sim.nsp.visc,
+                    _stations(case, sim.grid.shape[0]), sim.nsp.visc,
                     d1x=sim.P.get("d1x"), d1y=sim.P.get("d1y"))
                 write_station_budgets(
                     os.path.join(outdir, f"avg_zt{itime}"),
@@ -514,9 +530,38 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 phavg.save(os.path.join(outdir, f"phavg{itime}.npz"), itime)
         if spatial_stats is not None:
             from tlab_tpu.stats.spatial import state_fields
-            spatial_stats.accumulate(state_fields(state),
-                                     grads=spatial_grads_fn(state),
-                                     p=p_cur)
+            if is_comp:
+                # density-weighted accumulation from the primitive
+                # decomposition (reference compressible MA_* map)
+                from tlab_tpu.dycore import compressible as comp_mod
+                from tlab_tpu.dycore.state import State as _St
+                import jax.numpy as _jnp
+                c = sim.comp
+                prim = comp_mod.primitive(
+                    sim.P, state, c["gamma"], c["mach"]) \
+                    if c["energy"] == "total" else \
+                    comp_mod.primitive_internal(
+                        sim.P, state, c["gamma"], c["mach"])
+                u_, v_, w_, T_, p_ = prim
+                ns_ = state.rhos.shape[0] if state.rhos is not None else 0
+                flds = {"u": u_, "v": v_, "w": w_}
+                for i_s in range(ns_):
+                    flds[f"s{i_s + 1}"] = state.rhos[i_s] / state.rho
+                vis_ = None
+                gas = c.get("gas")
+                if gas is not None and getattr(gas, "transport",
+                                               "none") != "none":
+                    from tlab_tpu.physics import eos
+                    vis_ = eos.viscosity(gas, T_)
+                gst = _St(u=u_, v=v_, w=w_,
+                          s=_jnp.zeros((0,) + u_.shape, u_.dtype))
+                spatial_stats.accumulate(
+                    flds, grads=spatial_grads_fn(gst), p=p_,
+                    comp_fields={"rho": state.rho, "T": T_, "vis": vis_})
+            else:
+                spatial_stats.accumulate(state_fields(state),
+                                         grads=spatial_grads_fn(state),
+                                         p=p_cur)
             if checkpoint and case.it_restart > 0 \
                     and itime % case.it_restart == 0:
                 spatial_stats.save(os.path.join(outdir, f"st{itime}.npz"),
