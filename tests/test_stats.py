@@ -462,3 +462,28 @@ def test_full_table_reference_format(tmp_path):
                        sgroups, 100, 1.5)
     _, _, sback = averages.read_avg(str(tmp_path / "avg100s1"))
     assert np.allclose(sback["rS"], np.asarray(sc["rS"]), atol=1e-7)
+
+
+def test_netcdf_averages_roundtrip(tmp_path):
+    """[Main] FileFormat=netcdf writes avg<it>.nc with the reference's
+    variable layout (io_averages.f90:64-89: t unlimited + y dims, per-
+    column float vars with a group attribute) and reads back."""
+    import os
+    grid, nsp, P, st = _setup(16, 12, 8)
+    out = averages.flow_statistics(P, st, nsp.visc)
+    p1 = os.path.join(tmp_path, "avg7")
+    averages.write_avg_nc(p1, grid.y.nodes, out, averages.FLOW_GROUPS,
+                          7, 0.25)
+    rtime, groups, back = averages.read_avg_nc(p1 + ".nc")
+    assert abs(rtime - 0.25) < 1e-6
+    gmap = dict(groups)
+    assert "Mean" in gmap and "rU" in gmap["Mean"].split()
+    assert np.allclose(back["rU"], np.asarray(out["rU"]), atol=1e-5)
+    assert np.allclose(back["Y"], grid.y.nodes, atol=1e-6)
+    # writer dispatch: FileFormat=netcdf selects the .nc writer
+    from tlab_tpu.config import load_case, Ini
+    case = load_case(Ini(text=MINI_CASE.replace(
+        "[Main]", "[Main]\nFileFormat=netcdf")))
+    assert averages.avg_writer(case) is averages.write_avg_nc
+    case2 = load_case(Ini(text=MINI_CASE))
+    assert averages.avg_writer(case2) is averages.write_avg

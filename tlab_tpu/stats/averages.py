@@ -891,6 +891,61 @@ def write_avg(path: str, y: np.ndarray, out: dict, groups, itime: int,
             fh.write(f"{1:5d} {j + 1:5d} {vals}\n")
 
 
+def avg_writer(case):
+    """Select the averages writer: NetCDF when [Main] FileFormat=netcdf
+    (the reference's USE_NETCDF build writes avg<it>.nc,
+    io_averages.f90:64), ASCII otherwise."""
+    ini = getattr(case, "ini", None)
+    if ini is not None and ini.get("Main", "FileFormat",
+                                   "mpiio").lower() == "netcdf":
+        return write_avg_nc
+    return write_avg
+
+
+def write_avg_nc(path: str, y: np.ndarray, out: dict, groups, itime: int,
+                 rtime: float) -> None:
+    """NetCDF averages file with the reference's layout
+    (io_averages.f90:64-89 USE_NETCDF branch): dims t (unlimited record)
+    and y; variables t/y (float), it (int), one float profile per column
+    with dims (y,t) and a 'group' attribute. Written as NetCDF3 classic
+    (scipy) -- same variable/dimension layout as the reference's
+    NetCDF4 files, readable by every nc tool."""
+    from scipy.io import netcdf_file
+    with netcdf_file(path if path.endswith(".nc") else path + ".nc",
+                     "w") as f:
+        f.createDimension("t", None)
+        f.createDimension("y", len(y))
+        vt = f.createVariable("t", "f4", ("t",))
+        vy = f.createVariable("y", "f4", ("y",))
+        vit = f.createVariable("it", "i4", ("t",))
+        vy[:] = np.asarray(y, np.float32)
+        vt[0] = np.float32(rtime)
+        vit[0] = np.int32(itime)
+        for gname, vars_ in groups:
+            for n in vars_.split():
+                v = f.createVariable(n, "f4", ("t", "y"))
+                v.group = gname
+                v[0, :] = np.asarray(out[n], np.float32)
+
+
+def read_avg_nc(path: str):
+    """Parse a .nc averages file -> (rtime, groups, dict) like read_avg."""
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r") as f:
+        rtime = float(f.variables["t"][0])
+        out = {"Y": np.array(f.variables["y"][:], float)}
+        gmap = {}
+        for n, v in f.variables.items():
+            if n in ("t", "y", "it"):
+                continue
+            out[n] = np.array(v[0, :], float)
+            g = getattr(v, "group", b"")
+            g = g.decode() if isinstance(g, bytes) else str(g)
+            gmap.setdefault(g, []).append(n)
+    groups = [(g, " ".join(ns)) for g, ns in gmap.items()]
+    return rtime, groups, out
+
+
 def read_avg(path: str):
     """Parse a reference-format avg file -> (rtime, groups, dict)."""
     groups = []

@@ -183,13 +183,14 @@ def write_statistics(sim: Simulation, state: State, outdir: str,
     extras = avg.build_extras(sim, state)
     flow = avg.flow_statistics(sim.P, state, sim.nsp.visc, p=p,
                                extras=extras)
-    avg.write_avg(os.path.join(outdir, f"avg{itime}"), y, flow,
+    _wr = avg.avg_writer(sim.case)
+    _wr(os.path.join(outdir, f"avg{itime}"), y, flow,
                   avg.FLOW_GROUPS, itime, rtime)
     sgroups = avg.scal_groups(state.s.shape[0])
     for i in range(sim.nsp.n_scalars):
         sc = avg.scalar_statistics(sim.P, state, sim.nsp.diffusivity(i), i,
                                    p=p, visc=sim.nsp.visc, extras=extras)
-        avg.write_avg(os.path.join(outdir, f"avg{itime}s{i + 1}"), y, sc,
+        _wr(os.path.join(outdir, f"avg{itime}s{i + 1}"), y, sc,
                       sgroups, itime, rtime)
     ini = getattr(sim.case, "ini", None)
     if ini is not None and ini.get_bool("Statistics", "Pdfs", False):
@@ -239,7 +240,8 @@ def write_statistics_compressible(sim: Simulation, U, outdir: str,
               "y": np.asarray(sim.grid.y.nodes)}
     flow = avg.flow_statistics(sim.P, state, sim.nsp.visc, p=p,
                                extras=extras)
-    avg.write_avg(os.path.join(outdir, f"avg{itime}"), sim.grid.y.nodes,
+    _wr = avg.avg_writer(sim.case)
+    _wr(os.path.join(outdir, f"avg{itime}"), sim.grid.y.nodes,
                   flow, avg.FLOW_GROUPS, itime, rtime)
     sgroups = avg.scal_groups(ns)
     gas = c.get("gas")
@@ -252,7 +254,7 @@ def write_statistics_compressible(sim: Simulation, U, outdir: str,
         sc = avg.scalar_statistics(sim.P, state, sim.nsp.diffusivity(i), i,
                                    p=p, visc=sim.nsp.visc, extras=extras,
                                    rho=rho, vis=vis)
-        avg.write_avg(os.path.join(outdir, f"avg{itime}s{i + 1}"),
+        _wr(os.path.join(outdir, f"avg{itime}s{i + 1}"),
                       sim.grid.y.nodes, sc, sgroups, itime, rtime)
 
 

@@ -39,7 +39,8 @@ def run_averages(sim: Simulation, outdir: str, iterations,
         extras = averages.build_extras(sim, st)
         flow = averages.flow_statistics(sim.P, st, sim.nsp.visc,
                                         extras=extras)
-        averages.write_avg(os.path.join(outdir, f"avg{it}"),
+        _wr = averages.avg_writer(sim.case)
+        _wr(os.path.join(outdir, f"avg{it}"),
                            sim.grid.y.nodes, flow, averages.FLOW_GROUPS,
                            it, rtime)
         sgroups = averages.scal_groups(st.s.shape[0])
@@ -48,7 +49,7 @@ def run_averages(sim: Simulation, outdir: str, iterations,
                                             sim.nsp.diffusivity(i), i,
                                             visc=sim.nsp.visc,
                                             extras=extras)
-            averages.write_avg(os.path.join(outdir, f"avg{it}s{i + 1}"),
+            _wr(os.path.join(outdir, f"avg{it}s{i + 1}"),
                                sim.grid.y.nodes, sc, sgroups, it, rtime)
         if gate_scalar > 0:
             gate = st.s[gate_scalar - 1] > gate_level
