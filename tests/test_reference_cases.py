@@ -209,6 +209,36 @@ def test_case51_lagrangian_end_to_end(tmp_path):
     assert x.min() >= 0.0 and x.max() <= 2.0
 
 
+def test_case25_anelastic_deterministic_end_to_end(tmp_path):
+    """Case25 (anelastic dry convection, ScaleHeight=10.38, PlaneDiscrete
+    scalar IC) is fully deterministic. Run from the unmodified reference
+    tlab.ini: time/dt/CFL/D# match dns.out.ref to every printed digit
+    and the anelastic-constraint dilatation div(rho_bar u) stays at
+    round-off (the reference's is ~1e-7). This pins the whole anelastic
+    chain: Gravity_Hydrostatic_Enthalpy background (cp-normalized ep,
+    yref anchoring, reference rho normalization), explicit buoyancy,
+    weighted projection."""
+    out = str(tmp_path)
+    ini = f"{REF}/Case25/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case25/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    for col in (2, 3, 4, 5, 6):          # time, dt, CFL, D#, visc exact
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
+                           atol=1e-12), col
+    # anelastic constraint residual: round-off scale, never worse than
+    # 3x the reference's own truncation-level dilatation
+    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
+    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
+    assert np.all(dil <= 3.0 * dil_ref + 1e-9)
+
+
 def test_case10_deterministic_end_to_end(tmp_path):
     """Case10 (RB-type layer, stretched tanh grid, DeltaDiscrete scalar
     IC, zero initial velocity) is fully DETERMINISTIC -- no RNG anywhere.

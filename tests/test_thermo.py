@@ -56,8 +56,10 @@ def test_hydrostatic_background():
     qt_prof = np.full(ny, 0.008)
     bg = thermo.hydrostatic_background(TP, y, h_prof, qt_prof)
     assert np.all(np.diff(bg["p"]) < 0)
-    R = thermo.mixture_R(TP, qt_prof, bg["ql"])
-    assert np.allclose(bg["rho"], bg["p"] / (R * bg["T"]), rtol=1e-12)
+    # rho in the reference normalization: p/(R_hat T), R_hat = R/Rd
+    # (Thermo_Anelastic_DENSITY with R_air = 1)
+    R_hat = thermo.mixture_R(TP, qt_prof, bg["ql"]) / TP.Rd
+    assert np.allclose(bg["rho"], bg["p"] / (R_hat * bg["T"]), rtol=1e-12)
 
     s = jnp.stack([jnp.asarray(h_prof)[None, :, None] * jnp.ones((4, ny, 3)),
                    jnp.asarray(qt_prof)[None, :, None] * jnp.ones((4, ny, 3))])

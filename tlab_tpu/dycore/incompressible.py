@@ -605,7 +605,17 @@ def cfl_advective_max(P, state: State):
 
 
 def dilatation_minmax(P, state: State):
-    d = divergence(P, state.u, state.v, state.w)
+    """Dilatation extrema for the dns.out log / bounds control. Anelastic
+    runs monitor the CONSTRAINT residual div(rho_bar u) -- the reference
+    weights the velocity by rbackground before FI_INVARIANT_P
+    (dns_local.f90:158-166) -- so a healthy anelastic run logs round-off,
+    not the physical div(u) = -v dlnrho/dy."""
+    ane = P.get("anelastic")
+    if ane is not None:
+        r = ane["rho"][None, :, None]
+        d = divergence(P, state.u * r, state.v * r, state.w * r)
+    else:
+        d = divergence(P, state.u, state.v, state.w)
     return jnp.min(d), jnp.max(d)
 
 

@@ -276,55 +276,81 @@ def mixture_R(tp: ThermoParams, qt, ql):
 
 def hydrostatic_background(tp: ThermoParams, y: np.ndarray,
                            h_prof: np.ndarray, qt_prof: np.ndarray,
-                           p_bottom: float = 1.0):
-    """Integrate d ln p/dy = -g_nd / (R_mix T) upward from the bottom wall
-    (reference Gravity_Hydrostatic_Enthalpy, gravity.f90:121+).
+                           p_ref: float = 1.0, y_ref: float = None,
+                           d1y: np.ndarray = None, niter: int = 10):
+    """Hydrostatic anelastic background, the reference
+    Gravity_Hydrostatic_Enthalpy (gravity.f90:121-227):
+
+    - ep = (y - yref) * GRATIO * scaleheightinv. GRATIO = R0/Cp0
+      (thermodynamics.f90:554) converts the R-based scale height
+      ([Thermodynamics] ScaleHeight = Rd T0/(g L)) to the cp-normalized
+      enthalpy units of the scalar; in our Cd=1 convention GRATIO = tp.Rd.
+    - fixed-point iteration (niter=10): T from equilibrium at the current
+      p, then integrate d ln p/dy = -scaleheightinv/(R_hat T) with
+      R_hat = R_mix/Rd (reference-normalized gas constant, =1 for dry
+      air) by the compact cumulative integral (FDM_Int1_Solve BCS_MIN;
+      d1y: dense D1 matrix; trapezoid fallback), then normalize so
+      p(yref) = pref by linear interpolation (gravity.f90:187-195).
+    - rho = p/(R_hat T), the reference Thermo_Anelastic_DENSITY
+      normalization (rho0 = p0/(Rd T0)).
 
     Returns dict of (ny,) profiles: p, T, rho, ql, ep.
     """
     g_nd = tp.scale_height_inv
     ny = y.shape[0]
-    ep = g_nd * (y - y[0])         # potential-energy profile in h units
-    p = np.zeros(ny)
+    if y_ref is None:
+        y_ref = float(y[0])
+    ep = tp.Rd * g_nd * (y - y_ref)
+
+    if d1y is not None:
+        D = np.array(d1y, dtype=np.float64)
+        D[0, :] = 0.0
+        D[0, 0] = 1.0
+
+        def cumint(f):
+            rhs = np.array(f, dtype=np.float64)
+            rhs[0] = 0.0
+            return np.linalg.solve(D, rhs)
+    else:
+        dy_ = np.diff(y)
+
+        def cumint(f):
+            out = np.zeros_like(f)
+            out[1:] = np.cumsum(0.5 * (f[1:] + f[:-1]) * dy_)
+            return out
+
+    h64 = np.asarray(h_prof, np.float64)
+    qt64 = np.asarray(qt_prof, np.float64)
+    p = np.full(ny, p_ref, dtype=np.float64)
     T = np.zeros(ny)
     ql = np.zeros(ny)
-    p[0] = p_bottom
-
-    def TRj(j, pj):
-        Tj, qlj = equilibrium_T_ql(
-            tp, jnp.asarray(h_prof[j]), jnp.asarray(qt_prof[j]),
-            jnp.asarray(pj), jnp.asarray(ep[j]))
-        Rj = mixture_R(tp, qt_prof[j], float(qlj))
-        return float(Tj), float(qlj), float(Rj)
-
-    T[0], ql[0], R0 = TRj(0, p[0])
-    for j in range(ny - 1):
-        dy = y[j + 1] - y[j]
-        # RK2 (midpoint) integration of d ln p / dy
-        Tj, qlj, Rj = TRj(j, p[j])
-        k1 = -g_nd / (Rj * Tj)
-        p_mid = p[j] * np.exp(k1 * 0.5 * dy)
-        Tm, qlm, Rm = TRj(j, p_mid)      # profiles vary per node; midpoint in p
-        k2 = -g_nd / (Rm * Tm)
-        p[j + 1] = p[j] * np.exp(k2 * dy)
-        T[j + 1], ql[j + 1], _ = TRj(j + 1, p[j + 1])
-    R = mixture_R(tp, qt_prof, ql)
-    rho = p / (R * T)
+    for _ in range(max(niter, 1)):
+        Tj, qlj = equilibrium_T_ql(tp, jnp.asarray(h64), jnp.asarray(qt64),
+                                   jnp.asarray(p), jnp.asarray(ep))
+        T = np.asarray(Tj, np.float64)
+        ql = np.asarray(qlj, np.float64)
+        R_hat = mixture_R(tp, qt64, ql) / tp.Rd
+        lnp = cumint(-g_nd / (R_hat * T))
+        p = np.exp(lnp)
+        p *= p_ref / np.interp(y_ref, y, p)
+    R_hat = mixture_R(tp, qt64, ql) / tp.Rd
+    rho = p / (R_hat * T)
     return {"p": p, "T": T, "rho": rho, "ql": ql, "ep": ep,
             "rho_inv": 1.0 / rho}
 
 
 def buoyancy_explicit(tp: ThermoParams, s, bg: dict):
-    """b = (rho_bar - p_bar/(R_mix T))/rho_bar from state scalars
-    (reference Thermo_Anelastic_BUOYANCY, thermo_anelastic.f90:312-374)."""
+    """b = (rho_bar - p_bar/(R_hat T))/rho_bar from state scalars, with
+    R_hat = R_mix/Rd the reference-normalized gas constant (reference
+    Thermo_Anelastic_BUOYANCY, thermo_anelastic.f90:312-374)."""
     h = s[0]
     qt = s[1] if s.shape[0] > 1 else jnp.zeros_like(h)
     ep = jnp.asarray(bg["ep"])[None, :, None]
     p = jnp.asarray(bg["p"])[None, :, None]
     rho = jnp.asarray(bg["rho"])[None, :, None]
     T, ql = equilibrium_T_ql(tp, h, qt, p, ep)
-    R = mixture_R(tp, qt, ql)
-    return (rho - p / (R * T)) / rho
+    R_hat = mixture_R(tp, qt, ql) / tp.Rd
+    return (rho - p / (R_hat * T)) / rho
 
 
 def diagnostic_fields(tp: ThermoParams, s, bg: dict):

@@ -41,7 +41,28 @@ def make_anelastic(case: CaseSetup, grid: Grid, dtype):
     h_prof = case.scal_profiles[0](y) if case.scal_profiles else np.ones_like(y)
     qt_prof = case.scal_profiles[1](y) if len(case.scal_profiles) > 1 \
         else np.zeros_like(y)
-    bg = thermo.hydrostatic_background(tp, y, h_prof, qt_prof)
+    # pressure anchor [Flow] Pressure / YMean(Relative)Pressure (reference
+    # pbg read in TLab_Initialize_Background, tlab_background.f90:86-92)
+    ini = getattr(case, "ini", None)
+    p_ref, y_ref = 1.0, None
+    if ini is not None:
+        p_ref = ini.get_float("Flow", "Pressure", 1.0)
+        ymean_abs = ini.get("Flow", "YMeanPressure", "")
+        rel = ini.get("Flow", "YMeanRelativePressure", "")
+        if ymean_abs:
+            y_ref = float(ymean_abs)
+        elif rel:
+            y_ref = float(y[0]) + (float(y[-1]) - float(y[0])) * float(rel)
+    # compact cumulative integral for the hydrostatic solve (the
+    # reference integrates with FDM_Int1; trapezoid only as fallback)
+    try:
+        from tlab_tpu.fdm.plan import build_deriv_plan
+        d1y = build_deriv_plan(grid.y, case.space_order1,
+                               case.space_order2).d1[0]
+    except Exception:
+        d1y = None
+    bg = thermo.hydrostatic_background(tp, y, h_prof, qt_prof,
+                                       p_ref=p_ref, y_ref=y_ref, d1y=d1y)
     ntp = np.dtype(jnp.dtype(dtype))
     dev_bg = {k: np.asarray(v, ntp) for k, v in bg.items()}
     return {"tp": tp, "bg": dev_bg,
