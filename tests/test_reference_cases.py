@@ -239,6 +239,61 @@ def test_case25_anelastic_deterministic_end_to_end(tmp_path):
     assert np.all(dil <= 3.0 * dil_ref + 1e-9)
 
 
+def _run_case_exact(tmp_path, case_name, cols=(2, 3, 4, 5, 6),
+                    dil_factor=3.0, steps=11):
+    """Run a fully deterministic reference case from its unmodified INI
+    and require the given dns.out columns to match dns.out.ref to every
+    printed digit; dilatation bounded by dil_factor x the reference's."""
+    out = str(tmp_path)
+    ini = f"{REF}/{case_name}/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, (case_name, r.stderr[-2000:])
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/{case_name}/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == steps
+    for col in cols:
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
+                           atol=1e-12), (case_name, col)
+    if dil_factor is not None:
+        dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
+        dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
+        assert np.all(dil <= dil_factor * dil_ref + 1e-6), case_name
+    return ours, ref
+
+
+def test_case26_moist_anelastic_end_to_end(tmp_path):
+    """Case26: anelastic AirVapor mixture (moist but unsaturated
+    background), deterministic PlaneDiscrete IC. time/dt/CFL/D# match
+    dns.out.ref to every printed digit -- pins the AirVapor branch of the
+    hydrostatic background and buoyancy."""
+    _run_case_exact(tmp_path, "Case26")
+
+
+def test_case46_wavemaker_gravity_waves_end_to_end(tmp_path):
+    """Case46: internal gravity waves forced by the [SpecialForcing]
+    WaveMaker (relaxation toward a plane-wave field inside a Gaussian
+    envelope, specialforcing.f90:105-223), linear stratification, tanh-
+    stretched y grid, Jmax relaxation buffer. All columns exact --
+    the growing CFL column is pure wavemaker response."""
+    ours, ref = _run_case_exact(tmp_path, "Case46", dil_factor=None)
+    # dilatation stays at round-off (reference level, both ~1e-8)
+    assert np.max(np.abs(ours[1:, 7:9])) < 1e-6
+    # flow actually grows from rest (forcing engaged)
+    assert ours[-1, 4] > 0.4
+
+
+def test_case70_ekman_semiimplicit_end_to_end(tmp_path):
+    """Case70: laminar Ekman layer, RungeKuttaDiffusion3 semi-implicit
+    diffusion, fixed dt. The EkmanP + companion EkmanV profile pair
+    (tlab_background.f90:96-99) gives the exact CFL column."""
+    ours, ref = _run_case_exact(tmp_path, "Case70", dil_factor=None)
+    assert np.max(np.abs(ours[1:, 7:9])) < 1e-5
+
+
 def test_case10_deterministic_end_to_end(tmp_path):
     """Case10 (RB-type layer, stretched tanh grid, DeltaDiscrete scalar
     IC, zero initial velocity) is fully DETERMINISTIC -- no RNG anywhere.

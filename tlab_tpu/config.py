@@ -269,6 +269,13 @@ def load_case(path_or_ini) -> CaseSetup:
     n_scal = len(schmidt)
     vel_tags = ("VelocityX", "VelocityY", "VelocityZ")
     vel_profiles = tuple(_read_profile(ini, "flow", t, jscale) for t in vel_tags)
+    if vel_profiles[0].type in ("ekmanu", "ekmanp"):
+        # Ekman consistency rule: the spanwise velocity gets the companion
+        # EKMAN_V profile with the same parameters (tlab_background.f90:
+        # 96-99, qbg(3) = qbg(1) with type EKMAN_V)
+        import dataclasses as _dc
+        vel_profiles = (vel_profiles[0], vel_profiles[1],
+                        _dc.replace(vel_profiles[0], type="ekmanv"))
     scal_profiles = tuple(_read_profile(ini, "scalar", f"Scalar{i+1}", jscale)
                           for i in range(n_scal))
 

@@ -373,9 +373,10 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
     h3 = h3 + adv[2]
     hs = hs + adv[3:] if ns else hs
 
-    # sources hook (buoyancy along y etc.)
+    # sources hook (buoyancy along y etc.; aux may carry the step rtime
+    # for time-dependent forcing)
     if P["bodyforce"] is not None:
-        h1, h2, h3, hs = P["bodyforce"](P, state, h1, h2, h3, hs)
+        h1, h2, h3, hs = P["bodyforce"](P, state, h1, h2, h3, hs, aux=aux)
 
     # buffer/sponge relaxation before the projection
     # (reference rhs_global_incompressible_1.f90:172); aux may carry

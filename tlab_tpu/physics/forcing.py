@@ -29,17 +29,70 @@ def subsidence_source(props: SubsidenceProps, P, y, a):
 
 @dataclasses.dataclass(frozen=True)
 class WavemakerProps:
-    type: str = "none"        # none | sinusoidal
-    amplitude: float = 0.0
-    omega: float = 1.0        # forcing frequency
-    x0: float = 0.0
-    y0: float = 0.0
-    radius: float = 0.1
-    component: int = 1        # which momentum gets the force (0=u,1=v)
+    """Reference [SpecialForcing] Type=WaveMaker (specialforcing.f90:
+    105-169,216-223): up to 3 plane waves, each Wave#=(amplitude,
+    wavenumber, angle_deg, frequency); force amplitudes perpendicular to
+    the wavevector (amp_x = a sin, amp_y = -a cos); Gaussian envelope
+    (x0, y0, z0, size); relaxation toward the wave velocity field with
+    coefficient Parameters(1)."""
+    coeff: float = 1.0
+    # per-wave tuples
+    amp_x: tuple = ()
+    amp_y: tuple = ()
+    kx: tuple = ()
+    ky: tuple = ()
+    freq: tuple = ()
+    envelope: tuple = (0.0, 0.0, 0.0, 1.0)
 
 
-def wavemaker_force(props: WavemakerProps, X, Y, t):
-    """Gaussian-localized harmonic forcing field."""
-    env = jnp.exp(-((X - props.x0) ** 2 + (Y - props.y0) ** 2)
-                  / (2.0 * props.radius ** 2))
-    return props.amplitude * env * jnp.sin(props.omega * t)
+def wavemaker_from_ini(ini):
+    """Parse [SpecialForcing] -> (WavemakerProps | None)."""
+    t = ini.get("SpecialForcing", "Type", "none").lower()
+    if t != "wavemaker":
+        return None
+    pars = ini.get_floats("SpecialForcing", "Parameters", (1.0, 1.0, 0.0))
+    ax, ay, kxs, kys, fr = [], [], [], [], []
+    for iw in (1, 2, 3):
+        row = ini.get_floats("SpecialForcing", f"Wave{iw}", ())
+        if not row:
+            break
+        a, k, ang, om = row[0], row[1], np.deg2rad(row[2]), row[3]
+        kxs.append(k * np.cos(ang))
+        kys.append(k * np.sin(ang))
+        ax.append(a * np.sin(ang))
+        ay.append(-a * np.cos(ang))
+        fr.append(om)
+    env = tuple(ini.get_floats("SpecialForcing", "Envelope",
+                               (1.0, 1.0, 1.0, 1.0)))
+    env = env + (1.0,) * (4 - len(env))
+    env = env[:3] + (abs(env[3]),)
+    return WavemakerProps(coeff=pars[0], amp_x=tuple(ax), amp_y=tuple(ay),
+                          kx=tuple(kxs), ky=tuple(kys), freq=tuple(fr),
+                          envelope=env)
+
+
+def wavemaker_fields(props: WavemakerProps, grid):
+    """Precompute the (nx, ny, nz) Gaussian envelope and the per-wave
+    (nx, ny) phase fields (specialforcing.f90:150-168)."""
+    x0, y0, z0, size = props.envelope
+    x = np.asarray(grid.x.nodes) - x0
+    y = np.asarray(grid.y.nodes) - y0
+    z = (np.asarray(grid.z.nodes) if grid.z.size > 1
+         else np.zeros(1)) - z0
+    r2 = (x[:, None, None] ** 2 + y[None, :, None] ** 2
+          + z[None, None, :] ** 2)
+    env = np.exp(-0.5 * r2 / size ** 2)
+    phases = np.stack([x[:, None] * kx + y[None, :] * ky
+                       for kx, ky in zip(props.kx, props.ky)])
+    return env, phases
+
+
+def wavemaker_source(props: WavemakerProps, env, phases, iq, q, t):
+    """(target_wave - q) * envelope * coeff for momentum component iq
+    (0=u, 1=v), the reference relaxation form
+    (specialforcing.f90:216-223)."""
+    amps = props.amp_x if iq == 0 else props.amp_y
+    tgt = jnp.zeros_like(q)
+    for w, a in enumerate(amps):
+        tgt = tgt + a * jnp.sin(phases[w][:, :, None] - props.freq[w] * t)
+    return (tgt - q) * env * props.coeff

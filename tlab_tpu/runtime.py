@@ -161,7 +161,15 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
         Jb = np.asarray(Jb, ntp)
     y_dev = np.asarray(grid.y.nodes, ntp)
 
-    if not (buo_on or cor_on or rad_on or mic_on or chem_on or sub_on):
+    wm = forcmod.wavemaker_from_ini(ini)
+    wm_on = wm is not None and wm.amp_x
+    if wm_on:
+        wm_env, wm_phases = forcmod.wavemaker_fields(wm, grid)
+        wm_env = np.asarray(wm_env, ntp)
+        wm_phases = np.asarray(wm_phases, ntp)
+
+    if not (buo_on or cor_on or rad_on or mic_on or chem_on or sub_on
+            or wm_on):
         return None
 
     # linearized stratocumulus mixture (MIXT_TYPE_AIRWATER_LINEAR): the
@@ -232,7 +240,16 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                 emissivity=rad.emissivity, bcs_top=rad.bcs_top)
         return radmod.infrared_source(rad, Jt, Jb, ql, rho_b)
 
-    def sources(P, state, h1, h2, h3, hs):
+    def sources(P, state, h1, h2, h3, hs, aux=None):
+        if wm_on:
+            # wavemaker relaxation toward the plane-wave field, phase at
+            # the START-of-step rtime exactly as the reference (the
+            # dispatcher passes TLab_Time rtime, tlab_sources.f90:115)
+            t = (aux or {}).get("rtime", 0.0)
+            h1 = h1 + forcmod.wavemaker_source(wm, wm_env, wm_phases, 0,
+                                               state.u, t)
+            h2 = h2 + forcmod.wavemaker_source(wm, wm_env, wm_phases, 1,
+                                               state.v, t)
         if cor_on:
             r1, r2, r3 = rot.coriolis_tendency(cor, state.u, state.v, state.w)
             h1, h2, h3 = h1 + r1, h2 + r2, h3 + r3
@@ -285,6 +302,7 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
         return h1, h2, h3, hs
 
     sources.ir_field = compute_ir if rad_on else None
+    sources.time_dependent = bool(wm_on)
     return sources
 
 

@@ -118,10 +118,16 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
         from tlab_tpu.ops import elliptic_factorize as fac
         tables = fac.materialize_tables(P["ell_fac"])
 
-    def _aux(extra=None):
+    # time-dependent forcing (wavemaker): the step rtime rides in aux as
+    # a traced scalar so no recompiles across steps
+    timed = bool(getattr(P.get("bodyforce"), "time_dependent", False))
+
+    def _aux(extra=None, rtime=None):
         aux = dict(extra) if extra else {}
         if tables is not None:
             aux["fac_tables"] = tables
+        if rtime is not None:
+            aux["rtime"] = rtime
         return aux or None
 
     if particles is None and unsteady_inflow:
@@ -132,8 +138,9 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
             return new_state, p, cfl, jnp.stack([dmin, dmax])
 
-        def step(state, dtime, aux):
-            return _step(state, dtime, _aux(aux))
+        def step(state, dtime, aux, rtime=None):
+            return _step(state, dtime,
+                         _aux(aux, rtime if timed else None))
     elif particles is None:
         @jax.jit
         def _step(state, dtime, aux):
@@ -148,8 +155,9 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
             return new_state, p, cfl, jnp.stack([dmin, dmax])
 
-        def step(state, dtime):
-            return _step(state, dtime, _aux())
+        def step(state, dtime, rtime=None):
+            return _step(state, dtime,
+                         _aux(rtime=rtime if timed else None))
     else:
         from tlab_tpu.particles.core import make_locator
         from tlab_tpu.particles.stepping import rk_step_with_particles
@@ -299,7 +307,9 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     case = sim.case
     n_steps = n_steps if n_steps is not None else (case.it_end - itime)
     if inner_steps > 1 and (pstate is not None or case.flow_type == "spatial"
-                            or (sim.filter_matrices() is not None)):
+                            or (sim.filter_matrices() is not None)
+                            or getattr(sim.P.get("bodyforce"),
+                                       "time_dependent", False)):
         inner_steps = 1                     # per-step host work required
     is_comp = getattr(sim, "comp", None) is not None
     if not is_comp:
@@ -422,9 +432,10 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         elif inflow is not None:
             aux = {"refs_x": inflow.refs_at(rtime, dtype=state.u.dtype,
                                            ny=state.u.shape[1])}
-            state, p_cur, cmax_dev, aux_v = step(state, dtime, aux)
+            state, p_cur, cmax_dev, aux_v = step(state, dtime, aux,
+                                                 rtime=rtime)
         else:
-            state, p_cur, cmax_dev, aux_v = step(state, dtime)
+            state, p_cur, cmax_dev, aux_v = step(state, dtime, rtime=rtime)
         itime += inner_steps
         rtime += dtime * inner_steps
         if sponge_fn is not None:
