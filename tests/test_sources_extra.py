@@ -63,10 +63,26 @@ def test_sedimentation_is_divergence():
 
 
 def test_chemistry_quadratic():
-    props = chemistry.ChemistryProps(type="quadratic", damkohler=2.0,
-                                     parameters=(3.0,))
-    s = jnp.asarray(0.25)
-    assert abs(float(chemistry.source(props, s)) - 2.0 * 3.0 * 0.25 * 0.75) < 1e-14
+    """Reference TYPE_QUADRATIC (chemistry.f90:122-124): source for
+    scalar is = Da(is)*parameters(is)*s2*s3, per active scalar."""
+    props = chemistry.ChemistryProps(
+        type="quadratic", damkohler=(0.0, 1.0, 1.0, 1.0),
+        parameters=(0.0, -1.0, -1.0, 2.0))
+    shp = (2, 3, 2)
+    s = jnp.stack([jnp.full(shp, 0.5), jnp.full(shp, 0.25),
+                   jnp.full(shp, 0.4), jnp.zeros(shp)])
+    assert chemistry.active_scalars(props, 4) == [1, 2, 3]
+    pair = 0.25 * 0.4
+    assert np.allclose(np.asarray(chemistry.source(props, s, 1)),
+                       -1.0 * pair)
+    assert np.allclose(np.asarray(chemistry.source(props, s, 3)),
+                       2.0 * pair)
+    # two-scalar fallback: logistic on the scalar itself
+    props2 = chemistry.ChemistryProps(type="quadratic", damkohler=(2.0,),
+                                      parameters=(3.0,))
+    s2 = jnp.full((1, 1, 1, 1), 0.25)
+    assert abs(float(chemistry.source(props2, s2, 0).reshape(()))
+               - 2.0 * 3.0 * 0.25 * 0.75) < 1e-14
 
 
 def test_subsidence_source():

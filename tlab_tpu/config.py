@@ -375,6 +375,7 @@ def load_case(path_or_ini) -> CaseSetup:
     }
 
     thermo_cfg = {
+        "type": ini.get("Thermodynamics", "Type", "none").lower(),
         "transport": ini.get("Thermodynamics", "Transport", "none").lower(),
         "mixture": ini.get("Thermodynamics", "Mixture",
                            ini.get("Main", "Mixture", "none")).lower(),

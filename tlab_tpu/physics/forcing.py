@@ -45,6 +45,19 @@ class WavemakerProps:
     envelope: tuple = (0.0, 0.0, 0.0, 1.0)
 
 
+def homogeneous_from_ini(ini):
+    """[SpecialForcing] Type=Homogeneous: constant body force
+    Parameters(1) on the components with nonzero Vector entries
+    (specialforcing.f90:103,215-216; tlab_sources.f90:114-123). Returns
+    (fx, fy, fz) or None."""
+    if ini.get("SpecialForcing", "Type", "none").lower() != "homogeneous":
+        return None
+    pars = ini.get_floats("SpecialForcing", "Parameters", (1.0,))
+    vec = ini.get_floats("SpecialForcing", "Vector", (1.0, 0.0, 0.0))
+    vec = tuple(vec) + (0.0,) * (3 - len(vec))
+    return tuple(pars[0] if abs(v) > 0 else 0.0 for v in vec[:3])
+
+
 def wavemaker_from_ini(ini):
     """Parse [SpecialForcing] -> (WavemakerProps | None)."""
     t = ini.get("SpecialForcing", "Type", "none").lower()

@@ -133,6 +133,17 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
         ini.get_float("Infrared", "FluxBottom", 0.0),
         nbands=nbands, kappa_table=kappa_table, beta_table=beta_table,
         bcs_top=bcs_top)
+    if rad.type == "bulk1dlocal":
+        # backwards-compatible Bulk1dLocal -> grayliquid conversion
+        # (radiation.f90:186-199): Parameters=(F0, delta[, Fb]) with
+        # kappa = 1/delta, flux_top = F0*delta, flux_bottom = Fb*delta
+        import dataclasses as _dc
+        par = ini.get_floats("Infrared", "Parameters", (0.0, 1.0))
+        par = tuple(par) + (0.0,) * (3 - len(par))
+        rad = _dc.replace(rad, type="grayliquid",
+                          kappa=1.0 / par[1],
+                          flux_top=par[0] * par[1],
+                          flux_bottom=par[2] * par[1])
     mic = micmod.MicrophysicsProps(
         type=ini.get("Sedimentation", "Type",
                      ini.get("Microphysics", "Type", "none")).lower(),
@@ -146,9 +157,13 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                     or (0.0,))[0])
     sub_on = sub.type not in ("none", "") and sub.divergence != 0.0
 
+    da_list = ini.get_floats("Parameters", "Damkohler", (1.0,))
+    da_list = tuple(da_list) + (da_list[-1],) * max(
+        0, len(case.schmidt) - len(da_list)) if hasattr(case, "schmidt") \
+        else tuple(da_list)
     chem = chemmod.ChemistryProps(
         type=ini.get("Chemistry", "Type", "none").lower(),
-        damkohler=ini.get_float("Parameters", "Damkohler", 1.0),
+        damkohler=da_list,
         parameters=ini.get_floats("Chemistry", "Parameters", (1.0, 1.0)),
         scalar=ini.get_int("Chemistry", "Scalar", 1) - 1)
     rad_on = rad.type != "none"
@@ -167,9 +182,11 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
         wm_env, wm_phases = forcmod.wavemaker_fields(wm, grid)
         wm_env = np.asarray(wm_env, ntp)
         wm_phases = np.asarray(wm_phases, ntp)
+    homog = forcmod.homogeneous_from_ini(ini)
+    homog_on = homog is not None and any(abs(f) > 0 for f in homog)
 
     if not (buo_on or cor_on or rad_on or mic_on or chem_on or sub_on
-            or wm_on):
+            or wm_on or homog_on):
         return None
 
     # linearized stratocumulus mixture (MIXT_TYPE_AIRWATER_LINEAR): the
@@ -241,6 +258,14 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
         return radmod.infrared_source(rad, Jt, Jb, ql, rho_b)
 
     def sources(P, state, h1, h2, h3, hs, aux=None):
+        if homog_on:
+            # constant body force (channel driving pressure gradient)
+            if abs(homog[0]) > 0:
+                h1 = h1 + homog[0]
+            if abs(homog[1]) > 0:
+                h2 = h2 + homog[1]
+            if abs(homog[2]) > 0:
+                h3 = h3 + homog[2]
         if wm_on:
             # wavemaker relaxation toward the plane-wave field, phase at
             # the START-of-step rtime exactly as the reference (the
@@ -289,8 +314,11 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                 # acts on total water (last scalar by convention)
                 hs = hs.at[state.s.shape[0] - 1].add(sed)
         if chem_on:
-            hs = hs.at[chem.scalar].add(
-                chemmod.source(chem, state.s[chem.scalar], y_dev))
+            # every scalar with nonzero Damkohler receives its reaction
+            # source (chemistry.f90:78-81,102-155)
+            for isc in chemmod.active_scalars(chem, state.s.shape[0]):
+                hs = hs.at[isc].add(
+                    chemmod.source(chem, state.s, isc, y_dev))
         if sub_on:
             # subsidence acts on scalars and horizontal momentum
             # (reference TLab_Sources_* subsidence hooks)
@@ -405,8 +433,16 @@ class Simulation:
         ell_dd = elliptic.build_elliptic_plan(fdm, ibc=BC.DD)
         ell_plans = {BC.NN: elliptic.device_elliptic_plan(ell_nn, dtype),
                      BC.DD: elliptic.device_elliptic_plan(ell_dd, dtype)}
+        # anelastic THERMODYNAMICS are independent of the momentum set:
+        # [Thermodynamics] Type=anelastic with Equations=incompressible is
+        # the reference's Boussinesq + moist-thermo combination (Case15/24,
+        # imode_thermo vs nse_eqns); only Equations=anelastic additionally
+        # weights the dycore by rho_bar (P["anelastic"] below)
+        tcfg_ = getattr(case, "thermo", {}) or {}
+        thermo_anelastic = (case.equations == "anelastic"
+                            or tcfg_.get("type", "").lower() == "anelastic")
         anelastic = make_anelastic(case, grid, dtype) \
-            if case.equations == "anelastic" else None
+            if thermo_anelastic else None
         bodyforce = make_sources(case, grid, dtype, anelastic=anelastic)
         P = dyn.build_device_plans(fdm, nsp, bcs,
                                    rk_name=case.time_order, dtype=dtype,
@@ -499,7 +535,9 @@ class Simulation:
                 "cpl_jmax": tuple(
                     d["cpl_jmax"] if d["jmax"] == "linear" else 0.0
                     for d in sfc)}
-        if anelastic is not None:
+        if anelastic is not None and case.equations == "anelastic":
+            # rho_bar dycore weighting only for the anelastic momentum
+            # set; thermo-anelastic + incompressible stays Boussinesq
             P["anelastic"] = {"rho": anelastic["rho"],
                               "rho_inv": anelastic["rho_inv"]}
         dea_spec = getattr(case, "dealias", None)

@@ -87,7 +87,7 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
         c = sim.comp
 
         @jax.jit
-        def step(U, dtime):
+        def _comp_step(U, dtime):
             new_U = comp_mod.rk_step_compressible(
                 P, U, dtime, c["gamma"], c["mach"], sim.nsp.visc,
                 c["prandtl"], nscbc=c["nscbc"], ly=c["ly"], lx=c["lx"],
@@ -104,6 +104,9 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             return (new_U, p_f, cfl,
                     jnp.stack([jnp.min(p_f), jnp.max(p_f),
                                jnp.min(new_U.rho), jnp.max(new_U.rho)]))
+
+        def step(U, dtime, rtime=None):
+            return _comp_step(U, dtime)
 
         @jax.jit
         def cfl_only(U):

@@ -242,10 +242,11 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
             env = sim.case.profile_ini_k(y)[None, :, None]
             amp = sim.case.normalize_k if sim.case.normalize_k > 0 else 1e-2
             base = base + jnp.asarray(amp * env * pert, sim.dtype)
-        elif mode in ("deltadiscrete", "planediscrete"):
+        elif mode in ("deltadiscrete", "planediscrete", "fluxdiscrete"):
             # discrete-mode displacement field disp(x, z) (reference
             # SCAL_FLUCTUATION_PLANE, scal_local.f90:275-345):
-            # deltadiscrete perturbs the profile THICKNESS, planediscrete
+            # deltadiscrete perturbs the profile THICKNESS, fluxdiscrete
+            # the MAGNITUDE at constant derivative, planediscrete
             # shifts the layer position -- both deterministic, so Case10-
             # family runs have no RNG dependence
             import dataclasses as _dc
@@ -272,9 +273,19 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
                     if mode == "deltadiscrete":
                         p = _dc.replace(prof,
                                         thick=prof.thick + disp[ii, kk])
-                        field[ii, :, kk] = p(y)
+                    elif mode == "fluxdiscrete":
+                        # perturb the magnitude at constant derivative
+                        # (scal_local.f90:346-360): delta += disp,
+                        # mean = delta/2, thick scaled with delta
+                        d_loc = prof.delta + disp[ii, kk]
+                        t_loc = (d_loc / prof.delta * prof.thick
+                                 if prof.delta > 0 else prof.thick)
+                        p = _dc.replace(prof, delta=d_loc,
+                                        mean=0.5 * d_loc, thick=t_loc)
                     else:
-                        field[ii, :, kk] = prof(y - disp[ii, kk])
+                        p = None
+                    field[ii, :, kk] = p(y) if p is not None \
+                        else prof(y - disp[ii, kk])
             base = jnp.asarray(field, sim.dtype)
         scals.append(base)
     s = jnp.stack(scals) if scals else jnp.zeros((0, nx, ny, nz), sim.dtype)
