@@ -52,14 +52,26 @@ def test_sedimentation_is_divergence():
         dyn.WallBCs.from_velocity_kind("freeslip", "freeslip",
                                        scalar_bcs=(("neumann", "neumann"),)),
         dtype=jnp.float64, with_elliptic=False)
-    props = microphysics.MicrophysicsProps(type="sedimentation",
-                                           settling=0.1)
+    props = microphysics.MicrophysicsProps(type="airwatersimplified",
+                                           parameters=(0.1,), exponent=0.0)
     Y = grid.y.nodes[None, :, None]
     ql = jnp.asarray(np.exp(-((Y - 0.5) / 0.1) ** 2) * np.ones(grid.shape))
-    src = microphysics.sedimentation_source(props, P, ql)
+    s = ql[None]
+    src = microphysics.sedimentation_airwater(props, P, 1, s, ql,
+                                              jnp.zeros_like(ql))
     col = np.trapezoid(np.asarray(src[0, :, 0]), grid.y.nodes)
-    flux_diff = 0.1 * (float(ql[0, -1, 0]) - float(ql[0, 0, 0]))
+    # flux = p*(1-s)*ql; column integral of d(flux)/dy = boundary diff
+    f = 0.1 * (1.0 - np.asarray(ql[0, :, 0])) * np.asarray(ql[0, :, 0])
+    flux_diff = f[-1] - f[0]
     assert abs(col - flux_diff) < 1e-8
+    # simplified form: p*(1+e)*(dl/dy)*l^e == d/dy(p*l^(1+e))
+    e = 2.0 / 3.0
+    props2 = microphysics.MicrophysicsProps(type="airwatersimplified",
+                                            parameters=(0.1,), exponent=e)
+    src2 = microphysics.sedimentation_simplified(props2, P, 0, ql)
+    from tlab_tpu.dycore import incompressible as dyn2
+    direct = dyn2._d1(P, "y", 1, 0.1 * jnp.power(ql, 1.0 + e))
+    assert np.max(np.abs(np.asarray(src2 - direct))) < 1e-5
 
 
 def test_chemistry_quadratic():

@@ -298,8 +298,24 @@ def load_case(path_or_ini) -> CaseSetup:
     from tlab_tpu.physics.gravity import BuoyancyProps
     from tlab_tpu.physics.rotation import CoriolisProps
 
-    froude = ini.get_float("Parameters", "Froude", 1.0)
-    rossby = ini.get_float("Parameters", "Rossby", 1.0)
+    def _reynolds_from_ini(ini):
+        """Reynolds, or 1/Viscosity when Reynolds is absent/nonpositive
+        (navierstokes.f90:141-150); final fallback 100 keeps legacy
+        minimal INIs runnable."""
+        re = ini.get_float("Parameters", "Reynolds", -1.0)
+        if re > 0.0:
+            return re
+        visc = ini.get_float("Parameters", "Viscosity", -1.0)
+        return 1.0 / visc if visc > 0.0 else 100.0
+
+    # dimensional alternatives: Froude <= 0/absent -> 1/Gravity,
+    # Rossby -> 1/Coriolis (navierstokes.f90:156-168)
+    froude = ini.get_float("Parameters", "Froude", -1.0)
+    if froude <= 0.0:
+        froude = 1.0 / ini.get_float("Parameters", "Gravity", 1.0)
+    rossby = ini.get_float("Parameters", "Rossby", -1.0)
+    if rossby <= 0.0:
+        rossby = 1.0 / ini.get_float("Parameters", "Coriolis", 1.0)
     gsec = "Gravity" if ini.get("Gravity", "Vector", "") else "BodyForce"
     gtype = ini.get(gsec, "Type",
                     ini.get("Main", "TermBodyForce", "none")).lower()
@@ -414,13 +430,13 @@ def load_case(path_or_ini) -> CaseSetup:
         it_restart=ini.get_int("Iteration", "Restart", 50),
         it_stats=ini.get_int("Iteration", "Statistics", 50),
         it_log=ini.get_int("Iteration", "IteraLog", 10),
-        reynolds=ini.get_float("Parameters", "Reynolds", 100.0),
+        reynolds=_reynolds_from_ini(ini),
         schmidt=schmidt,
         prandtl=ini.get_float("Parameters", "Prandtl", 1.0),
         mach=ini.get_float("Parameters", "Mach", 0.3),
         gamma=ini.get_float("Parameters", "Gamma", 1.4),
-        froude=ini.get_float("Parameters", "Froude", 1.0),
-        rossby=ini.get_float("Parameters", "Rossby", 1.0),
+        froude=froude,
+        rossby=rossby,
         imax=ini.get_int("Grid", "Imax", 1),
         jmax=ini.get_int("Grid", "Jmax", 1),
         kmax=ini.get_int("Grid", "Kmax", 1),

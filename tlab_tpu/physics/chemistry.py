@@ -16,6 +16,7 @@ class ChemistryProps:
     damkohler: tuple = ()     # per-scalar Da (zero => inactive)
     parameters: tuple = (1.0,)
     scalar: int = 0           # legacy single-scalar selector
+    ymean: tuple = ()         # per-scalar profile ymean (layeredrelaxation)
 
 
 def active_scalars(props: ChemistryProps, ns: int):
@@ -56,12 +57,13 @@ def source(props: ChemistryProps, s, i, y=None):
             return -da * ((1.0 + p(2)) * s[3] - rate * s[1] * s[2])
         return da * (s[3] - rate * s[1] * s[2])
     if props.type == "layeredrelaxation":
-        # relax toward 0 within a surface layer of thickness p2 at rate
-        # Da/p1 (the reference's relaxation_strength profile is disabled
-        # in the snapshot, chemistry.f90:83-97; we keep an exponential
-        # surface layer)
-        thick = p(1) if len(par) > 1 else 1.0
-        strength = da / max(p(0), 1e-30)
-        prof = jnp.exp(-jnp.asarray(y)[None, :, None] / thick)
-        return -strength * prof * s[i]
+        # relaxation_strength (chemistry.f90:82-95): tanh profile with
+        # mean 0.5, delta 1, thick -p3/2, centered at the scalar's ymean
+        # and evaluated at y - p2:
+        #   strength(y) = 0.5*(1 + tanh((y - p2 - ymean)/p3))
+        # source = -Da(is)/p1 * strength * s_is (chemistry.f90:117-120)
+        ym = props.ymean[i] if i < len(props.ymean) else 0.0
+        strength = 0.5 * (1.0 + jnp.tanh(
+            (jnp.asarray(y)[None, :, None] - p(1) - ym) / p(2)))
+        return -da / p(0) * strength * s[i]
     return jnp.zeros_like(s[i])

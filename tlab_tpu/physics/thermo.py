@@ -493,7 +493,10 @@ def airwater_linear(thermo_param, s):
     xi = 1.0 + thermo_param[0] * s[0]
     if n_mix > 1 and len(thermo_param) > 1:
         xi = xi + thermo_param[1] * s[1]
-    i_smooth = s.shape[0] if s.shape[0] <= 2 else 2
+    # smoothing factor is thermo_param(inb_scal + 1) -- indexed by the
+    # PROGNOSTIC scalar count even when xi only uses the first two
+    # (thermo_airwater.f90:500-506)
+    i_smooth = s.shape[0]
     dsm = thermo_param[i_smooth] if len(thermo_param) > i_smooth else 0.0
     if abs(dsm) < 1e-30:
         return jnp.maximum(xi, 0.0)
@@ -508,7 +511,7 @@ def airwater_linear_source(thermo_param, s):
     xi = 1.0 + thermo_param[0] * s[0]
     if n_mix > 1 and len(thermo_param) > 1:
         xi = xi + thermo_param[1] * s[1]
-    i_smooth = s.shape[0] if s.shape[0] <= 2 else 2
+    i_smooth = s.shape[0]
     dsm = thermo_param[i_smooth] if len(thermo_param) > i_smooth else 0.0
     if abs(dsm) < 1e-30:
         der1 = jnp.where(xi <= 0.0, 0.0, 1.0)

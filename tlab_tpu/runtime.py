@@ -144,11 +144,15 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                           kappa=1.0 / par[1],
                           flux_top=par[0] * par[1],
                           flux_bottom=par[2] * par[1])
+    settling = ini.get_float("Parameters", "Settling", 0.0)
+    mic_pars = ini.get_floats("Sedimentation", "Parameters", (1.0,))
     mic = micmod.MicrophysicsProps(
         type=ini.get("Sedimentation", "Type",
                      ini.get("Microphysics", "Type", "none")).lower(),
-        settling=ini.get_float("Parameters", "Settling", 0.0),
-        exponent=ini.get_float("Sedimentation", "Exponent", 1.0))
+        # settling folded into the per-scalar parameters at read time
+        # (microphysics.f90:96-101)
+        parameters=tuple(p * settling for p in mic_pars),
+        exponent=ini.get_float("Sedimentation", "Exponent", 0.0))
     from tlab_tpu.physics import forcing as forcmod
     sub = forcmod.SubsidenceProps(
         type=ini.get("Subsidence", "Type",
@@ -165,9 +169,11 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
         type=ini.get("Chemistry", "Type", "none").lower(),
         damkohler=da_list,
         parameters=ini.get_floats("Chemistry", "Parameters", (1.0, 1.0)),
-        scalar=ini.get_int("Chemistry", "Scalar", 1) - 1)
+        scalar=ini.get_int("Chemistry", "Scalar", 1) - 1,
+        ymean=tuple(getattr(prof, "ymean", 0.0)
+                    for prof in (case.scal_profiles or ())))
     rad_on = rad.type != "none"
-    mic_on = mic.type != "none" and mic.settling != 0.0
+    mic_on = mic.type != "none" and settling != 0.0
     chem_on = chem.type != "none"
     ntp = np.dtype(jnp.dtype(dtype))
     if rad_on or mic_on:
@@ -217,9 +223,13 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
         bback = grav.background_profile(buo, profs, grid.y.nodes)
         bback = np.asarray(bback, ntp)
 
-    def compute_ir(state):
+    def compute_ir(state, rad=None):
         """IR heating-rate field for the active scalar (also consumed by
-        the bil_cloud droplet equations, reference rhs_part_1.f90:82)."""
+        the bil_cloud droplet equations, reference rhs_part_1.f90:82).
+        rad: optional props override (scaled fluxes for the iniscal
+        NormalizeR accumulated-radiation IC, scal_main.f90:120-131)."""
+        if rad is None:
+            rad = compute_ir.props
         from tlab_tpu.physics import thermo
         if anelastic is not None:
             diag = thermo.diagnostic_fields(anelastic["tp"], state.s,
@@ -310,9 +320,29 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                 src = compute_ir(state)
                 hs = hs.at[rad.scalar].add(src)
             if mic_on:
-                sed = micmod.sedimentation_source(mic, P, ql)
-                # acts on total water (last scalar by convention)
-                hs = hs.at[state.s.shape[0] - 1].add(sed)
+                # driving field = diagnostic liquid (last array scalar),
+                # rho-weighted in anelastic mode (microphysics.f90:133)
+                if anelastic is not None:
+                    s_active = ql * rho_b[None, :, None]
+                else:
+                    s_active = ql
+                stat_l = None
+                if mic.type == "airwater":
+                    ep = jnp.asarray(anelastic["bg"]["ep"])[None, :, None]
+                    stat_l = micmod.liquid_static_energy(
+                        anelastic["tp"], state.s[0], diag["T"], ep)
+                for isc in range(state.s.shape[0]):
+                    if mic.type == "airwatersimplified":
+                        sed = micmod.sedimentation_simplified(
+                            mic, P, isc, s_active)
+                    else:
+                        sed = micmod.sedimentation_airwater(
+                            mic, P, isc, state.s, s_active, stat_l)
+                    if anelastic is not None:
+                        # ribackground weighting of the tendency
+                        # (tlab_sources.f90:176-177)
+                        sed = sed / rho_b[None, :, None]
+                    hs = hs.at[isc].add(sed)
         if chem_on:
             # every scalar with nonzero Damkohler receives its reaction
             # source (chemistry.f90:78-81,102-155)
@@ -320,16 +350,20 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
                 hs = hs.at[isc].add(
                     chemmod.source(chem, state.s, isc, y_dev))
         if sub_on:
-            # subsidence acts on scalars and horizontal momentum
-            # (reference TLab_Sources_* subsidence hooks)
+            # ConstantDivergenceLocal is folded into OPR_Burgers_Y in the
+            # reference (opr_burgers.f90:336-340), so it acts on EVERY
+            # field advected in y: u, v, w and all scalars
             for isc in range(state.s.shape[0]):
                 hs = hs.at[isc].add(
                     forcmod.subsidence_source(sub, P, y_dev, state.s[isc]))
             h1 = h1 + forcmod.subsidence_source(sub, P, y_dev, state.u)
+            h2 = h2 + forcmod.subsidence_source(sub, P, y_dev, state.v)
             h3 = h3 + forcmod.subsidence_source(sub, P, y_dev, state.w)
         return h1, h2, h3, hs
 
+    compute_ir.props = rad
     sources.ir_field = compute_ir if rad_on else None
+    sources.rad_props = rad if rad_on else None
     sources.time_dependent = bool(wm_on)
     return sources
 

@@ -289,6 +289,24 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
             base = jnp.asarray(field, sim.dtype)
         scals.append(base)
     s = jnp.stack(scals) if scals else jnp.zeros((0, nx, ny, nz), sim.dtype)
+
+    # [IniFields] NormalizeR: accumulated-radiation initial increment on
+    # the radiatively active scalar (reference iniscal,
+    # scal_main.f90:120-131): the IR source with fluxes rescaled so
+    # flux_top -> NormalizeR is ADDED to the scalar IC
+    ini = getattr(sim.case, "ini", None)
+    bf = sim.P.get("bodyforce")
+    norm_r = ini.get_float("IniFields", "NormalizeR", 0.0) \
+        if ini is not None else 0.0
+    rad = getattr(bf, "rad_props", None) if bf is not None else None
+    if norm_r != 0.0 and rad is not None and s.shape[0]:
+        import dataclasses as _dc
+        scale = norm_r / rad.flux_top if rad.flux_top else 0.0
+        rad2 = _dc.replace(rad, flux_top=rad.flux_top * scale,
+                           flux_bottom=rad.flux_bottom * scale)
+        from tlab_tpu.dycore.state import State as _St
+        src = bf.ir_field(_St(u=u, v=v, w=w, s=s), rad=rad2)
+        s = s.at[rad.scalar].add(src.astype(sim.dtype))
     return State(u=u, v=v, w=w, s=s)
 
 
