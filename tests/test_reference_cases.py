@@ -499,6 +499,44 @@ def test_case55_three_scalar_chemistry_particles_end_to_end(tmp_path):
     assert np.all(dil <= dil_ref)
 
 
+def test_case07_plane_discrete_rt_end_to_end(tmp_path):
+    """Case07: Rayleigh-Taylor-type layer (linear gravity on an Erf
+    scalar, PlaneDiscrete IC, zero velocity, stretched tanh grid).
+    time/dt/CFL/D#/visc exact to every printed digit; dilatation within
+    10% of the reference's round-off envelope."""
+    ours, ref = _run_case_exact(tmp_path, "Case07", dil_factor=None)
+    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
+    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
+    assert np.all(dil <= 1.1 * dil_ref)
+
+
+def test_case29_dimensional_stbl_end_to_end(tmp_path):
+    """Case29 (DYCOMS-II RF01 sedimentation study): DIMENSIONAL anelastic
+    AirWater run ([Thermodynamics] Nondimensional=no, thermodynamics.f90:
+    518-556 skipped, GRATIO=1, SI property tables, ScaleHeight=1/g) with
+    GrayLiquid infrared, ConstantDivergenceLocal subsidence and AirWater
+    sedimentation.  time/dt/CFL/D#/visc exact to every printed digit;
+    dilatation columns not compared (reference logs the pre-projection
+    anelastic constraint source ~1e-5, ours is the post-projection
+    residual ~1e-12)."""
+    ours, ref = _run_case_exact(tmp_path, "Case29", dil_factor=None)
+    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
+    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
+    assert np.all(dil <= dil_ref)
+
+
+def test_case30_gray_emission_end_to_end(tmp_path):
+    """Case30: Case29 with the emitting Gray radiation type -- dimensional
+    Stefan-Boltzmann emission b = sigma T^4 (radiation.f90:57,292) with
+    per-component absorption kappa_l ql + kappa_v qv and surface
+    emissivity 0.99.  time/dt/CFL/D#/visc exact to every printed digit;
+    dilatation as Case29."""
+    ours, ref = _run_case_exact(tmp_path, "Case30", dil_factor=None)
+    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
+    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
+    assert np.all(dil <= dil_ref)
+
+
 def test_case10_deterministic_end_to_end(tmp_path):
     """Case10 (RB-type layer, stretched tanh grid, DeltaDiscrete scalar
     IC, zero initial velocity) is fully DETERMINISTIC -- no RNG anywhere.

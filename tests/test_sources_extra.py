@@ -168,7 +168,7 @@ def test_band_radiation_reduces_to_gray():
     T = jnp.asarray(1.0 + 0.1 * rng.standard_normal((3, ny, 2)))
     props = rad.RadiationProps(type="band", beta=0.5, flux_top=1.0)
     assert abs(props.mu - 0.5 * (3 ** -0.5 + 2 ** -0.5)) < 1e-15
-    gray = rad.infrared_gray_source(props, y, a, 0.5 * T ** 4)
+    gray = rad.infrared_gray_source(props, y, a, 0.5 * rad.SIGMA * T ** 4)
     one_band = rad.infrared_band_source(props, y, [a], T,
                                         [(1.0, 0.0, 0.0)])
     assert np.max(np.abs(one_band - gray)) < 1e-12

@@ -400,6 +400,10 @@ def load_case(path_or_ini) -> CaseSetup:
         # (thermodynamics.f90:191-193)
         "smooth": ini.get_float("Thermodynamics", "SmoothFactor", 0.0),
         "parameters": ini.get_floats("Thermodynamics", "Parameters", (1.0,)),
+        # Nondimensional=no keeps the property tables in SI units
+        # (thermodynamics.f90:195-196)
+        "nondimensional": ini.get_bool("Thermodynamics", "Nondimensional",
+                                       True),
     }
 
     bb = {

@@ -30,6 +30,11 @@ import jax.numpy as jnp
 # (reference radiation.f90:204)
 MU_REFERENCE = 0.5 * (1.0 / np.sqrt(3.0) + 1.0 / np.sqrt(2.0))
 
+# Stefan-Boltzmann constant, W/m^2/K^4 (radiation.f90:57); the gray/band
+# emission b = sigma T^4 is dimensional in the reference (those types are
+# only exercised with [Thermodynamics] Nondimensional=no)
+SIGMA = 5.67037442e-8
+
 # default Jeevanjee (2023) emission-fraction polynomials for the first two
 # vapor bands (reference radiation.f90:142-143); the last band is derived
 # from sum_b beta_b(T) = 1
@@ -199,7 +204,8 @@ def infrared_band_source(props: RadiationProps, y, a_bands, T,
     tops = bcs_top if bcs_top is not None else \
         (props.bcs_top or (props.flux_top,) * len(a_bands))
     for a_b, (b0, b1, b2), f_top in zip(a_bands, beta_bands, tops):
-        emis = props.beta * T ** 4 * (b0 + T * (b1 + T * b2))
+        # sigma T^4 (beta_band(T)) emission (radiation.f90:341)
+        emis = props.beta * SIGMA * T ** 4 * (b0 + T * (b1 + T * b2))
         s = infrared_gray_source(props, y, a_b, emis,
                                  emissivity=emissivity, flux_top=f_top)
         src = s if src is None else src + s

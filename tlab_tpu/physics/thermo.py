@@ -107,27 +107,49 @@ class ThermoParams:
     dsmooth: float = 0.0           # saturation-adjustment smoothing factor
     cratio_inv: float = 1.0        # (gama0-1) M^2 (compressible); 1 else
     thermo_param: tuple = ()       # [Thermodynamics] Parameters (linear mix)
+    # [Thermodynamics] Nondimensional: when False the reference keeps the
+    # property tables in SI units (thermodynamics.f90:518-556 skipped,
+    # GRATIO = 1): T in K, p in Pa, h in J/kg, psat dimensional, and
+    # ScaleHeight = 1/g so scale_height_inv = g
+    nondimensional: bool = True
 
-    # -- nondimensional constants ------------------------------------------
+    # -- constants (cp-scaled nondimensional, or SI when Nondimensional=no)
+    @property
+    def _cp_norm(self):
+        return self.Cpd_dim if self.nondimensional else 1.0
+
     @property
     def Cd(self):
-        return 1.0
+        return self.Cpd_dim / self._cp_norm
 
     @property
     def Cdv(self):
-        return self.Cpv_dim / self.Cpd_dim - 1.0
+        return (self.Cpv_dim - self.Cpd_dim) / self._cp_norm
 
     @property
     def Cvl(self):
-        return (self.Cl_dim - self.Cpv_dim) / self.Cpd_dim
+        return (self.Cl_dim - self.Cpv_dim) / self._cp_norm
 
     @property
     def Cl(self):
-        return self.Cl_dim / self.Cpd_dim
+        return self.Cl_dim / self._cp_norm
 
     @property
     def Rd(self):
-        return self.Rd_dim / self.Cpd_dim
+        return self.Rd_dim / self._cp_norm
+
+    @property
+    def gratio(self):
+        """GRATIO (thermodynamics.f90:517,554): R0/Cp0 in the
+        nondimensional anelastic formulation, 1 in the dimensional one."""
+        return self.Rd_dim / self.Cpd_dim if self.nondimensional else 1.0
+
+    @property
+    def R_norm(self):
+        """Gas-constant normalization: reference THERMO_R is divided by
+        RREF = Rd only in the nondimensional formulation
+        (thermodynamics.f90:519)."""
+        return self.Rd if self.nondimensional else 1.0
 
     @property
     def Rv(self):
@@ -139,14 +161,24 @@ class ThermoParams:
 
     @property
     def Cdl(self):
-        return (self.Cl_dim - self.Cpd_dim) / self.Cpd_dim
+        return (self.Cl_dim - self.Cpd_dim) / self._cp_norm
 
     @property
     def Lv0(self):
         # latent heat at T = 0 (linear Kirchhoff extrapolation), scaled;
         # equals the reference's -THERMO_AI(6,1,3) (thermodynamics.f90:580)
         L0 = self.Lv0_dim + (self.Cl_dim - self.Cpv_dim) * 273.15
+        if not self.nondimensional:
+            return L0
         return L0 / (self.Cpd_dim * self.T_ref)
+
+    @property
+    def psat_cf(self):
+        """THERMO_PSAT in the active units (dimensional Pa/K when
+        Nondimensional=no, thermodynamics.f90:537-542 skipped)."""
+        if self.nondimensional:
+            return psat_coeffs(self.T_ref, self.p_ref)
+        return psat_coeffs(1.0, 1.0)
 
     # formation-enthalpy differences (airwater family: Lv = Ld = Ldv = 0,
     # Lvl = Ldl = -Lv0, thermodynamics.f90:580-585)
@@ -176,7 +208,7 @@ class ThermoParams:
         (thermodynamics.f90:459-489); 'bolton' keeps the round-1
         exponential fit (within 0.1% over atmospheric temperatures)."""
         if self.psat_mode == "polynomial":
-            return psat_polynomial(psat_coeffs(self.T_ref, self.p_ref), T)
+            return psat_polynomial(self.psat_cf, T)
         Tc = T * self.T_ref - 273.15
         es = 611.2 * jnp.exp(17.67 * Tc / (Tc + 243.5))
         return es / self.p_ref
@@ -184,7 +216,7 @@ class ThermoParams:
     def dpsat(self, T):
         """dp_sat/dT, consistent with psat()."""
         if self.psat_mode == "polynomial":
-            return dpsat_polynomial(psat_coeffs(self.T_ref, self.p_ref), T)
+            return dpsat_polynomial(self.psat_cf, T)
         Tc = T * self.T_ref - 273.15
         return self.psat(T) * 17.67 * 243.5 / (Tc + 243.5) ** 2 * self.T_ref
 
@@ -226,7 +258,7 @@ def equilibrium_T_ql(tp: ThermoParams, h, qt, p, ep, n_newton: int = 8):
 
     if tp.psat_mode == "polynomial":
         # reference B_LOC polynomial (thermo_anelastic.f90:156-177)
-        cf = psat_coeffs(tp.T_ref, tp.p_ref)
+        cf = tp.psat_cf
         alpha = (eps * tp.Lv0 + qt * tp.Lv0 * (1.0 - eps) + H) / p
         beta = (eps * tp.Cvl + tp.Cd + qt * (tp.Cdl - eps * tp.Cvl)) / p
         b = [None] * 10
@@ -300,7 +332,7 @@ def hydrostatic_background(tp: ThermoParams, y: np.ndarray,
     ny = y.shape[0]
     if y_ref is None:
         y_ref = float(y[0])
-    ep = tp.Rd * g_nd * (y - y_ref)
+    ep = tp.gratio * g_nd * (y - y_ref)
 
     if d1y is not None:
         D = np.array(d1y, dtype=np.float64)
@@ -329,11 +361,11 @@ def hydrostatic_background(tp: ThermoParams, y: np.ndarray,
                                    jnp.asarray(p), jnp.asarray(ep))
         T = np.asarray(Tj, np.float64)
         ql = np.asarray(qlj, np.float64)
-        R_hat = mixture_R(tp, qt64, ql) / tp.Rd
+        R_hat = mixture_R(tp, qt64, ql) / tp.R_norm
         lnp = cumint(-g_nd / (R_hat * T))
         p = np.exp(lnp)
         p *= p_ref / np.interp(y_ref, y, p)
-    R_hat = mixture_R(tp, qt64, ql) / tp.Rd
+    R_hat = mixture_R(tp, qt64, ql) / tp.R_norm
     rho = p / (R_hat * T)
     return {"p": p, "T": T, "rho": rho, "ql": ql, "ep": ep,
             "rho_inv": 1.0 / rho}
@@ -349,7 +381,7 @@ def buoyancy_explicit(tp: ThermoParams, s, bg: dict):
     p = jnp.asarray(bg["p"])[None, :, None]
     rho = jnp.asarray(bg["rho"])[None, :, None]
     T, ql = equilibrium_T_ql(tp, h, qt, p, ep)
-    R_hat = mixture_R(tp, qt, ql) / tp.Rd
+    R_hat = mixture_R(tp, qt, ql) / tp.R_norm
     return (rho - p / (R_hat * T)) / rho
 
 
@@ -408,7 +440,7 @@ def airwater_rp(tp: ThermoParams, qt, p, rho, nr: int = 3):
 
     Unsaturated: T = p/(rho R(qt, 0)); saturated points re-solve
     psat(T) = p - (1-qt) rho Rd T (Newton on the polynomial)."""
-    cf = psat_coeffs(tp.T_ref, tp.p_ref)
+    cf = tp.psat_cf
     Rd, Rv, Rdv = tp.Rd, tp.Rv, tp.Rdv
     T0 = p / (rho * (Rd + qt * Rdv))
     qsat0 = tp.psat(T0) / (rho * T0 * Rv)
@@ -431,7 +463,7 @@ def airwater_re(tp: ThermoParams, qt, e, rho, nr: int = 3):
 
     Unsaturated: T = (e - Ld - qt Ldv)/(Cv_mix); saturated points solve
     psat(T) (Lvl + HEAT_CAPACITY_LV T) + rho Rv T [...] = 0."""
-    cf = psat_coeffs(tp.T_ref, tp.p_ref)
+    cf = tp.psat_cf
     ci = tp.cratio_inv
     Cd, Cdv, Cvl, Cdl = tp.Cd, tp.Cdv, tp.Cvl, tp.Cdl
     Rd, Rv, Rdv = tp.Rd, tp.Rv, tp.Rdv

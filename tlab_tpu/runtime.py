@@ -36,7 +36,8 @@ def make_anelastic(case: CaseSetup, grid: Grid, dtype):
     tp = thermo.ThermoParams(mixture=mixture,
                              scale_height_inv=(1.0 / sh if sh > 0 else 0.0),
                              dsmooth=tcfg.get("smooth", 0.0),
-                             thermo_param=tuple(tcfg.get("parameters", ())))
+                             thermo_param=tuple(tcfg.get("parameters", ())),
+                             nondimensional=tcfg.get("nondimensional", True))
     y = grid.y.nodes
     h_prof = case.scal_profiles[0](y) if case.scal_profiles else np.ones_like(y)
     qt_prof = case.scal_profiles[1](y) if len(case.scal_profiles) > 1 \
@@ -249,7 +250,9 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
             T_f = diag["T"]
             a_f = (rad.kappa * ql + rad.kappa_v * qv
                    + rad.kappa_g) * rho_b[None, :, None]
-            b_f = rad.beta * T_f ** 4
+            # emission by the Stefan-Boltzmann law (radiation.f90:292);
+            # beta is a unit-override knob (1 for reference cases)
+            b_f = rad.beta * radmod.SIGMA * T_f ** 4
             return radmod.infrared_gray_source(
                 rad, y_dev, a_f, b_f, emissivity=rad.emissivity)
         if rad.type == "band" and anelastic is not None:
