@@ -141,12 +141,17 @@ class CaseSetup:
     dealias: object                # FilterSpec for advection dealiasing
     ini: Ini
     stagger: bool = False          # [Staggering] StaggerHorizontalPressure
+    pressure_filter: object = None  # [PressureFilter] FilterSpec
     discrete: dict = None          # [Discrete] mode perturbation spec
     surface_bc: tuple = ()         # per-scalar interactive surface BC spec
 
 
-def _read_profile(ini: Ini, section: str, tag: str, yscale: float) -> Profile:
+def _read_profile(ini: Ini, section: str, tag: str, yscale: float,
+                  ystart: float = 0.0) -> Profile:
     ptype = ini.get(section, f"Profile{tag}", "none").lower()
+    if ptype == "ekman":
+        # reference key 'ekman' selects PROFILE_EKMAN_U (profiles.f90:95)
+        ptype = "ekmanu"
     # normalize naming: 'None' -> none
     mean = ini.get_float(section, tag if section == "flow" else f"Mean{tag}", 0.0)
     # reference uses bare key (e.g. VelocityX) for the mean value
@@ -164,7 +169,8 @@ def _read_profile(ini: Ini, section: str, tag: str, yscale: float) -> Profile:
         ycoor = ini.get_float(
             section, f"YCoor{tag}",
             ini.get_float(section, f"YMeanRelative{tag}", 0.5))
-        ymean = ycoor * yscale
+        # ymean = y(1) + scale * ymean_rel (tlab_background.f90:181)
+        ymean = ystart + ycoor * yscale
     lslope = ini.get_float(section, f"LowerSlope{tag}", 0.0)
     uslope = ini.get_float(section, f"UpperSlope{tag}", 0.0)
     diam = ini.get_float(section, f"Diam{tag}", 0.0)
@@ -251,7 +257,7 @@ def load_case(path_or_ini) -> CaseSetup:
     # vertical scale for YCoor-relative profile positions: the ACTUAL
     # extent of the built y grid (stretching maps may move the end point
     # past scales_N, cf. BLD_TANH) -- reference profiles use g(2)%scale
-    jscale = 1.0
+    jscale, jstart = 1.0, 0.0
     ysegs = segs["y"]["segments"]
     if ysegs and ysegs[0]["n"] > 1 and ysegs[0]["end"] > 0:
         try:
@@ -260,6 +266,9 @@ def load_case(path_or_ini) -> CaseSetup:
                                        mirrored=segs["y"]["mirrored"],
                                        fixed_scale=segs["y"]["fixed_scale"])
             jscale = float(yax.nodes[-1] - yax.nodes[0]) or 1.0
+            # mirrored grids start below zero: relative profile heights
+            # are anchored at y(1) (tlab_background.f90:181)
+            jstart = float(yax.nodes[0])
         except Exception:
             jscale = ysegs[-1]["end"] or 1.0
     else:
@@ -268,7 +277,8 @@ def load_case(path_or_ini) -> CaseSetup:
 
     n_scal = len(schmidt)
     vel_tags = ("VelocityX", "VelocityY", "VelocityZ")
-    vel_profiles = tuple(_read_profile(ini, "flow", t, jscale) for t in vel_tags)
+    vel_profiles = tuple(_read_profile(ini, "flow", t, jscale, jstart)
+                         for t in vel_tags)
     if vel_profiles[0].type in ("ekmanu", "ekmanp"):
         # Ekman consistency rule: the spanwise velocity gets the companion
         # EKMAN_V profile with the same parameters (tlab_background.f90:
@@ -276,7 +286,8 @@ def load_case(path_or_ini) -> CaseSetup:
         import dataclasses as _dc
         vel_profiles = (vel_profiles[0], vel_profiles[1],
                         _dc.replace(vel_profiles[0], type="ekmanv"))
-    scal_profiles = tuple(_read_profile(ini, "scalar", f"Scalar{i+1}", jscale)
+    scal_profiles = tuple(_read_profile(ini, "scalar", f"Scalar{i+1}",
+                                        jscale, jstart)
                           for i in range(n_scal))
 
     scalar_bc = tuple(
@@ -357,6 +368,18 @@ def load_case(path_or_ini) -> CaseSetup:
         active=(ini.get_bool("Dealiasing", "ActiveX", True),
                 ini.get_bool("Dealiasing", "ActiveY", True),
                 ini.get_bool("Dealiasing", "ActiveZ", True)))
+
+    # [PressureFilter]: filter p and dp/dy after the Poisson solve each
+    # substep (rhs_global_incompressible_1.f90:287-291); required to keep
+    # the horizontally staggered scheme stable near Nyquist
+    pftype = ini.get("PressureFilter", "Type", "none").lower()
+    pressure_filter_spec = FilterSpec(
+        type=pftype,
+        parameters=ini.get_floats("PressureFilter", "Parameters",
+                                  (0.49,)) or (0.49,),
+        active=(ini.get_bool("PressureFilter", "ActiveX", True),
+                ini.get_bool("PressureFilter", "ActiveY", True),
+                ini.get_bool("PressureFilter", "ActiveZ", True)))
 
     ftype = ini.get("Filter", "Type", "none").lower()
     filter_spec = FilterSpec(
@@ -463,7 +486,7 @@ def load_case(path_or_ini) -> CaseSetup:
         # IniK is a pure shape: amplitude forced to 1 and mean to 0
         # (reference flow_local.f90:112-113)
         profile_ini_k=dataclasses.replace(
-            _read_profile(ini, "inifields", "IniK", jscale),
+            _read_profile(ini, "inifields", "IniK", jscale, jstart),
             delta=1.0, mean=0.0),
         broadband=bb,
         grid_segments=segs,
@@ -476,6 +499,7 @@ def load_case(path_or_ini) -> CaseSetup:
         planes=planes_cfg,
         towers=towers_cfg,
         dealias=dealias_spec,
+        pressure_filter=pressure_filter_spec,
         ini=ini,
         stagger=ini.get_bool("Staggering", "StaggerHorizontalPressure",
                              False),

@@ -444,6 +444,14 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
     else:
         p, dpdy = elliptic.poisson(P["ell"], div, bcs_b=bcs_b, bcs_t=bcs_t,
                                    d1y=P["d1y"])
+    pfil = P.get("pfilter")
+    if pfil is not None:
+        # [PressureFilter]: filter p and dp/dy after the Poisson solve
+        # (rhs_global_incompressible_1.f90:287-291) -- stabilizes the
+        # staggered scheme's near-Nyquist pressure modes
+        from tlab_tpu.ops.filter import apply_filter
+        p = apply_filter(pfil, p)
+        dpdy = apply_filter(pfil, dpdy)
     if stag is not None:
         # pressure gradient back on velocity nodes with the PV operators
         # (reference rhs_global_incompressible_1.f90:307-320)

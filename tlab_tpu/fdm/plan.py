@@ -90,9 +90,25 @@ def build_deriv_plan(axis: Axis, scheme_name1: str = "CompactJacobian6",
     s2 = schemes.d2_scheme(scheme_name2)
     jac1, jac2 = _uniform_jacobians(axis.nodes, s1, s2)
 
-    A1, B1 = schemes.build_1der_system(s1, jac1, periodic=axis.periodic)
-    A2, B2, C2 = schemes.build_2der_system(s2, jac1, jac2,
-                                           periodic=axis.periodic)
+    # [Main] SpaceOrder(2)=CompactDirect4/6: nonuniform-native schemes
+    # built from the actual nodes with no Jacobian/D1 correction
+    # (reference FDM_ComX_Direct, fdm_derivative.f90 CompactDirect
+    # branches); on uniform/periodic axes they reduce to the Jacobian
+    # coefficients, so the standard build is used there
+    stretched = not axis.uniform and not axis.periodic
+    direct1 = scheme_name1.lower().startswith("compactdirect") and stretched
+    direct2 = scheme_name2.lower().startswith("compactdirect") and stretched
+
+    if direct1:
+        A1, B1 = schemes.build_1der_direct_system(axis.nodes)
+    else:
+        A1, B1 = schemes.build_1der_system(s1, jac1, periodic=axis.periodic)
+    if direct2:
+        A2, B2 = schemes.build_2der_direct_system(axis.nodes)
+        C2 = np.zeros_like(A2)
+    else:
+        A2, B2, C2 = schemes.build_2der_system(s2, jac1, jac2,
+                                               periodic=axis.periodic)
 
     d1 = {}
     d1[BC.DD] = np.linalg.solve(A1, B1)
@@ -106,7 +122,8 @@ def build_deriv_plan(axis: Axis, scheme_name1: str = "CompactJacobian6",
     # second derivative: Jacobian correction couples D2 to D1 on nonuniform
     # grids (cf. reference FDM_Der2_Solve need_1der, fdm_derivative.f90:437-440)
     d2_base = np.linalg.solve(A2, B2)
-    d2_corr = np.linalg.solve(A2, C2) if not axis.uniform else None
+    d2_corr = np.linalg.solve(A2, C2) \
+        if (not axis.uniform and not direct2) else None
     d2 = {}
     for bc, D1bc in d1.items():
         if d2_corr is None:

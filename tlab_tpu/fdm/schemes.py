@@ -285,6 +285,8 @@ _D1_SCHEMES = {
     "CompactJacobian6": C1N6,
     "CompactJacobian6Hyper": C1N6,      # der1 falls back to C1N6 (ref fdm_derivative.f90:177)
     "CompactJacobian6Penta": C1N6_PENTA,
+    "CompactDirect4": C1N4,
+    "CompactDirect6": C1N6,
 }
 
 _D2_SCHEMES = {
@@ -292,6 +294,11 @@ _D2_SCHEMES = {
     "CompactJacobian6": C2N6,
     "CompactJacobian6Penta": C2N6,      # der2 falls back to C2N6 (ref fdm_derivative.f90:369)
     "CompactJacobian6Hyper": C2N6_HYPER,
+    # nonuniform-native direct schemes: uniform/periodic axes fall back to
+    # these Jacobian coefficients, stretched axes use the direct builders
+    # (build_2der_direct_system) in plan.py
+    "CompactDirect4": C2N4,
+    "CompactDirect6": C2N6,
 }
 
 

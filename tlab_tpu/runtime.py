@@ -522,6 +522,10 @@ class Simulation:
                                                   grid, dtype=dtype)
             P["ibm"] = ib
         P["ell_dd"] = ell_plans[BC.DD]
+        pf = getattr(case, "pressure_filter", None)
+        if pf is not None and pf.type != "none":
+            from tlab_tpu.ops.filter import build_filter_matrices
+            P["pfilter"] = build_filter_matrices(fdm, pf, dtype)
         # EllipticOrder: the factorized formulation is the default (as the
         # reference): its D1-consistent integrals make the projection
         # remove the D1-measured divergence to round-off. The direct eigen
@@ -650,6 +654,16 @@ class Simulation:
         return State(u=z, v=z, w=z,
                      s=jnp.zeros((self.nsp.n_scalars, nx, ny, nz), self.dtype))
 
+    def ell(self, bc):
+        """Elliptic plan for the given wall BC, built lazily -- the
+        compressible Simulation skips plan construction (no pressure
+        Poisson in the dycore) but the broadband ICs still need one."""
+        if bc not in self.ell_plans:
+            plan = elliptic.build_elliptic_plan(self.fdm, ibc=bc)
+            self.ell_plans[bc] = elliptic.device_elliptic_plan(plan,
+                                                               self.dtype)
+        return self.ell_plans[bc]
+
     def curl(self, u, v, w):
         dy_w = dyn._d1(self.P, "y", 1, w)
         dz_v = dyn._d1(self.P, "z", 2, v)
@@ -663,7 +677,7 @@ class Simulation:
         """Remove dilatation: u += grad(phi), lap(phi) = -div(u)
         (cf. reference FI_SOLENOIDAL, fi_vectorcalculus.f90:72-106)."""
         div = dyn.divergence(self.P, u, v, w)
-        phi = elliptic.poisson(self.ell_plans[BC.NN], -div)
+        phi = elliptic.poisson(self.ell(BC.NN), -div)
         u = u + dyn._d1(self.P, "x", 0, phi)
         v = v + dyn._d1(self.P, "y", 1, phi)
         w = w + dyn._d1(self.P, "z", 2, phi)

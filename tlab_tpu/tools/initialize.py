@@ -77,13 +77,34 @@ def random_field(sim: Simulation, rng: np.random.Generator) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _flow_shape(sim: Simulation):
-    """Envelope profiles (f, -f') along y (reference FLOW_SHAPE)."""
+    """Envelope profiles (f, -f') along y (reference FLOW_SHAPE,
+    flow_local.f90:351-400).  For GaussianSurface the envelope is
+    multiplied by tanh((y-yw)/2 thick)^2 at each NO-SLIP wall (with the
+    product-rule correction on the wall-parallel profile) so both
+    velocity components vanish smoothly there; ParabolicSurface squares
+    the envelope for the same reason."""
+    import numpy as np
     y = sim.grid.y.nodes
     prof = sim.case.profile_ini_k
     f = prof(y)
-    import numpy as np
-    df = sim.fdm.y.d1[BC.DD] @ f
-    return f, -df
+    mdf = -(sim.fdm.y.d1[BC.DD] @ f)        # profs(:,2): minus derivative
+    noslip_jmin = sim.case.velocity_bc[0] != "freeslip"
+    noslip_jmax = sim.case.velocity_bc[1] != "freeslip"
+    if prof.type == "parabolicsurface":
+        mdf = 2.0 * mdf * f
+        f = f ** 2
+    elif prof.type == "gaussiansurface":
+        if noslip_jmin:
+            yr = 0.5 * (y - y[0]) / prof.thick
+            th, ch = np.tanh(yr), np.cosh(yr)
+            mdf = mdf * th ** 2 - f * th / ch ** 2 / prof.thick
+            f = f * th ** 2
+        if noslip_jmax:
+            yr = 0.5 * (y[-1] - y) / prof.thick
+            th, ch = np.tanh(yr), np.cosh(yr)
+            mdf = mdf * th ** 2 + f * th / ch ** 2 / prof.thick
+            f = f * th ** 2
+    return f, mdf
 
 
 def velocity_broadband_vorticity(sim: Simulation, rng: np.random.Generator):
@@ -110,9 +131,9 @@ def velocity_broadband_vorticity(sim: Simulation, rng: np.random.Generator):
 
     # free-slip walls -> NN for tangential, DD for normal component
     wall = BC.NN if sim.case.velocity_bc[0] == "freeslip" else BC.DD
-    uj = elliptic.poisson(sim.ell_plans[wall], rx)
-    vj = elliptic.poisson(sim.ell_plans[BC.DD], ry)
-    wj = elliptic.poisson(sim.ell_plans[wall], rz) if nz > 1 else jnp.zeros_like(uj)
+    uj = elliptic.poisson(sim.ell(wall), rx)
+    vj = elliptic.poisson(sim.ell(BC.DD), ry)
+    wj = elliptic.poisson(sim.ell(wall), rz) if nz > 1 else jnp.zeros_like(uj)
 
     if sim.case.force_dilatation:
         uj, vj, wj = sim.solenoidal(uj, vj, wj)
@@ -135,9 +156,13 @@ def velocity_potential_broadband(sim: Simulation,
     PERT_BROADBAND_POTENTIAL, flow_local.f90:279-300) -- solenoidal by
     construction."""
     nx, ny, nz = sim.grid.shape
+    # the reference always reads all THREE random potential components
+    # (flow_local.f90:256-258); in 2-D (kmax=1) A_z is the stream
+    # function and the ONLY one that contributes: u = dA_z/dy,
+    # v = -dA_z/dx
     ax = random_field(sim, rng)
     ay = random_field(sim, rng)
-    az = random_field(sim, rng) if nz > 1 else np.zeros((nx, ny, nz))
+    az = random_field(sim, rng)
     for a in (ax, ay, az):
         a -= a.mean(axis=(0, 2), keepdims=True)
     fshape, dfshape = _flow_shape(sim)
@@ -147,6 +172,14 @@ def velocity_potential_broadband(sim: Simulation,
     uj, vj, wj = sim.curl(axj, ayj, azj)
     if nz == 1:
         wj = jnp.zeros_like(uj)
+    # reference imposes zero tangential velocity at no-slip walls via the
+    # derivative BC rows (flow_local.f90:287-292)
+    if sim.case.velocity_bc[0] != "freeslip":
+        uj = uj.at[:, 0, :].set(0.0)
+        wj = wj.at[:, 0, :].set(0.0)
+    if sim.case.velocity_bc[1] != "freeslip":
+        uj = uj.at[:, -1, :].set(0.0)
+        wj = wj.at[:, -1, :].set(0.0)
     if sim.case.normalize_k >= 0.0:
         tke_prof = 0.5 * (jnp.mean(uj ** 2, axis=(0, 2))
                           + jnp.mean(vj ** 2, axis=(0, 2))
@@ -311,13 +344,53 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
 
 
 def compressible_initial_state(sim: Simulation, seed: int = 7):
-    """Compressible ICs: velocity mean profiles + perturbations as in the
-    incompressible path, uniform rho = T = 1 thermodynamics (reference
-    iniflow compressible default; pressure consistent with the uniform
-    background)."""
+    """Compressible ICs (reference iniflow compressible branch,
+    flow_main.f90): velocity mean profiles + perturbations as in the
+    incompressible path; rho/p from the [Flow] ProfileDensity /
+    ProfilePressure mean profiles (p nondimensionalized by rho0 U0^2, so
+    a uniform p = 1/(gamma Ma^2) gives T = 1); optional [IniFields]
+    NormalizeP adds the pressure fluctuation consistent with the velocity
+    field -- lap p' = -d2(rho ui uj)/dxi dxj with p' = 0 at the walls --
+    and the isentropic density update rho *= 1 + p'/(gamma p)
+    (PRESSURE_FLUCTUATION, flow_local.f90:554-609)."""
     from tlab_tpu.dycore.compressible import from_primitive
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.ops import elliptic
+    from tlab_tpu.config import _read_profile
+
     st = initial_state(sim, seed=seed)
-    one = jnp.ones_like(st.u)
+    gamma, mach = sim.comp["gamma"], sim.comp["mach"]
+    nx, ny, nz = sim.grid.shape
+    y = sim.grid.y.nodes
+    ini = getattr(sim.case, "ini", None)
+    rho = jnp.ones_like(st.u)
+    p = jnp.full_like(st.u, 1.0 / (gamma * mach ** 2))
+    if ini is not None:
+        jscale = float(y[-1] - y[0])
+        rprof = _read_profile(ini, "flow", "Density", jscale)
+        pprof = _read_profile(ini, "flow", "Pressure", jscale)
+        if ini.get("Flow", "Density", ""):
+            rho = jnp.asarray(np.broadcast_to(
+                rprof(y)[None, :, None], (nx, ny, nz)), sim.dtype)
+        if ini.get("Flow", "Pressure", ""):
+            p = jnp.asarray(np.broadcast_to(
+                pprof(y)[None, :, None], (nx, ny, nz)), sim.dtype)
+        norm_p = ini.get_float("IniFields", "NormalizeP", -1.0)
+        if norm_p >= 0.0:
+            P = sim.P
+            ru, rv, rw = rho * st.u, rho * st.v, rho * st.w
+            tx = dyn._d1(P, "x", 0, ru * st.u) \
+                + 2.0 * (dyn._d1(P, "y", 1, ru * st.v)
+                         + dyn._d1(P, "z", 2, ru * st.w))
+            rhs = dyn._d1(P, "x", 0, tx)
+            ty = dyn._d1(P, "y", 1, rv * st.v) \
+                + 2.0 * dyn._d1(P, "z", 2, rv * st.w)
+            rhs = rhs + dyn._d1(P, "y", 1, ty)
+            rhs = rhs + dyn._d1(P, "z", 2, dyn._d1(P, "z", 2, rw * st.w))
+            pprime = elliptic.poisson(sim.ell(BC.DD), -rhs)
+            rho = (norm_p * pprime / p / gamma + 1.0) * rho
+            p = p + norm_p * pprime
+    T = gamma * mach ** 2 * p / rho
     s = st.s if st.s.shape[0] else None
-    return from_primitive(one, st.u, st.v, st.w, one,
-                          sim.comp["gamma"], sim.comp["mach"], s=s)
+    return from_primitive(rho, st.u, st.v, st.w, T,
+                          gamma, mach, s=s)
