@@ -564,3 +564,75 @@ def test_case10_deterministic_end_to_end(tmp_path):
     for col in (7, 8):
         a, b = ours[1:, col], ref[1:, col]
         assert np.all(np.abs(a - b) <= 5e-3 * np.abs(b) + 1e-9), col
+
+
+def _run_case_random_ic(tmp_path, case_name, cfl_rtol=5e-3,
+                        dil_factor=1.5, steps=11):
+    """Run a case with a random broadband IC: time/dt/D#/visc exact,
+    CFL within cfl_rtol (different RNG realization than the reference),
+    dilatation envelope within dil_factor of the reference's."""
+    out = str(tmp_path)
+    ini = f"{REF}/{case_name}/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, (case_name, r.stderr[-2000:])
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/{case_name}/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == steps
+    for col in (2, 3, 5, 6):
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6), col
+    assert np.allclose(ours[1:, 4], ref[1:, 4], rtol=cfl_rtol)
+    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
+    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
+    assert np.all(dil <= dil_factor * dil_ref + 1e-9), case_name
+    return ours, ref
+
+
+def test_case92_staggered_pressure_end_to_end(tmp_path):
+    """Case92: no-slip channel with StaggerHorizontalPressure=yes +
+    [PressureFilter] (rhs_global_incompressible_1.f90:216-320). The
+    staggered projection solves the factorized Poisson with the
+    STAGGERED derivative wavenumbers (opr_elliptic.f90:144-147, single
+    singular mode) and the log reports the staggered dilatation
+    (FI_INVARIANT_P_STAG). time/dt/D#/visc exact; dilatation envelope
+    tracks the reference's decay 5.9 -> 0.15 within 15%."""
+    _run_case_random_ic(tmp_path, "Case92", cfl_rtol=2e-2, dil_factor=1.5)
+
+
+def test_case93_ibm_staggered_end_to_end(tmp_path):
+    """Case93: Case92 + mirrored XBars IBM + EllipticOrder=CompactDirect6
+    -- the direct eigen-pencil staggered solve. The mirrored tanh grid
+    makes the NN/DD pencils reflection-symmetric with (near-)degenerate
+    even/odd eigenpairs; the parity-split eigendecomposition
+    (elliptic._pencil_eig) keeps cond(V) ~ 2 where the raw basis is
+    defective (cond ~ 1e32)."""
+    _run_case_random_ic(tmp_path, "Case93", cfl_rtol=2e-2, dil_factor=30.0)
+
+
+def test_mirrored_grid_pencil_conditioning():
+    """NN/DD eigen pencils on the reference's mirrored tanh channel grid
+    (Case92 IniGridOy): parity-split eigenbasis is well-conditioned and
+    solves match a dense solve to f64 round-off across the lambda range."""
+    from tlab_tpu.config import load_case
+    from tlab_tpu.runtime import Simulation
+    from tlab_tpu.ops import elliptic
+    from tlab_tpu.constants import BC
+    import jax.numpy as jnp
+    sim = Simulation.from_case(f"{REF}/Case92/tlab.ini", dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    ny = sim.grid.y.size
+    for bc in (BC.NN, BC.DD):
+        pl = elliptic.build_elliptic_plan(sim.fdm, ibc=bc)
+        assert pl.eig_condition < 100.0, (bc, pl.eig_condition)
+        fv = rng.standard_normal(ny)
+        fv[0] = 0.0
+        fv[-1] = 0.0
+        for lam in (2.47, 25.0, 13909.0):
+            den = 1.0 - (lam - pl.shift) * pl.lam_eig
+            ue = pl.V @ ((pl.W @ fv) / den)
+            ud = np.linalg.solve(pl.M0 - lam * pl.M1, pl.R @ fv)
+            err = np.max(np.abs(ue - ud)) / np.max(np.abs(ud))
+            assert err < 1e-8, (bc, lam, err)

@@ -430,17 +430,18 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
         p, dpdy = pencil.pencil_poisson(P["ell"], div, P["comm"],
                                         bcs_b=bcs_b, bcs_t=bcs_t,
                                         d1y=P["d1y"])
-    elif stag is not None:
-        p, dpdy = elliptic.poisson(P["ell_stag"], div, bcs_b=bcs_b,
-                                   bcs_t=bcs_t, d1y=P["d1y"])
     elif P.get("ell_fac") is not None:
         # reference-default factorized formulation: stage-consistent dpdy
-        # removes divergence to round-off (opr_elliptic.f90:108-110)
+        # removes divergence to round-off (opr_elliptic.f90:108-110); when
+        # staggered, the plan carries the staggered-derivative wavenumbers
         from tlab_tpu.ops import elliptic_factorize as fac
         tables = aux.get("fac_tables") if aux else None
         p, dpdy = fac.poisson_factorize(P["ell_fac"], div,
                                         bcs_b=bcs_b, bcs_t=bcs_t,
                                         tables=tables)
+    elif stag is not None:
+        p, dpdy = elliptic.poisson(P["ell_stag"], div, bcs_b=bcs_b,
+                                   bcs_t=bcs_t, d1y=P["d1y"])
     else:
         p, dpdy = elliptic.poisson(P["ell"], div, bcs_b=bcs_b, bcs_t=bcs_t,
                                    d1y=P["d1y"])
@@ -620,11 +621,12 @@ def dilatation_minmax(P, state: State):
     (dns_local.f90:158-166) -- so a healthy anelastic run logs round-off,
     not the physical div(u) = -v dlnrho/dy."""
     ane = P.get("anelastic")
+    div = divergence_staggered if P.get("stag") is not None else divergence
     if ane is not None:
         r = ane["rho"][None, :, None]
-        d = divergence(P, state.u * r, state.v * r, state.w * r)
+        d = div(P, state.u * r, state.v * r, state.w * r)
     else:
-        d = divergence(P, state.u, state.v, state.w)
+        d = div(P, state.u, state.v, state.w)
     return jnp.min(d), jnp.max(d)
 
 

@@ -151,6 +151,68 @@ class EllipticPlan:
     eig_condition: float = 0.0
 
 
+def _reflection_basis(n: int):
+    """Orthogonal (n, n) map to the even/odd subspaces of the index flip
+    J: i -> n-1-i (even rows first)."""
+    m = n // 2
+    T = np.zeros((n, n))
+    r = 1.0 / np.sqrt(2.0)
+    for i in range(m):
+        T[i, i] = r
+        T[i, n - 1 - i] = r
+    if n % 2:
+        T[m, m] = 1.0
+    off = m + (n % 2)
+    for i in range(m):
+        T[off + i, i] = r
+        T[off + i, n - 1 - i] = -r
+    return T, m + (n % 2)
+
+
+def _pencil_eig(K: np.ndarray):
+    """(lam, V, Vinv, cond) of K, exploiting reflection symmetry.
+
+    On mirrored (symmetric) grids with symmetric BC pairs (NN, DD) the
+    pencil commutes with the index flip J, so even and odd eigenmodes are
+    (near-)degenerate pairs and the raw eigenbasis is numerically
+    DEFECTIVE (measured cond(V) ~ 1e32 on the reference's mirrored tanh
+    channel grid). Block-diagonalizing by parity first splits the pairs;
+    each block is then well-conditioned."""
+    n = K.shape[0]
+    J = np.eye(n)[::-1]
+    use_sym = np.linalg.norm(K @ J - J @ K) <= 1e-10 * np.linalg.norm(K)
+    if use_sym:
+        T, ne = _reflection_basis(n)
+        Ks = T @ K @ T.T
+        blocks = [Ks[:ne, :ne], Ks[ne:, ne:]]
+        lams, Vs, Vinvs, conds = [], [], [], []
+        for Kb in blocks:
+            lam_b, V_b = np.linalg.eig(Kb)
+            if np.max(np.abs(lam_b.imag)) > 1e-8 * np.max(np.abs(lam_b)):
+                use_sym = False
+                break
+            lams.append(lam_b.real)
+            Vs.append(V_b.real)
+            Vinvs.append(np.linalg.inv(V_b.real))
+            conds.append(np.linalg.cond(V_b.real))
+        if use_sym:
+            lam = np.concatenate(lams)
+            Vblk = np.zeros((n, n))
+            Vblk[:ne, :ne] = Vs[0]
+            Vblk[ne:, ne:] = Vs[1]
+            Viblk = np.zeros((n, n))
+            Viblk[:ne, :ne] = Vinvs[0]
+            Viblk[ne:, ne:] = Vinvs[1]
+            return lam, T.T @ Vblk, Viblk @ T, float(max(conds))
+    lam, V = np.linalg.eig(K)
+    if np.max(np.abs(lam.imag)) > 1e-8 * np.max(np.abs(lam)):
+        raise RuntimeError("complex eigenvalues in elliptic pencil; "
+                           "use the dense fallback solver")
+    lam = lam.real
+    V = V.real
+    return lam, V, np.linalg.inv(V), float(np.linalg.cond(V))
+
+
 def build_elliptic_plan(fdm: FdmPlan, ibc: BC = BC.NN,
                         shift: float = 1.0,
                         lam_x=None, lam_z=None) -> EllipticPlan:
@@ -163,15 +225,8 @@ def build_elliptic_plan(fdm: FdmPlan, ibc: BC = BC.NN,
 
     Ms = M0 - shift * M1
     K = np.linalg.solve(Ms, M1)
-    lam_eig, V = np.linalg.eig(K)
-    if np.max(np.abs(lam_eig.imag)) > 1e-8 * np.max(np.abs(lam_eig)):
-        raise RuntimeError("complex eigenvalues in elliptic pencil; "
-                           "use the dense fallback solver")
-    lam_eig = lam_eig.real
-    V = V.real
-    Vinv = np.linalg.inv(V)
+    lam_eig, V, Vinv, cond = _pencil_eig(K)
     W = Vinv @ np.linalg.solve(Ms, R)
-    cond = float(np.linalg.cond(V))
 
     # horizontal modal eigenvalues from der2 modified wavenumbers
     # (cf. reference opr_elliptic.f90:225-231, TYPE_DIRECT)

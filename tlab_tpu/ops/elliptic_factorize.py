@@ -97,14 +97,22 @@ class FactorizePlan:
     d1y_row0: np.ndarray        # D1 wall rows for dpdy checks (unused yet)
 
 
-def build_factorize_plan(fdm: FdmPlan, shift: float = 1.0) -> FactorizePlan:
+def build_factorize_plan(fdm: FdmPlan, shift: float = 1.0,
+                         mwn_x=None, mwn_z=None) -> FactorizePlan:
+    """mwn_x/mwn_z override the horizontal modified wavenumbers (rfft
+    ordering for x, full-fft ordering for z). The staggered pressure grid
+    passes the staggered-derivative wavenumbers, which vanish only at the
+    (0,0) mode (reference opr_elliptic.f90:144-147 'different modified
+    wavenumbers', single singular mode)."""
     plan_y = fdm.y
     emin = _eigen(*build_int1_pencil(plan_y, "min"), shift)
     emax = _eigen(*build_int1_pencil(plan_y, "max"), -shift)
 
     nx = fdm.x.size
-    mwn_x = fdm.x.mwn1[: nx // 2 + 1] if fdm.x.periodic else np.zeros(1)
-    mwn_z = fdm.z.mwn1 if fdm.z.size > 1 else np.zeros(1)
+    if mwn_x is None:
+        mwn_x = fdm.x.mwn1[: nx // 2 + 1] if fdm.x.periodic else np.zeros(1)
+    if mwn_z is None:
+        mwn_z = fdm.z.mwn1 if fdm.z.size > 1 else np.zeros(1)
     lam = mwn_x[:, None] ** 2 + mwn_z[None, :] ** 2
     kappa = np.sqrt(lam)
     sing = kappa < 1e-12

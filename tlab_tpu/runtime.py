@@ -544,29 +544,42 @@ class Simulation:
             from tlab_tpu.fdm import stagger as stg
             if not grid.x.periodic:
                 raise ValueError("staggered pressure needs periodic x")
-            if "ell_fac" in P:
-                del P["ell_fac"]         # staggered solve replaces it
             sd = {}
             ntp = np.dtype(jnp.dtype(dtype))
             nx = grid.x.size
             hx = grid.x.scale / nx
             for k, M in stg.build_stagger_ops(nx, hx).items():
                 sd[f"{k}x"] = np.asarray(M, ntp)
-            lam_x = stg.modified_wavenumber(nx, grid.x.scale) ** 2
+            wx = stg.modified_wavenumber(nx, grid.x.scale)
+            lam_x = wx ** 2
             if grid.z.size > 1:
                 nz = grid.z.size
                 hz = grid.z.scale / nz
                 for k, M in stg.build_stagger_ops(nz, hz).items():
                     sd[f"{k}z"] = np.asarray(M, ntp)
-                wz = stg.modified_wavenumber(nz, grid.z.scale)
+                wz_half = stg.modified_wavenumber(nz, grid.z.scale)
                 k = np.arange(nz)
-                lam_z = wz[np.minimum(k, nz - k)] ** 2   # full-fft ordering
+                wz = wz_half[np.minimum(k, nz - k)]      # full-fft ordering
+                lam_z = wz ** 2
             else:
+                wz = None
                 lam_z = None
-            ell_st = elliptic.build_elliptic_plan(fdm, ibc=BC.NN,
-                                                  lam_x=lam_x, lam_z=lam_z)
             P["stag"] = sd
-            P["ell_stag"] = elliptic.device_elliptic_plan(ell_st, dtype)
+            if "ell_fac" in P:
+                # rebuild the factorized plan with the STAGGERED derivative
+                # wavenumbers (reference opr_elliptic.f90:144-147): the
+                # staggered divergence/gradient operators define the modal
+                # eigenvalues, and only the (0,0) mode is singular
+                from tlab_tpu.ops import elliptic_factorize as fac
+                fac_plan = fac.build_factorize_plan(fdm, mwn_x=wx, mwn_z=wz)
+                P["ell_fac"] = fac.device_factorize_plan(fac_plan, dtype)
+            else:
+                # eigen-pencil fallback (EllipticOrder=compactdirect*);
+                # accurate only on y grids with a well-conditioned pencil
+                ell_st = elliptic.build_elliptic_plan(fdm, ibc=BC.NN,
+                                                      lam_x=lam_x,
+                                                      lam_z=lam_z)
+                P["ell_stag"] = elliptic.device_elliptic_plan(ell_st, dtype)
         sfc = getattr(case, "surface_bc", ())
         if any(d["jmin"] == "linear" or d["jmax"] == "linear" for d in sfc):
             P["surface_bc"] = {
