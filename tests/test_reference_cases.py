@@ -499,6 +499,21 @@ def test_case55_three_scalar_chemistry_particles_end_to_end(tmp_path):
     assert np.all(dil <= dil_ref)
 
 
+def test_case14_compressible_airwater_end_to_end(tmp_path):
+    """Case14: COMPRESSIBLE (internal-energy, skewsymmetric) AirWater
+    cloud layer with gravity -- the full moist compressible chain:
+    hydrostatic PRESSURE_MEAN via THERMO_AIRWATER_PH_RE, saturation
+    adjustment per substep (THERMO_AIRWATER_RE Newton), RRATIO-scaled
+    compressible thermodynamic units, characteristic y BCs with the local
+    mixture gamma, conservative buffer relaxation.  EVERY column of
+    dns.out (time/dt/CFL/D#/visc/PMin/PMax/RMin/RMax/NewtonRs) matches
+    dns.out.ref to every printed digit, including the reference's Newton
+    residual 0.917E-04."""
+    _run_case_exact(tmp_path, "Case14",
+                    cols=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
+                    dil_factor=None)
+
+
 def test_case07_plane_discrete_rt_end_to_end(tmp_path):
     """Case07: Rayleigh-Taylor-type layer (linear gravity on an Erf
     scalar, PlaneDiscrete IC, zero velocity, stretched tanh grid).

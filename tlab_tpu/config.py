@@ -350,14 +350,26 @@ def load_case(path_or_ini) -> CaseSetup:
     from tlab_tpu.dycore.buffer import BufferSpec
     from tlab_tpu.ops.filter import FilterSpec
 
-    bpar = ini.get_floats("BufferZone", "ParametersJmin",
-                          ini.get_floats("BufferZone", "Parameters", (1.0, 2.0)))
+    # reference key layout (dns_read_local.f90): per-group sizes
+    # PointsUJmin (flow), PointsEJmin, PointsSJmin (scalars) and
+    # Parameters<tag> -> ParametersU/ParametersS fallback (strength,
+    # sigma) (boundary_buffer.f90:91-121); we drive all groups from the
+    # flow (U) values with the legacy un-suffixed keys as first choice
+    bpar = ini.get_floats(
+        "BufferZone", "ParametersJmin",
+        ini.get_floats("BufferZone", "Parameters",
+                       ini.get_floats("BufferZone", "ParametersU",
+                                      (1.0, 2.0))))
+
+    def _bufpts(tag):
+        return ini.get_int("BufferZone", f"Points{tag}",
+                           ini.get_int("BufferZone", f"PointsU{tag}", 0))
     buffer_spec = BufferSpec(
         type=ini.get("BufferZone", "Type", "none").lower(),
-        points_jmin=ini.get_int("BufferZone", "PointsJmin", 0),
-        points_jmax=ini.get_int("BufferZone", "PointsJmax", 0),
-        points_imin=ini.get_int("BufferZone", "PointsImin", 0),
-        points_imax=ini.get_int("BufferZone", "PointsImax", 0),
+        points_jmin=_bufpts("Jmin"),
+        points_jmax=_bufpts("Jmax"),
+        points_imin=_bufpts("Imin"),
+        points_imax=_bufpts("Imax"),
         strength=bpar[0] if bpar else 1.0,
         sigma=bpar[1] if len(bpar) > 1 else 2.0)
 
@@ -423,6 +435,7 @@ def load_case(path_or_ini) -> CaseSetup:
         # (thermodynamics.f90:191-193)
         "smooth": ini.get_float("Thermodynamics", "SmoothFactor", 0.0),
         "parameters": ini.get_floats("Thermodynamics", "Parameters", (1.0,)),
+        "chemkin_file": ini.get("Thermodynamics", "ChemkinFile", ""),
         # Nondimensional=no keeps the property tables in SI units
         # (thermodynamics.f90:195-196)
         "nondimensional": ini.get_bool("Thermodynamics", "Nondimensional",
@@ -556,6 +569,18 @@ def consistency_check(case: CaseSetup) -> None:
         raise ValueError(
             f"Mixture={mixture}: anelastic mode requires Air/AirVapor/"
             "AirWater (thermodynamics.f90:205-208).")
+    from tlab_tpu.physics.mixtures import MIXTURES as _COMB
+    if mixture in _COMB or mixture == "chemkin":
+        if eqs not in ("compressible", "internal"):
+            raise ValueError(
+                f"Mixture={mixture}: combustion mixtures require the "
+                "compressible solver (thermodynamics.f90:217-430).")
+        nsp = len(_COMB.get(mixture, ()))
+        if nsp and len(case.schmidt) != nsp - 1:
+            raise ValueError(
+                f"Mixture={mixture} transports {nsp - 1} species mass "
+                f"fractions, [Parameters] Schmidt gives "
+                f"{len(case.schmidt)}.")
 
     rad_type = ini.get("Infrared", "Type",
                        ini.get("Radiation", "Type", "none")).lower() \

@@ -37,16 +37,55 @@ class CompState(NamedTuple):
     rhos: jax.Array = None   # optional scalars (ns, nx, ny, nz) as rho*s
 
 
-def primitive(P, U: CompState, gamma: float, mach: float):
+def primitive(P, U: CompState, gamma: float, mach: float, mix=None):
     rho = U.rho
     u = U.rhou / rho
     v = U.rhov / rho
     w = U.rhow / rho
     ke = 0.5 * (u * u + v * v + w * w)
     e = U.rhoE / rho - ke
+    if mix is not None and U.rhos is not None:
+        T, p, _ = mixture_thermal(U, e, mach, mix)
+        return u, v, w, T, p
     T = e * gamma * (gamma - 1.0) * mach ** 2
     p = rho * T / (gamma * mach ** 2)
     return u, v, w, T, p
+
+
+def mass_fractions(U: CompState):
+    """(nsp, ...) species mass fractions from the transported rho*Y_i
+    scalars, appending the balance species Y_n = 1 - sum (the reference
+    carries nsp-1 scalars and derives the last, thermodynamics.f90
+    inb_scal vs NSP)."""
+    Y = U.rhos / U.rho[None]
+    return jnp.concatenate([Y, (1.0 - jnp.sum(Y, axis=0))[None]], axis=0)
+
+
+def mixture_thermal(U: CompState, e, mach: float, mix, n_newton: int = 4):
+    """(T, p, cp) from nondimensional internal energy via the mixture
+    caloric table (reference THERMO_CALORIC_TEMPERATURE Newton +
+    THERMO_THERMAL_PRESSURE, thermo_caloric.f90/thermo_thermal.f90).
+
+    Units follow the reference convention: e_code scaled by U0^2 with
+    U0^2 = M^2 gama0 Rref T0, so e_nd (by cpref*T0) = e_code*(gama0-1)*M^2
+    and e_nd = h_nd(T,Y) - (1-1/gama0) R_nd(Y) T."""
+    from tlab_tpu.physics import mixtures as mx
+    Y = mass_fractions(U)
+    if Y.shape[0] != mix.nsp:
+        raise ValueError(f"mixture {mix.name!r} expects {mix.nsp - 1} "
+                         f"transported scalars, got {Y.shape[0] - 1}")
+    g0 = mix.gama0
+    e_nd = e * (g0 - 1.0) * mach ** 2
+    R = mx.gas_constant(mix, Y)
+    rfac = (g0 - 1.0) / g0          # rref/cpref
+    T = jnp.full(e_nd.shape, 1.0, e_nd.dtype)
+    for _ in range(n_newton):
+        res = mx.h_mixture(mix, T, Y) - rfac * R * T - e_nd
+        cv = mx.cp_mixture(mix, T, Y) - rfac * R
+        T = T - res / cv
+    cp = mx.cp_mixture(mix, T, Y)
+    p = U.rho * R * T / (g0 * mach ** 2)
+    return T, p, cp
 
 
 def _div(P, fx, fy, fz):
@@ -137,7 +176,7 @@ def _visc_terms(P, u, v, w, T, mu, cond, variable_mu: bool):
 
 def rhs_compressible(P, U: CompState, gamma: float, mach: float,
                      visc: float, prandtl: float, gas=None,
-                     form: str = "divergence"):
+                     form: str = "divergence", mix=None):
     """Tendency of the conservative state.
 
     form: 'divergence' (reference RHS_FLOW_EULER_DIVERGENCE) or
@@ -149,7 +188,7 @@ def rhs_compressible(P, U: CompState, gamma: float, mach: float,
     conduction coefficients then vary pointwise with temperature.
     """
     rho = U.rho
-    u, v, w, T, p = primitive(P, U, gamma, mach)
+    u, v, w, T, p = primitive(P, U, gamma, mach, mix=mix)
 
     h_rho = -_div(P, U.rhou, U.rhov, U.rhow)
     if form == "skewsymmetric":
@@ -182,9 +221,9 @@ def rhs_compressible(P, U: CompState, gamma: float, mach: float,
     if variable_mu:
         from tlab_tpu.physics import eos
         mu = visc * eos.viscosity(gas, T)
-    cond = mu / (prandtl * (gamma - 1.0) * mach ** 2)
+    cond = _conduction_coef(U, T, mu, prandtl, gamma, mach, mix)
     dtx, dty, dtz, conduction, grads, phi, _ = _visc_terms(
-        P, u, v, w, T, mu, cond, variable_mu)
+        P, u, v, w, T, mu, cond, variable_mu or mix is not None)
 
     h_ru = h_ru + dtx
     h_rv = h_rv + dty
@@ -198,7 +237,20 @@ def rhs_compressible(P, U: CompState, gamma: float, mach: float,
     return CompState(h_rho, h_ru, h_rv, h_rw, h_rE, h_rs)
 
 
-def primitive_internal(P, U: CompState, gamma: float, mach: float):
+def _conduction_coef(U: CompState, T, mu, prandtl: float, gamma: float,
+                     mach: float, mix):
+    """Heat-conduction coefficient k/(Re Pr): mu cp_nd/(Pr (g0-1) M^2);
+    cp_nd = 1 for the single-species gas, a field for mixtures
+    (reference's k = cp mu/Pr weighting)."""
+    if mix is None or U.rhos is None:
+        return mu / (prandtl * (gamma - 1.0) * mach ** 2)
+    from tlab_tpu.physics import mixtures as mx
+    cp = mx.cp_mixture(mix, T, mass_fractions(U))
+    return mu * cp / (prandtl * (mix.gama0 - 1.0) * mach ** 2)
+
+
+def primitive_internal(P, U: CompState, gamma: float, mach: float,
+                       mix=None):
     """Primitive recovery when rhoE carries INTERNAL energy rho e
     (reference DNS_EQNS_INTERNAL formulation)."""
     rho = U.rho
@@ -206,18 +258,22 @@ def primitive_internal(P, U: CompState, gamma: float, mach: float):
     v = U.rhov / rho
     w = U.rhow / rho
     e = U.rhoE / rho
+    if mix is not None and U.rhos is not None:
+        T, p, _ = mixture_thermal(U, e, mach, mix)
+        return u, v, w, T, p
     T = e * gamma * (gamma - 1.0) * mach ** 2
     p = rho * T / (gamma * mach ** 2)
     return u, v, w, T, p
 
 
 def rhs_compressible_internal(P, U: CompState, gamma: float, mach: float,
-                              visc: float, prandtl: float, gas=None):
+                              visc: float, prandtl: float, gas=None,
+                              mix=None):
     """Internal-energy formulation (reference rhs_flow_global_2.f90 /
     DNS_EQNS_INTERNAL): d(rho e)/dt = -div(rho e u) - p div u + Phi +
     div(k grad T), with Phi = tau : grad u the viscous dissipation."""
     rho = U.rho
-    u, v, w, T, p = primitive_internal(P, U, gamma, mach)
+    u, v, w, T, p = primitive_internal(P, U, gamma, mach, mix=mix)
 
     h_rho = -_div(P, U.rhou, U.rhov, U.rhow)
     h_ru = -_div(P, U.rhou * u + p, U.rhou * v, U.rhou * w)
@@ -229,9 +285,9 @@ def rhs_compressible_internal(P, U: CompState, gamma: float, mach: float,
     if variable_mu:
         from tlab_tpu.physics import eos
         mu = visc * eos.viscosity(gas, T)
-    cond = mu / (prandtl * (gamma - 1.0) * mach ** 2)
+    cond = _conduction_coef(U, T, mu, prandtl, gamma, mach, mix)
     dtx, dty, dtz, conduction, grads, phi, _ = _visc_terms(
-        P, u, v, w, T, mu, cond, variable_mu)
+        P, u, v, w, T, mu, cond, variable_mu or mix is not None)
     divu = grads[-1]
     h_ru = h_ru + dtx
     h_rv = h_rv + dty
@@ -263,6 +319,192 @@ def _rhs_scalars(P, U: CompState, u, v, w, visc: float):
     h = h + diff * (rho[None] * lap_s
                     + rx[None] * sx1 + ry[None] * sy1 + rz[None] * sz1)
     return h
+
+
+# ---------------------------------------------------------------------------
+# AirWater (moist two-phase) compressible path -- reference MIXT_TYPE_AIRWATER
+# with Equations=internal (RHS_FLOW_GLOBAL_2 + RHS_SCAL_GLOBAL_2).
+# The prognostic energy is stored in the reference's THERMAL units
+# (cp0 T0; thermodynamics.f90:543-549): mechanical terms in the energy
+# equation carry the CRATIO_INV = (gama0-1) M^2 conversion and the
+# pressure/gas constants ride the RRATIO scaling inside ThermoParams.
+# ---------------------------------------------------------------------------
+
+def primitive_airwater(U: CompState, tp, nr: int = 3):
+    """(u, v, w, T, p, ql, newton_err) from the conservative state with
+    rhoE = rho e in thermal units (internal-energy formulation) and
+    rhos[0] = rho qt. Saturation adjustment via THERMO_AIRWATER_RE
+    (the per-substep FI_DIAGNOSTIC -> THERMO_CALORIC_TEMPERATURE path);
+    newton_err is the reference's NEWTONRAPHSON_ERROR log column."""
+    from tlab_tpu.physics import thermo as th
+    rho = U.rho
+    u = U.rhou / rho
+    v = U.rhov / rho
+    w = U.rhow / rho
+    e = U.rhoE / rho
+    qt = U.rhos[0] / rho
+    T, ql, err = th.airwater_re(tp, qt, e, rho, nr=nr)
+    p = th.thermal_pressure(tp, qt, ql, rho, T)
+    return u, v, w, T, p, ql, (jnp.max(err) if err is not None else 0.0)
+
+
+def gamma_airwater(tp, qt, ql, T):
+    """Local cp/cv field (THERMO_GAMMA airwater branch,
+    thermo_caloric.f90:223)."""
+    from tlab_tpu.physics import thermo as th
+    cpm = tp.Cd + qt * tp.Cdv + ql * tp.Cvl
+    return cpm / (cpm - tp.cratio_inv * th.mixture_R(tp, qt, ql))
+
+
+def from_primitive_airwater(tp, rho, u, v, w, T, qt, ql) -> CompState:
+    """Conservative state with e from THERMO_CALORIC_ENERGY (airwater)."""
+    from tlab_tpu.physics import thermo as th
+    e = th.caloric_energy(tp, qt, ql, T)
+    return CompState(rho=rho, rhou=rho * u, rhov=rho * v, rhow=rho * w,
+                     rhoE=rho * e, rhos=(rho * qt)[None])
+
+
+def rhs_airwater_internal(P, U: CompState, tp, visc: float, prandtl: float,
+                          schmidt: float, gvec=(0.0, 0.0, 0.0)):
+    """Reference RHS_FLOW_GLOBAL_2 + RHS_SCAL_GLOBAL_2 for the AirWater
+    mixture: skewsymmetric advection, explicit viscous/diffusion,
+    internal-energy equation
+
+      d(rho e)/dt = -skew(rho e u) + CRATIO_INV (Phi - p div u)
+                    + (visc/Pr) lap(h(T, q))
+
+    (conduction as the Laplacian of the caloric ENTHALPY, not T), gravity
+    g_i rho in the momentum equations (no gravity work in the internal
+    form), and plain diff lap(qt) scalar diffusion. The enthalpy-diffusion
+    cross term for Sc != Pr (rhs_scal_global_2.f90:96-130) is not
+    implemented: the reference cases run Sc = Pr."""
+    from tlab_tpu.physics import thermo as th
+    rho = U.rho
+    u, v, w, T, p, ql, err = primitive_airwater(U, tp)
+    qt = U.rhos[0] / rho
+    ci = tp.cratio_inv
+
+    h_rho = -_div(P, U.rhou, U.rhov, U.rhow)
+    px_, py_, pz_ = _grad(P, p)
+
+    def skew(phi, rphi):
+        dv = _div(P, rphi * u, rphi * v, rphi * w)
+        gx, gy, gz = _grad(P, phi)
+        conv = U.rhou * gx + U.rhov * gy + U.rhow * gz
+        return -0.5 * (dv + conv - phi * h_rho)
+
+    h_ru = skew(u, U.rhou) - px_ + gvec[0] * rho
+    h_rv = skew(v, U.rhov) - py_ + gvec[1] * rho
+    h_rw = skew(w, U.rhow) - pz_ + gvec[2] * rho
+    e_sp = U.rhoE / rho
+    h_re = skew(e_sp, U.rhoE)
+
+    # viscous terms (constant mu) with the caloric enthalpy riding the
+    # stacked D2 slot normally used by T: conduction = cond lap(h)
+    h_enth = th.caloric_enthalpy(tp, qt, ql, T)
+    cond = visc / prandtl
+    dtx, dty, dtz, conduction, grads, phi, _ = _visc_terms(
+        P, u, v, w, h_enth, visc, cond, False)
+    divu = grads[-1]
+    h_ru = h_ru + dtx
+    h_rv = h_rv + dty
+    h_rw = h_rw + dtz
+    h_re = h_re + ci * (phi - p * divu) + conduction
+
+    # scalar qt: skewsymmetric advection + diff lap(qt)
+    diff = visc / schmidt
+    qx1, qx2 = _d12_stack(P, "x", 0, qt[None])
+    qy1, qy2 = _d12_stack(P, "y", 1, qt[None])
+    qz1, qz2 = _d12_stack(P, "z", 2, qt[None])
+    h_rs = skew(qt, U.rhos[0])[None] + diff * (qx2 + qy2 + qz2)
+
+    return CompState(h_rho, h_ru, h_rv, h_rw, h_re, h_rs), \
+        (u, v, w, T, p, ql, err)
+
+
+def _apply_buffer(h: CompState, U: CompState, buf):
+    """Compressible buffer relaxation (BOUNDARY_BUFFER RELAX_BLOCK_CF /
+    RELAX_BLOCK_RHO): conservative fields relax toward the plane-mean
+    initial profiles; h_q -= tau(y) (q - ref(y))."""
+    tau = buf["tau"]            # (1, ny, 1)
+    refs = buf["refs"]          # name -> (1, ny, 1) conservative refs
+
+    def rx(hc, qc, name):
+        return hc - tau * (qc - refs[name])
+    hs = h.rhos
+    if hs is not None and "rs0" in refs:
+        hs = jnp.stack([rx(hs[i], U.rhos[i], f"rs{i}")
+                        for i in range(hs.shape[0])])
+    return CompState(rx(h.rho, U.rho, "rho"),
+                     rx(h.rhou, U.rhou, "rhou"),
+                     rx(h.rhov, U.rhov, "rhov"),
+                     rx(h.rhow, U.rhow, "rhow"),
+                     rx(h.rhoE, U.rhoE, "rhoE"), hs)
+
+
+def rk_step_airwater(P, U: CompState, dtime, tp, visc: float,
+                     prandtl: float, schmidt: float, nscbc=None,
+                     ly: float = 1.0, gvec=(0.0, 0.0, 0.0), buffer=None):
+    """Low-storage RK step for the AirWater internal-energy core
+    (TIME_SUBSTEP_COMPRESSIBLE with RHS_FLOW_GLOBAL_2). Returns the new
+    state and the max Newton residual across substeps (NewtonRs)."""
+    kdt = P["rk"]["kdt"]
+    kco = P["rk"]["kco"]
+    h = CompState(*(jnp.zeros_like(x) if x is not None else None
+                    for x in U))
+    err_max = jnp.zeros((), U.rho.dtype)
+    for i, k in enumerate(kdt):
+        dte = dtime * k
+        dh, prim = rhs_airwater_internal(P, U, tp, visc, prandtl, schmidt,
+                                         gvec=gvec)
+        err_max = jnp.maximum(err_max, prim[6])
+        h = CompState(*(a + b if a is not None else None
+                        for a, b in zip(h, dh)))
+        if nscbc is not None:
+            from tlab_tpu.dycore.nscbc import apply_nscbc_airwater
+            h = apply_nscbc_airwater(P, U, h, tp, nscbc, ly, prim,
+                                     gvec=gvec)
+        else:
+            h = _apply_wall_bcs(P, h)
+        if buffer is not None:
+            h = _apply_buffer(h, U, buffer)
+        U = CompState(*(q + dte * hq if q is not None else None
+                        for q, hq in zip(U, h)))
+        if i < len(kdt) - 1:
+            a = kco[i]
+            h = CompState(*(a * x if x is not None else None for x in h))
+    return U, err_max
+
+
+def acoustic_cfl_max_airwater(P, U: CompState, tp):
+    """max((|u|+c)/dx + ...) with c = sqrt(gama0 p / rho) -- the
+    reference's TIME_COURANT compressible branch uses the CONSTANT
+    gama0, not the local mixture gamma (time.f90:429)."""
+    u, v, w, T, p, ql, _ = primitive_airwater(U, tp)
+    gama0 = tp.Cpd_dim / (tp.Cpd_dim - tp.Rd_dim)
+    c = jnp.sqrt(gama0 * jnp.maximum(p, 1e-30) / U.rho)
+    acc = 0.0
+    if "iodx" in P:
+        acc = acc + (jnp.abs(u) + c) * P["iodx"][:, None, None]
+    if "iody" in P:
+        acc = acc + (jnp.abs(v) + c) * P["iody"][None, :, None]
+    if "iodz" in P:
+        acc = acc + (jnp.abs(w) + c) * P["iodz"][None, None, :]
+    return jnp.max(acc)
+
+
+def diffusion_number_max(P, U: CompState, schmidt_factor: float):
+    """Compressible diffusion-number density: schmidtfactor *
+    max((1/dx^2 + 1/dy^2 + 1/dz^2)/rho) (TIME_COURANT, time.f90:493).
+    schmidt_factor = visc * max(1, 1/Pr, 1/min(Sc))."""
+    acc = 0.0
+    if "iodx" in P:
+        acc = acc + P["iodx"][:, None, None] ** 2
+    if "iody" in P:
+        acc = acc + P["iody"][None, :, None] ** 2
+    if "iodz" in P:
+        acc = acc + P["iodz"][None, None, :] ** 2
+    return schmidt_factor * jnp.max(acc / U.rho)
 
 
 def _apply_wall_bcs(P, h: CompState, sides=(True, True)):
@@ -304,10 +546,28 @@ def _apply_wall_bcs(P, h: CompState, sides=(True, True)):
     return CompState(hrho, hu, hv, hw, hE, hs)
 
 
+def _add_gravity(h: CompState, U: CompState, gvec, energy: str):
+    """Momentum + g_i rho; total energy adds the work rho g . u
+    (reference rhs_flow_euler_*: hq_i += g_i rho, hq4 +=
+    CRATIO_INV rho g.u -- the CRATIO_INV cancels in our code-units e)."""
+    if not any(gvec):
+        return h
+    rho = U.rho
+    h_ru = h.rhou + gvec[0] * rho
+    h_rv = h.rhov + gvec[1] * rho
+    h_rw = h.rhow + gvec[2] * rho
+    h_rE = h.rhoE
+    if energy == "total":
+        h_rE = h_rE + (gvec[0] * U.rhou + gvec[1] * U.rhov
+                       + gvec[2] * U.rhow)
+    return CompState(h.rho, h_ru, h_rv, h_rw, h_rE, h.rhos)
+
+
 def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
                          visc: float, prandtl: float, nscbc=None,
                          ly: float = 1.0, gas=None, lx: float = 1.0,
-                         form: str = "divergence", energy: str = "total"):
+                         form: str = "divergence", energy: str = "total",
+                         mix=None, gvec=(0.0, 0.0, 0.0), buffer=None):
     kdt = P["rk"]["kdt"]
     kco = P["rk"]["kco"]
     h = CompState(*(jnp.zeros_like(x) if x is not None else None
@@ -316,10 +576,11 @@ def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
         dte = dtime * k
         if energy == "internal":
             dh = rhs_compressible_internal(P, U, gamma, mach, visc,
-                                           prandtl, gas=gas)
+                                           prandtl, gas=gas, mix=mix)
         else:
             dh = rhs_compressible(P, U, gamma, mach, visc, prandtl,
-                                  gas=gas, form=form)
+                                  gas=gas, form=form, mix=mix)
+        dh = _add_gravity(dh, U, gvec, energy)
         h = CompState(*(a + b if a is not None else None
                         for a, b in zip(h, dh)))
         if nscbc is not None:
@@ -333,6 +594,8 @@ def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
                             energy=energy)
         else:
             h = _apply_wall_bcs(P, h)
+        if buffer is not None:     # after BCs, as the reference (time.f90:808)
+            h = _apply_buffer(h, U, buffer)
         U = CompState(*(q + dte * hq if q is not None else None
                         for q, hq in zip(U, h)))
         if i < len(kdt) - 1:
@@ -341,11 +604,16 @@ def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
     return U
 
 
-def acoustic_cfl_max(P, U: CompState, gamma: float, mach: float):
+def acoustic_cfl_max(P, U: CompState, gamma: float, mach: float, mix=None):
     """max((|u|+c)/dx + ...) with c the sound speed (reference TIME_COURANT
     compressible branch)."""
-    u, v, w, T, p = primitive(P, U, gamma, mach)
-    c = jnp.sqrt(jnp.maximum(T, 1e-12)) / mach
+    u, v, w, T, p = primitive(P, U, gamma, mach, mix=mix)
+    if mix is not None and U.rhos is not None:
+        # c = sqrt(gama0 p/rho): the reference courant uses the CONSTANT
+        # gama0 with the mixture pressure (time.f90:429)
+        c = jnp.sqrt(jnp.maximum(mix.gama0 * p, 1e-12) / U.rho)
+    else:
+        c = jnp.sqrt(jnp.maximum(T, 1e-12)) / mach
     acc = 0.0
     if "iodx" in P:
         acc = acc + (jnp.abs(u) + c) * P["iodx"][:, None, None]
@@ -357,8 +625,16 @@ def acoustic_cfl_max(P, U: CompState, gamma: float, mach: float):
 
 
 def from_primitive(rho, u, v, w, T, gamma: float, mach: float,
-                   s=None) -> CompState:
-    e = T / (gamma * (gamma - 1.0) * mach ** 2)
+                   s=None, mix=None) -> CompState:
+    if mix is not None and s is not None:
+        from tlab_tpu.physics import mixtures as mx
+        Y = jnp.concatenate([s, (1.0 - jnp.sum(s, axis=0))[None]], axis=0)
+        g0 = mix.gama0
+        e_nd = (mx.h_mixture(mix, T, Y)
+                - (g0 - 1.0) / g0 * mx.gas_constant(mix, Y) * T)
+        e = e_nd / ((g0 - 1.0) * mach ** 2)
+    else:
+        e = T / (gamma * (gamma - 1.0) * mach ** 2)
     ke = 0.5 * (u * u + v * v + w * w)
     return CompState(rho=rho, rhou=rho * u, rhov=rho * v, rhow=rho * w,
                      rhoE=rho * (e + ke),

@@ -47,6 +47,11 @@ class NSCBCSpec:
     rho_inf: float = 1.0        # reference density (inflow relaxation)
     u_inf: tuple = (0.0, 0.0, 0.0)   # reference velocity (x, y, z)
     drift: bool = True          # rescale pl_out by (1 - max Mach^2)
+    # per-side reference states at the y boundaries (BcsFlowJmin/Jmax%ref,
+    # boundary_bcs.f90:224-287: built from the buffer plane means):
+    # (rho_ref, un_ref, v1_ref, v2_ref, p_ref[, s_ref]) floats
+    refs_ymin: tuple = None
+    refs_ymax: tuple = None
 
 
 def _edge_plane(a, axis: int, side: int):
@@ -330,6 +335,85 @@ def apply_nscbc(P, U: CompState, h: CompState, gamma: float, mach: float,
                         jnp.full_like(r_b, spec.rho_inf),
                         jnp.zeros_like(r_b), idir=idir)
                     hs = hs.at[(i_s,) + idx].add(hz)
+    return CompState(*comps, hs)
+
+
+def apply_nscbc_airwater(P, U: CompState, h: CompState, tp, spec: NSCBCSpec,
+                         ly: float, prim, gvec=(0.0, 0.0, 0.0)) -> CompState:
+    """BOUNDARY_BCS_Y for the compressible AirWater internal-energy core:
+    the same NR_3/NR_4 corrections with the LOCAL mixture gamma field,
+    the energy correction scaled by CRATIO_INV (thermal-units energy),
+    the qt characteristic added to the scalar tendency, and the
+    DIAGNOSTIC ql characteristic added only to the energy with weight
+    THERMO_AI(6,1,3) = Lvl (boundary_bcs_compressible.f90:713-775)."""
+    from tlab_tpu.dycore.compressible import gamma_airwater
+    rho = U.rho
+    u, v, w, T, p, ql, _ = prim
+    qt = U.rhos[0] / rho
+    gam = gamma_airwater(tp, qt, ql, T)
+    ci = tp.cratio_inv
+
+    # Mach drift from the instantaneous local sound speed
+    m2 = jnp.max((u * u + v * v + w * w) * rho / (gam * p)) if spec.drift \
+        else jnp.zeros((), rho.dtype)
+    drift = jnp.maximum(1.0 - m2, 0.0)
+
+    comps = [h.rho, h.rhou, h.rhov, h.rhow, h.rhoE]
+    hs = h.rhos
+    for side in (0, 1):
+        kind = (spec.ymin, spec.ymax)[side]
+        if kind in ("wall", "none"):
+            continue
+        j = 0 if side == 0 else -1
+        sl = (slice(None), j, slice(None))
+        r_b = rho[sl]
+        un_b = v[sl]
+        v1_b = u[sl]
+        v2_b = w[sl]
+        p_b = p[sl]
+        g_b = gam[sl]
+        drdn = _edge_deriv(P, rho, 1, side)
+        dundn = _edge_deriv(P, v, 1, side)
+        dv1dn = _edge_deriv(P, u, 1, side)
+        dv2dn = _edge_deriv(P, w, 1, side)
+        dpdn = _edge_deriv(P, p, 1, side)
+        c_b = jnp.sqrt(g_b * p_b / r_b)
+        pl_out = spec.sigma * drift * c_b / ly
+        pl_inf = (spec.cinf / ly) * jnp.ones_like(c_b)
+        refs_t = (spec.refs_ymin, spec.refs_ymax)[side]
+        if refs_t is None:
+            refs_t = (spec.rho_inf, spec.u_inf[1], spec.u_inf[0],
+                      spec.u_inf[2], spec.p_inf)
+        refs = tuple(jnp.full_like(r_b, rv) for rv in refs_t[:5])
+        s_ref = refs_t[5] if len(refs_t) > 5 else 0.0
+        hr, hun, hv1, hv2, he = _nr_corrections(
+            side, r_b, un_b, v1_b, v2_b, p_b, g_b, drdn, dundn,
+            dv1dn, dv2dn, dpdn, gvec[1], pl_out, pl_inf, refs, idir=2)
+        if spec.ctan != 0.0:
+            tr = _transverse_corrections(
+                P, side, r_b, un_b, v1_b, v2_b, p_b, g_b,
+                (gvec[0], gvec[2]), spec.ctan)
+            hr, hun, hv1, hv2, he = (a + b for a, b in
+                                     zip((hr, hun, hv1, hv2, he), tr))
+        idx = (slice(None), j, slice(None))
+        comps[0] = comps[0].at[idx].add(hr)
+        comps[2] = comps[2].at[idx].add(hun)
+        comps[1] = comps[1].at[idx].add(hv1)
+        comps[3] = comps[3].at[idx].add(hv2)
+        comps[4] = comps[4].at[idx].add(he * ci)
+        # scalar characteristics: qt (prognostic) and ql (diagnostic,
+        # energy-only with weight Lvl = THERMO_AI(6,1,3))
+        for s_f, w_en, into_hs, sr in ((qt, 0.0, True, s_ref),
+                                       (ql, tp.Lvl, False, 0.0)):
+            dsdn = _edge_deriv(P, s_f, 1, side)
+            hz = _nr_scalar_corrections(
+                side, r_b, un_b, s_f[sl], p_b, g_b, drdn, dundn,
+                dsdn, dpdn, gvec[1], pl_out, pl_inf, refs[4], refs[0],
+                jnp.full_like(r_b, sr), idir=2)
+            if into_hs and hs is not None:
+                hs = hs.at[(0,) + idx].add(hz)
+            if w_en != 0.0:
+                comps[4] = comps[4].at[idx].add(hz * w_en)
     return CompState(*comps, hs)
 
 

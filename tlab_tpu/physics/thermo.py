@@ -106,6 +106,12 @@ class ThermoParams:
     psat_mode: str = "polynomial"  # polynomial (reference Flatau) | bolton
     dsmooth: float = 0.0           # saturation-adjustment smoothing factor
     cratio_inv: float = 1.0        # (gama0-1) M^2 (compressible); 1 else
+    # Compressible nondimensionalization (thermodynamics.f90:543-549):
+    # pressure scaled by the dynamic rho0 U0^2 instead of p0, so the gas
+    # constants and the psat table are multiplied by
+    # RRATIO = p0/(rho0 U0^2) = 1/(gama0 M^2). 0.0 = anelastic/dimensional
+    # convention (fields R in cp units, psat in p_ref units).
+    rratio: float = 0.0
     thermo_param: tuple = ()       # [Thermodynamics] Parameters (linear mix)
     # [Thermodynamics] Nondimensional: when False the reference keeps the
     # property tables in SI units (thermodynamics.f90:518-556 skipped,
@@ -136,6 +142,10 @@ class ThermoParams:
 
     @property
     def Rd(self):
+        if self.rratio:
+            # compressible units: Rd/Rref = 1, scaled by RRATIO
+            # (thermodynamics.f90:548 THERMO_R *= RRATIO)
+            return self.rratio
         return self.Rd_dim / self._cp_norm
 
     @property
@@ -176,9 +186,14 @@ class ThermoParams:
     def psat_cf(self):
         """THERMO_PSAT in the active units (dimensional Pa/K when
         Nondimensional=no, thermodynamics.f90:537-542 skipped)."""
-        if self.nondimensional:
-            return psat_coeffs(self.T_ref, self.p_ref)
-        return psat_coeffs(1.0, 1.0)
+        if not self.nondimensional:
+            return psat_coeffs(1.0, 1.0)
+        cf = psat_coeffs(self.T_ref, self.p_ref)
+        if self.rratio:
+            # compressible: psat in rho0 U0^2 units
+            # (thermodynamics.f90:547 THERMO_PSAT *= RRATIO)
+            cf = tuple(c * self.rratio for c in cf)
+        return cf
 
     # formation-enthalpy differences (airwater family: Lv = Ld = Ldv = 0,
     # Lvl = Ldl = -Lv0, thermodynamics.f90:580-585)
@@ -489,12 +504,99 @@ def airwater_re(tp: ThermoParams, qt, e, rho, nr: int = 3):
     qsat_sat = psat_polynomial(cf, T_sat) / (rho * T_sat * Rv)
     T = jnp.where(saturated, T_sat, T0)
     ql = jnp.where(saturated, qt - qsat_sat, 0.0)
+    # NEWTONRAPHSON_ERROR only tracks points that took the saturated
+    # Newton branch (thermo_airwater.f90:266, 300-325)
+    err = jnp.where(saturated, err, 0.0)
     return T, ql, err
 
 
 def thermal_density(tp: ThermoParams, qt, ql, p, T):
     """rho = p/(R_mix T) (THERMO_THERMAL_DENSITY)."""
     return p / (mixture_R(tp, qt, ql) * T)
+
+
+def thermal_pressure(tp: ThermoParams, qt, ql, rho, T):
+    """p = rho R_mix T (THERMO_THERMAL_PRESSURE, airwater branch)."""
+    return rho * mixture_R(tp, qt, ql) * T
+
+
+def caloric_enthalpy(tp: ThermoParams, qt, ql, T):
+    """h(T, q) = (Cd + qt Cdv + ql Cvl) T + Ld + qt Ldv + ql Lvl
+    (THERMO_CALORIC_ENTHALPY airwater branch, thermo_caloric.f90)."""
+    return ((tp.Cd + qt * tp.Cdv + ql * tp.Cvl) * T
+            + tp.Ld + qt * tp.Ldv + ql * tp.Lvl)
+
+
+def caloric_energy(tp: ThermoParams, qt, ql, T):
+    """e(T, q) = h(T, q) - CRATIO_INV R_mix T (THERMO_CALORIC_ENERGY
+    airwater branch): internal energy in the reference's cp T0 units."""
+    return (caloric_enthalpy(tp, qt, ql, T)
+            - tp.cratio_inv * mixture_R(tp, qt, ql) * T)
+
+
+def compressible_airwater_params(mach: float, dsmooth: float = 0.0,
+                                 **kw) -> ThermoParams:
+    """ThermoParams in the reference's compressible-AirWater units
+    (thermodynamics.f90:543-549): gama0 = Cpd/(Cpd - Rd) from the
+    property tables (overrides any INI HeatCapacityRatio when a mixture
+    is selected, :505-507), gas constants and psat scaled by
+    RRATIO = 1/(gama0 M^2), CRATIO_INV = (gama0-1) M^2."""
+    base = ThermoParams(**kw)
+    gama0 = base.Cpd_dim / (base.Cpd_dim - base.Rd_dim)
+    return dataclasses.replace(
+        base, mixture="airwater", dsmooth=dsmooth,
+        rratio=1.0 / (gama0 * mach ** 2),
+        cratio_inv=(gama0 - 1.0) * mach ** 2)
+
+
+def hydrostatic_background_compressible(tp: ThermoParams, y: np.ndarray,
+                                        h_prof: np.ndarray,
+                                        qt_prof: np.ndarray,
+                                        p_ref: float, y_ref: float,
+                                        g2: float, d1y: np.ndarray = None,
+                                        niter: int = 10):
+    """Compressible-branch Gravity_Hydrostatic_Enthalpy
+    (gravity.f90:121-227, THERMO_TYPE_COMPRESSIBLE path): iterate
+    T, ql = AIRWATER_PH_RE(qt, p, h); integrate d ln p/dy = g2/(R T)
+    with the same cumulative-integral operator as the anelastic branch;
+    normalize p(yref) = pref. g2 = buoyancy vector y-component / Froude
+    (negative for downward gravity). Returns (ny,) profiles."""
+    ny = y.shape[0]
+    if d1y is not None:
+        D = np.array(d1y, dtype=np.float64)
+        D[0, :] = 0.0
+        D[0, 0] = 1.0
+
+        def cumint(f):
+            rhs = np.array(f, dtype=np.float64)
+            rhs[0] = 0.0
+            return np.linalg.solve(D, rhs)
+    else:
+        dy_ = np.diff(y)
+
+        def cumint(f):
+            out = np.zeros_like(f)
+            out[1:] = np.cumsum(0.5 * (f[1:] + f[:-1]) * dy_)
+            return out
+
+    h64 = np.asarray(h_prof, np.float64)
+    qt64 = np.asarray(qt_prof, np.float64)
+    p = np.full(ny, p_ref, dtype=np.float64)
+    T = np.ones(ny)
+    ql = np.zeros(ny)
+    for _ in range(max(niter, 1)):
+        Tj, qlj, _ = airwater_ph_re(tp, jnp.asarray(qt64), jnp.asarray(p),
+                                    jnp.asarray(h64))
+        T = np.asarray(Tj, np.float64)
+        ql = np.asarray(qlj, np.float64)
+        # r_aux = g2 * (1/(R T)) (THERMO_THERMAL_DENSITY at p=1)
+        R = np.asarray(mixture_R(tp, qt64, ql), np.float64)
+        lnp = cumint(g2 / (R * T))
+        p = np.exp(lnp)
+        p *= p_ref / np.interp(y_ref, y, p)
+    R = np.asarray(mixture_R(tp, qt64, ql), np.float64)
+    rho = p / (R * T)
+    return {"p": p, "T": T, "rho": rho, "ql": ql}
 
 
 def airwater_ph_re(tp: ThermoParams, qt, p, h, niter: int = 5,

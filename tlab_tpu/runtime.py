@@ -454,7 +454,57 @@ class Simulation:
                     ymin=vb[0] if vb[0] in ("outflow", "inflow") else "wall",
                     ymax=vb[1] if vb[1] in ("outflow", "inflow") else "wall",
                     p_inf=1.0 / (case.gamma * case.mach ** 2))
-            comp = {"gamma": case.gamma, "mach": case.mach,
+            # multi-species mixtures ([Main] Mixture=BS/PETERS1991/...):
+            # caloric tables for the combustion families
+            # (thermodynamics.f90:217-430); the RHS stays single-fluid
+            # with these tables supplying cp(T)/h(T)/R(Y) diagnostics
+            mixture_table = None
+            mixname = tcfg.get("mixture", "none")
+            from tlab_tpu.physics import mixtures as mixmod
+            if mixname in mixmod.MIXTURES:
+                mixture_table = mixmod.build_mixture(mixname)
+            elif mixname == "chemkin" and tcfg.get("chemkin_file"):
+                mixture_table = mixmod.read_chemkin(tcfg["chemkin_file"])
+            # moist-air mixture with the compressible solver
+            # (MIXT_TYPE_AIRWATER + Equations=internal, Case14 family):
+            # ThermoParams in compressible units (RRATIO-scaled R/psat)
+            aw = None
+            gama = case.gamma
+            if mixname == "airwater":
+                from tlab_tpu.physics import thermo as _th
+                aw = _th.compressible_airwater_params(
+                    mach=case.mach, dsmooth=tcfg.get("smooth", 0.0))
+                gama = aw.Cpd_dim / (aw.Cpd_dim - aw.Rd_dim)
+                if case.equations != "internal":
+                    raise NotImplementedError(
+                        "Mixture=AirWater compressible: internal-energy "
+                        "formulation only (reference RHS_FLOW_GLOBAL_2)")
+                # the reference applies characteristic BCs at any
+                # non-periodic y boundary (time.f90:792-796)
+                if not grid.y.periodic and nscbc is None:
+                    from tlab_tpu.dycore.nscbc import NSCBCSpec
+                    ini_ = getattr(case, "ini", None)
+                    nscbc = NSCBCSpec(
+                        ymin="outflow", ymax="outflow",
+                        sigma=max(ini_.get_float(
+                            "BoundaryConditions", "SigmaOut", -1.0), 0.0)
+                        if ini_ else 0.0,
+                        cinf=max(ini_.get_float(
+                            "BoundaryConditions", "SigmaInf", -1.0), 0.0)
+                        if ini_ else 0.0,
+                        ctan=max(ini_.get_float(
+                            "BoundaryConditions", "BetaTransverse", -1.0),
+                            0.0) if ini_ else 0.0)
+            gvec = tuple(getattr(case, "buoyancy").vector) \
+                if getattr(case, "buoyancy", None) is not None \
+                else (0.0, 0.0, 0.0)
+            schmidt0 = case.schmidt[0] if case.schmidt else 1.0
+            sfactor = (1.0 / case.reynolds) * max(
+                1.0, 1.0 / case.prandtl,
+                1.0 / min(case.schmidt) if case.schmidt else 1.0)
+            comp = {"gamma": gama, "mach": case.mach,
+                    "mixture": mixture_table, "aw": aw, "gvec": gvec,
+                    "schmidt": schmidt0, "sfactor": sfactor,
                     "prandtl": case.prandtl, "gas": gas,
                     "form": ("skewsymmetric"
                              if case.term_advection == "skewsymmetric"
@@ -647,6 +697,53 @@ class Simulation:
                 self.grid.x.nodes, spec.points_imin, spec.points_imax,
                 self.dtype)
             self.filter_sponge = (amp, mats)
+
+    def attach_buffer_compressible(self, U) -> None:
+        """Compressible buffer zones + characteristic-BC reference states
+        (BOUNDARY_BUFFER_INITIALIZE with RELAX_BLOCK_CF semantics +
+        boundary_bcs.f90:224-287): the buffer relaxes the CONSERVATIVE
+        fields toward their plane-mean initial profiles, and the y
+        NSCBC reference state is the buffer mean at the wall rows."""
+        from tlab_tpu.dycore import buffer as bufmod
+        spec = getattr(self.case, "buffer", None)
+        if spec is None or spec.type not in ("relaxation", "both"):
+            return
+        if not (spec.points_jmin > 1 or spec.points_jmax > 1):
+            return
+        tau = bufmod.tau_profile(self.grid.y.nodes, spec)
+        refs = {"rho": jnp.mean(U.rho, axis=(0, 2)),
+                "rhou": jnp.mean(U.rhou, axis=(0, 2)),
+                "rhov": jnp.mean(U.rhov, axis=(0, 2)),
+                "rhow": jnp.mean(U.rhow, axis=(0, 2)),
+                "rhoE": jnp.mean(U.rhoE, axis=(0, 2))}
+        if U.rhos is not None:
+            for i in range(U.rhos.shape[0]):
+                refs[f"rs{i}"] = jnp.mean(U.rhos[i], axis=(0, 2))
+        dt = self.dtype
+        buf = {"tau": jnp.asarray(tau, dt)[None, :, None],
+               "refs": {k: jnp.asarray(v, dt)[None, :, None]
+                        for k, v in refs.items()}}
+        self.comp["buffer"] = buf
+        # NSCBC per-side reference states from the buffer wall rows
+        nscbc = self.comp.get("nscbc")
+        aw = self.comp.get("aw")
+        if nscbc is not None and aw is not None:
+            import dataclasses as _dc
+            from tlab_tpu.physics import thermo as _th
+            sides = {}
+            for name, j in (("refs_ymin", 0), ("refs_ymax", -1)):
+                r0 = float(refs["rho"][j])
+                un0 = float(refs["rhov"][j]) / r0
+                v10 = float(refs["rhou"][j]) / r0
+                v20 = float(refs["rhow"][j]) / r0
+                e0 = float(refs["rhoE"][j]) / r0
+                qt0 = float(refs["rs0"][j]) / r0 if "rs0" in refs else 0.0
+                T0, ql0, _ = _th.airwater_re(
+                    aw, jnp.asarray(qt0), jnp.asarray(e0), jnp.asarray(r0))
+                p0 = float(_th.thermal_pressure(aw, qt0, float(ql0), r0,
+                                                float(T0)))
+                sides[name] = (r0, un0, v10, v20, p0, qt0)
+            self.comp["nscbc"] = _dc.replace(nscbc, **sides)
 
     def filter_matrices(self):
         from tlab_tpu.ops.filter import (build_filter_matrices,

@@ -28,9 +28,15 @@ class RunLog:
     path: Optional[str] = None
     lines: list = dataclasses.field(default_factory=list)
     comp: bool = False
+    newton: bool = False        # AirWater NewtonRs column (dns_main.f90:406)
 
     def header(self):
-        if self.comp:
+        if self.comp and self.newton:
+            h = ("#" * 122 + "\n"
+                 "#  Itn.    time          dt         CFL#       D#      "
+                 "   visc       PMin       PMax       RMin       RMax     "
+                 "  NewtonRs#\n" + "#" * 122)
+        elif self.comp:
             # compressible columns (reference DNS_LOGS_INITIALIZE,
             # dns_main.f90:434-439): p and rho extrema
             h = ("#" * 93 + "\n"
@@ -86,31 +92,71 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
         from tlab_tpu.dycore import compressible as comp_mod
         c = sim.comp
 
-        @jax.jit
-        def _comp_step(U, dtime):
-            new_U = comp_mod.rk_step_compressible(
-                P, U, dtime, c["gamma"], c["mach"], sim.nsp.visc,
-                c["prandtl"], nscbc=c["nscbc"], ly=c["ly"], lx=c["lx"],
-                gas=c["gas"], form=c["form"], energy=c["energy"])
-            cfl = comp_mod.acoustic_cfl_max(P, new_U, c["gamma"], c["mach"])
-            u = new_U.rhou / new_U.rho
-            v = new_U.rhov / new_U.rho
-            w = new_U.rhow / new_U.rho
-            div = dyn.divergence(P, u, v, w)
-            prim = comp_mod.primitive(P, new_U, c["gamma"], c["mach"]) \
-                if c["energy"] == "total" else comp_mod.primitive_internal(
-                    P, new_U, c["gamma"], c["mach"])
-            p_f = prim[4]
-            return (new_U, p_f, cfl,
-                    jnp.stack([jnp.min(p_f), jnp.max(p_f),
-                               jnp.min(new_U.rho), jnp.max(new_U.rho)]))
+        aw = c.get("aw")
+
+        def _diag(U, p_f, newton):
+            """[PMin PMax RMin RMax (NewtonRs) Dden]: the printed extrema
+            plus the diffusion-number density max(sfactor (sum 1/ds^2)/rho)
+            (TIME_COURANT compressible branch) as the LAST element."""
+            dden = comp_mod.diffusion_number_max(P, U, c["sfactor"])
+            vals = [jnp.min(p_f), jnp.max(p_f),
+                    jnp.min(U.rho), jnp.max(U.rho)]
+            if aw is not None:
+                vals.append(newton)
+            return jnp.stack([v.astype(U.rho.dtype) for v in vals]
+                             + [dden.astype(U.rho.dtype)])
+
+        if aw is not None:
+            @jax.jit
+            def _comp_step(U, dtime):
+                new_U, nerr = comp_mod.rk_step_airwater(
+                    P, U, dtime, aw, sim.nsp.visc, c["prandtl"],
+                    c["schmidt"], nscbc=c["nscbc"], ly=c["ly"],
+                    gvec=c["gvec"], buffer=c.get("buffer"))
+                cfl = comp_mod.acoustic_cfl_max_airwater(P, new_U, aw)
+                p_f = comp_mod.primitive_airwater(new_U, aw)[4]
+                return new_U, p_f, cfl, _diag(new_U, p_f, nerr)
+
+            @jax.jit
+            def cfl_only(U):
+                cfl = comp_mod.acoustic_cfl_max_airwater(P, U, aw)
+                p_f = comp_mod.primitive_airwater(U, aw)[4]
+                # NewtonRs is 0 before any substep ran (dns_main step-0 row)
+                return cfl, _diag(U, p_f, jnp.zeros((), U.rho.dtype))
+        else:
+            @jax.jit
+            def _comp_step(U, dtime):
+                mix = c.get("mixture")
+                new_U = comp_mod.rk_step_compressible(
+                    P, U, dtime, c["gamma"], c["mach"], sim.nsp.visc,
+                    c["prandtl"], nscbc=c["nscbc"], ly=c["ly"], lx=c["lx"],
+                    gas=c["gas"], form=c["form"], energy=c["energy"],
+                    mix=mix, gvec=c.get("gvec", (0.0, 0.0, 0.0)),
+                    buffer=c.get("buffer"))
+                cfl = comp_mod.acoustic_cfl_max(P, new_U, c["gamma"],
+                                                c["mach"], mix=mix)
+                prim = (comp_mod.primitive(P, new_U, c["gamma"], c["mach"],
+                                           mix=mix)
+                        if c["energy"] == "total"
+                        else comp_mod.primitive_internal(
+                            P, new_U, c["gamma"], c["mach"], mix=mix))
+                p_f = prim[4]
+                return new_U, p_f, cfl, _diag(new_U, p_f, None)
+
+            @jax.jit
+            def cfl_only(U):
+                mix = c.get("mixture")
+                cfl = comp_mod.acoustic_cfl_max(P, U, c["gamma"],
+                                                c["mach"], mix=mix)
+                prim = (comp_mod.primitive(P, U, c["gamma"], c["mach"],
+                                           mix=mix)
+                        if c["energy"] == "total"
+                        else comp_mod.primitive_internal(
+                            P, U, c["gamma"], c["mach"], mix=mix))
+                return cfl, _diag(U, prim[4], None)
 
         def step(U, dtime, rtime=None):
             return _comp_step(U, dtime)
-
-        @jax.jit
-        def cfl_only(U):
-            return comp_mod.acoustic_cfl_max(P, U, c["gamma"], c["mach"])
 
         return step, cfl_only
 
@@ -231,23 +277,33 @@ def write_statistics_compressible(sim: Simulation, U, outdir: str,
 
     c = sim.comp
     gamma, mach = c["gamma"], c["mach"]
-    prim = comp_mod.primitive(sim.P, U, gamma, mach) \
-        if c["energy"] == "total" else comp_mod.primitive_internal(
-            sim.P, U, gamma, mach)
-    u, v, w, T, p = prim
     rho = U.rho
-    e = T / (gamma * (gamma - 1.0) * mach ** 2)
-    h = e + p / rho
-    # ideal-gas entropy s = ln(T)/(gamma-1) - ln(rho) (THERMO_ENTROPY
-    # analog in our nondimensionalization)
-    s_ent = jnp.log(T) / (gamma - 1.0) - jnp.log(rho)
+    aw = c.get("aw")
+    if aw is not None:
+        from tlab_tpu.physics import thermo as _th
+        u, v, w, T, p, ql, _ = comp_mod.primitive_airwater(U, aw)
+        e = U.rhoE / rho
+        h = _th.caloric_enthalpy(aw, U.rhos[0] / rho, ql, T)
+        s_ent = jnp.log(T) / (gamma - 1.0) - jnp.log(rho)
+        gamma_field = comp_mod.gamma_airwater(aw, U.rhos[0] / rho, ql, T)
+    else:
+        prim = comp_mod.primitive(sim.P, U, gamma, mach) \
+            if c["energy"] == "total" else comp_mod.primitive_internal(
+                sim.P, U, gamma, mach)
+        u, v, w, T, p = prim
+        e = T / (gamma * (gamma - 1.0) * mach ** 2)
+        h = e + p / rho
+        # ideal-gas entropy s = ln(T)/(gamma-1) - ln(rho) (THERMO_ENTROPY
+        # analog in our nondimensionalization)
+        s_ent = jnp.log(T) / (gamma - 1.0) - jnp.log(rho)
+        gamma_field = jnp.full_like(T, gamma)
     ns = U.rhos.shape[0] if U.rhos is not None else 0
     s_scal = (U.rhos / rho[None]) if ns else jnp.zeros((0,) + rho.shape,
                                                        rho.dtype)
     state = State(u=u, v=v, w=w, s=s_scal)
     extras = {"eqns": "compressible", "rho": rho, "T": T, "e": e, "h": h,
               "entropy": s_ent,
-              "gamma_field": jnp.full_like(T, gamma),
+              "gamma_field": gamma_field,
               "y": np.asarray(sim.grid.y.nodes)}
     flow = avg.flow_statistics(sim.P, state, sim.nsp.visc, p=p,
                                extras=extras)
@@ -317,6 +373,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     is_comp = getattr(sim, "comp", None) is not None
     if not is_comp:
         sim.attach_buffer(state)
+    else:
+        sim.attach_buffer_compressible(state)
     if inflow is not None and pstate is not None:
         raise NotImplementedError("unsteady inflow with particles")
     step, cfl_only = make_step_functions(
@@ -338,7 +396,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         filter_fn = None
 
     write_tlab_log(sim, outdir)
-    log = RunLog(path=log_path, comp=is_comp)
+    log = RunLog(path=log_path, comp=is_comp,
+                 newton=is_comp and sim.comp.get("aw") is not None)
     if opr_check:
         # startup operator self-test + micro-benchmark (reference OPR_CHECK)
         from tlab_tpu.ops.check import opr_check as run_check, format_report
@@ -415,15 +474,24 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     prof_samples = []
     t_start = time.monotonic()
 
-    # initial dt + step-0 log line
-    cmax = float(cfl_only(state))
-    dtime = fixed_dt or dyn.next_dt(sim.P, cmax, cfla, cfld)
+    # initial dt + step-0 log line (compressible: real p/rho extrema +
+    # density-weighted diffusion number, as dns_main logs at start)
     if is_comp:
-        extra0 = (0.0, 0.0, 0.0, 0.0)
+        cmax_d, diag0 = cfl_only(state)
+        cmax = float(cmax_d)
+        vals0 = np.asarray(diag0)
+        dden = float(vals0[-1])
+        extra0 = tuple(float(v) for v in vals0[:-1])
+        dtime = fixed_dt or min(cfla / cmax if cmax > 0 else np.inf,
+                                cfld / dden if dden > 0 else np.inf)
+        dnum0 = dtime * dden
     else:
+        cmax = float(cfl_only(state))
+        dtime = fixed_dt or dyn.next_dt(sim.P, cmax, cfla, cfld)
+        dnum0 = dtime * dconst
         dmin0, dmax0 = dyn.dilatation_minmax(sim.P, state)
         extra0 = (float(dmin0), float(dmax0))
-    log.step(0, itime, rtime, dtime, dtime * cmax, dtime * dconst, visc,
+    log.step(0, itime, rtime, dtime, dtime * cmax, dnum0, visc,
              *extra0)
 
     status = 0
@@ -449,13 +517,19 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             # fetch the PREVIOUS step's CFL (device already produced it;
             # no stall) and let this step's dispatch overlap the host work
             cmax = float(prev_cfl[0]) * (1.0 / 0.97)
-            extras = tuple(float(v) for v in np.asarray(prev_cfl[1]))
+            vals = np.asarray(prev_cfl[1])
             prev_cfl = (cmax_dev, aux_v)
         else:
             if dt_lag:
                 prev_cfl = (cmax_dev, aux_v)
             cmax = float(cmax_dev)          # forces a device sync
-            extras = tuple(float(v) for v in np.asarray(aux_v))
+            vals = np.asarray(aux_v)
+        if is_comp:
+            # last diag element is the diffusion-number density
+            # (TIME_COURANT compressible: schmidtfactor max(1/(ds^2 rho)))
+            dden = float(vals[-1])
+            vals = vals[:-1]
+        extras = tuple(float(v) for v in vals)
         if profile:
             prof_samples.append(time.monotonic() - t_it)
         if nan_abort and not np.isfinite(cmax):
@@ -463,10 +537,16 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             log.step(status, itime, rtime, dtime, np.nan, np.nan, visc,
                      *extras)
             break
-        new_dt = fixed_dt or dyn.next_dt(sim.P, cmax, cfla, cfld)
+        if is_comp:
+            new_dt = fixed_dt or min(cfla / cmax if cmax > 0 else np.inf,
+                                     cfld / dden if dden > 0 else np.inf)
+            dnum = new_dt * dden
+        else:
+            new_dt = fixed_dt or dyn.next_dt(sim.P, cmax, cfla, cfld)
+            dnum = new_dt * dconst
         if itime % case.it_log == 0:
             log.step(status, itime, rtime, new_dt, new_dt * cmax,
-                     new_dt * dconst, visc, *extras)
+                     dnum, visc, *extras)
         if time.monotonic() - t_start > runtime_sec:
             with open(os.path.join(outdir, "tlab.err"), "a") as fh:
                 fh.write(f"Maximum walltime of {runtime_sec:g} seconds "

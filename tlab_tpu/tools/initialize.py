@@ -343,6 +343,86 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
     return State(u=u, v=v, w=w, s=s)
 
 
+def _airwater_compressible_state(sim: Simulation, st, seed: int = 7):
+    """Compressible AirWater ICs (reference iniflow, flow_main.f90:106-119
+    with Mixture=AirWater + gravity):
+
+    1. PRESSURE_MEAN: hydrostatic p(y), T(y), ql(y) from the [Flow]
+       Enthalpy profile + mean qt via Gravity_Hydrostatic_Enthalpy's
+       compressible branch (THERMO_AIRWATER_PH_RE iteration).
+    2. DENSITY_MEAN: rho = p/(R(q) T) (THERMO_THERMAL_DENSITY).
+    3. DENSITY_FLUCTUATION ([IniFields] Temperature=PlaneDiscrete): the
+       enthalpy profile displaced per (x,z) by the [Discrete] modes
+       (ymean += disp, delta += (uslope-lslope) disp Ly, mean +=
+       0.5 (uslope+lslope) disp Ly, flow_local.f90:522-540), re-solving
+       PH_RE pointwise with the (already perturbed) scalar field.
+    4. e from THERMO_CALORIC_ENERGY; velocities from the standard path.
+    """
+    import dataclasses as _dc
+    from tlab_tpu.physics import thermo as th
+    from tlab_tpu.dycore.compressible import from_primitive_airwater
+    from tlab_tpu.config import _read_profile
+
+    aw = sim.comp["aw"]
+    ini = sim.case.ini
+    nx, ny, nz = sim.grid.shape
+    y = sim.grid.y.nodes
+    jscale = float(sim.grid.y.scale)
+    ystart = float(y[0])
+    hbg = _read_profile(ini, "flow", "Enthalpy", jscale, ystart=ystart)
+    p_ref = ini.get_float("Flow", "Pressure", 1.0)
+    ymean_abs = ini.get("Flow", "YMeanPressure", "")
+    rel = ini.get_float("Flow", "YMeanRelativePressure", 0.5)
+    y_ref = float(ymean_abs) if ymean_abs else ystart + rel * jscale
+    qt_prof = sim.case.scal_profiles[0](y) if sim.case.scal_profiles \
+        else np.zeros_like(y)
+    g2 = sim.comp["gvec"][1]
+
+    d1y = sim.P.get("d1y")
+    d1y = np.asarray(d1y, np.float64) if d1y is not None else None
+    if g2 != 0.0 and hbg.type != "none":
+        bg = th.hydrostatic_background_compressible(
+            aw, y, hbg(y), qt_prof, p_ref, y_ref, g2, d1y=d1y)
+        p_y = bg["p"]
+    else:
+        p_y = np.full(ny, p_ref)
+
+    p = jnp.asarray(np.broadcast_to(p_y[None, :, None], (nx, ny, nz)),
+                    sim.dtype)
+    qt = st.s[0] if st.s.shape[0] else jnp.zeros((nx, ny, nz), sim.dtype)
+
+    # per-point enthalpy with the discrete-mode displacement
+    if (ini.get("IniFields", "Temperature", "none").lower()
+            == "planediscrete"):
+        spec = sim.case.discrete or {}
+        xg = sim.grid.x.nodes[:, None]
+        zg = sim.grid.z.nodes[None, :] if nz > 1 else np.zeros((1, 1))
+        wx1 = 2.0 * np.pi / sim.grid.x.scale
+        wz1 = 2.0 * np.pi / sim.grid.z.scale if nz > 1 else 0.0
+        disp = np.zeros((nx, nz))
+        for im, amp_m in enumerate(spec.get("amplitude", ())):
+            wx = spec["modex"][im] * wx1
+            wz = spec["modez"][im] * wz1 if nz > 1 else 0.0
+            disp = disp + amp_m * np.cos(wx * xg + spec["phasex"][im]) \
+                * np.cos(wz * zg + spec["phasez"][im])
+    else:
+        disp = np.zeros((nx, nz))
+    h_f = np.empty((nx, ny, nz))
+    for ii in range(nx):
+        for kk in range(nz):
+            d = disp[ii, kk]
+            ploc = _dc.replace(
+                hbg, ymean=hbg.ymean + d,
+                delta=hbg.delta + (hbg.uslope - hbg.lslope) * d * jscale,
+                mean=hbg.mean + 0.5 * (hbg.uslope + hbg.lslope) * d
+                * jscale)
+            h_f[ii, :, kk] = ploc(y)
+    h_field = jnp.asarray(h_f, sim.dtype)
+    T, ql, _ = th.airwater_ph_re(aw, qt, p, h_field)
+    rho = th.thermal_density(aw, qt, ql, p, T)
+    return from_primitive_airwater(aw, rho, st.u, st.v, st.w, T, qt, ql)
+
+
 def compressible_initial_state(sim: Simulation, seed: int = 7):
     """Compressible ICs (reference iniflow compressible branch,
     flow_main.f90): velocity mean profiles + perturbations as in the
@@ -359,6 +439,8 @@ def compressible_initial_state(sim: Simulation, seed: int = 7):
     from tlab_tpu.config import _read_profile
 
     st = initial_state(sim, seed=seed)
+    if sim.comp.get("aw") is not None:
+        return _airwater_compressible_state(sim, st, seed=seed)
     gamma, mach = sim.comp["gamma"], sim.comp["mach"]
     nx, ny, nz = sim.grid.shape
     y = sim.grid.y.nodes
@@ -390,7 +472,15 @@ def compressible_initial_state(sim: Simulation, seed: int = 7):
             pprime = elliptic.poisson(sim.ell(BC.DD), -rhs)
             rho = (norm_p * pprime / p / gamma + 1.0) * rho
             p = p + norm_p * pprime
-    T = gamma * mach ** 2 * p / rho
     s = st.s if st.s.shape[0] else None
+    mix = sim.comp.get("mixture")
+    if mix is not None and s is not None:
+        # multi-species: T from p = rho R(Y) T / (gama0 M^2)
+        from tlab_tpu.physics import mixtures as mx
+        Y = jnp.concatenate([s, (1.0 - jnp.sum(s, axis=0))[None]], axis=0)
+        T = mix.gama0 * mach ** 2 * p / (rho * mx.gas_constant(mix, Y))
+    else:
+        T = gamma * mach ** 2 * p / rho
+        mix = None
     return from_primitive(rho, st.u, st.v, st.w, T,
-                          gamma, mach, s=s)
+                          gamma, mach, s=s, mix=mix)
