@@ -499,6 +499,37 @@ def test_case55_three_scalar_chemistry_particles_end_to_end(tmp_path):
     assert np.all(dil <= dil_ref)
 
 
+@pytest.mark.parametrize("case", ["Case02", "Case04"])
+def test_compressible_internal_vs_reference_log(tmp_path, case):
+    """Case02/04: single-species COMPRESSIBLE shear layer (internal-energy
+    + skewsymmetric, RHS_FLOW_GLOBAL_2; Case04 on the two-sided
+    tanh-stretched y grid; VorticityBroadband IC so only tolerance-level
+    agreement is possible).  CFL/visc exact; dt within 2%
+    (acoustic-limited, insensitive to the RNG velocity field at
+    Mach 0.6); the density-weighted diffusion-number ratio D#/dt to 2%;
+    p/rho extrema within 5% of the reference's."""
+    out = str(tmp_path)
+    ini = f"{REF}/{case}/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/{case}/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    assert np.all(np.abs(ours[:, 3] / ref[:, 3] - 1.0) < 0.02)   # dt
+    assert np.allclose(ours[:, 4], ref[:, 4])                    # CFL
+    assert np.allclose(ours[:, 6], ref[:, 6])                    # visc
+    ratio = (ours[:, 5] / ours[:, 3]) / (ref[:, 5] / ref[:, 3])
+    assert np.all(np.abs(ratio - 1.0) < 0.02)                    # D#/dt
+    # p/rho extrema carry the RNG-realization pressure fluctuation
+    # (NormalizeP=1): envelope agreement only
+    for col in (7, 8, 9, 10):       # PMin PMax RMin RMax
+        assert np.all(np.abs(ours[:, col] / ref[:, col] - 1.0) < 0.08), col
+
+
 def test_case14_compressible_airwater_end_to_end(tmp_path):
     """Case14: COMPRESSIBLE (internal-energy, skewsymmetric) AirWater
     cloud layer with gravity -- the full moist compressible chain:
