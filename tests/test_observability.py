@@ -1,0 +1,139 @@
+"""Observability subsystems: tracing (TRACE_ON analog), compressible
+bounds control (DNS_BOUNDS_CONTROL), profiling, walltime watchdog."""
+import os
+
+import numpy as np
+
+from tlab_tpu.config import load_case, Ini
+from tlab_tpu.runtime import Simulation
+from tlab_tpu.tools import dns as dns_tool
+from tlab_tpu.utils import trace
+
+COMP_SMALL = """
+[Main]
+Type=temporal
+Equations=internal
+TermAdvection=skewsymmetric
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit4
+TimeCFL=1.0
+{main_extra}
+[Parameters]
+Reynolds=1000
+Mach=0.6
+Prandtl=0.7
+Schmidt=1.0
+[Iteration]
+Start=0
+End=4
+Restart=0
+Statistics=0
+IteraLog=1
+{iter_extra}
+[Control]
+FlowLimit={flow_limit}
+ScalLimit=no
+{control_extra}
+[Grid]
+XPeriodic=yes
+YPeriodic=no
+ZPeriodic=yes
+[Flow]
+ProfileVelocityX=Tanh
+ThickVelocityX=0.05
+DeltaVelocityX=1.0
+Pressure=1.984127
+ProfilePressure=Linear
+Density=1.0
+ProfileDensity=Linear
+[Scalar]
+ProfileScalar1=Tanh
+ThickScalar1=0.05
+DeltaScalar1=-1.0
+MeanScalar1=0.5
+[BoundaryConditions]
+[IniFields]
+Velocity=None
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=33
+scales_1=2.0
+opts_1=uniform
+[IniGridOy]
+periodic=no
+segments=1
+points_1=32
+scales_1=1.0
+opts_1=uniform
+[IniGridOz]
+periodic=no
+segments=1
+points_1=1
+scales_1=1.0
+opts_1=uniform
+"""
+
+
+def _mk(tmp_path, flow_limit="no", control_extra="", main_extra="",
+        iter_extra=""):
+    ini = Ini(text=COMP_SMALL.format(flow_limit=flow_limit,
+                                     control_extra=control_extra,
+                                     main_extra=main_extra,
+                                     iter_extra=iter_extra))
+    sim = Simulation.from_case(load_case(ini))
+    from tlab_tpu.tools.initialize import compressible_initial_state
+    U = compressible_initial_state(sim, seed=3)
+    return sim, U
+
+
+def test_trace_file_written(tmp_path):
+    """[Main] Tracing=yes writes tlab.trace with ENTERING/LEAVING phase
+    lines and per-iteration points (reference TRACE_ON tfile analog)."""
+    out = str(tmp_path)
+    sim, U = _mk(tmp_path, main_extra="Tracing=yes")
+    try:
+        dns_tool.run(sim, U, outdir=out, n_steps=2)
+    finally:
+        trace.close()
+    path = os.path.join(out, "tlab.trace")
+    assert os.path.exists(path)
+    txt = open(path).read()
+    assert "ENTERING building step functions (jit)" in txt
+    assert "LEAVING" in txt
+    assert "iteration 2 logged" in txt
+
+
+def test_bounds_control_aborts_and_checkpoints(tmp_path):
+    """FlowLimit=yes with a violated MaxPressure bound stops the run with
+    status 2, writes tlab.err, and the log keeps the offending extrema
+    (DNS_BOUNDS_CONTROL, dns_local.f90:136-158)."""
+    out = str(tmp_path)
+    sim, U = _mk(tmp_path, flow_limit="yes",
+                 control_extra="MaxPressure=1.9\nMinPressure=0.1")
+    run = dns_tool.run(sim, U, outdir=out, n_steps=4)
+    # aborted on the first logged step
+    last = run.log.lines[-1]
+    assert last.startswith("2 ")
+    err = open(os.path.join(out, "tlab.err")).read()
+    assert "out of bounds" in err
+
+
+def test_bounds_control_defaults_pass(tmp_path):
+    """Default bounds (pbg 1e-/+6) never trip a healthy run."""
+    out = str(tmp_path)
+    sim, U = _mk(tmp_path, flow_limit="yes")
+    run = dns_tool.run(sim, U, outdir=out, n_steps=4)
+    assert run.log.lines[-1].startswith("0 ")
+    assert not os.path.exists(os.path.join(out, "tlab.err"))
+
+
+def test_profiling_and_watchdog(tmp_path):
+    """[Main] Profiling writes dns.prof; [Iteration] Runtime=0 trips the
+    walltime watchdog immediately (tlab.err, dns_main.f90:355-360)."""
+    out = str(tmp_path)
+    sim, U = _mk(tmp_path, main_extra="Profiling=yes",
+                 iter_extra="Runtime=0.0")
+    dns_tool.run(sim, U, outdir=out, n_steps=4)
+    err = open(os.path.join(out, "tlab.err")).read()
+    assert "walltime" in err.lower()

@@ -499,6 +499,29 @@ def test_case55_three_scalar_chemistry_particles_end_to_end(tmp_path):
     assert np.all(dil <= dil_ref)
 
 
+def test_case05_two_schmidt_diffusion_limited_dt(tmp_path):
+    """Case05: two scalars with Schmidt=(2.0, 0.5) on the stretched grid.
+    The dt is DIFFUSION-limited (min Schmidt 0.5 doubles schmidtfactor),
+    so dt/D#/time match the reference exactly even though the broadband
+    IC is RNG-dependent; the CFL column (max |u| of the realization)
+    agrees only in magnitude."""
+    out = str(tmp_path)
+    ini = f"{REF}/Case05/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case05/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    for col in (2, 3, 5, 6):            # time, dt, D#, visc exact
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
+                           atol=1e-12), col
+    assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.2)   # CFL
+
+
 @pytest.mark.parametrize("case", ["Case02", "Case04"])
 def test_compressible_internal_vs_reference_log(tmp_path, case):
     """Case02/04: single-species COMPRESSIBLE shear layer (internal-energy

@@ -411,6 +411,12 @@ def load_case(path_or_ini) -> CaseSetup:
         "max_scalar": ini.get_floats("Control", "MaxScalar",
                                      (1.0,) * n_scal),
         "flow_limit": ini.get_bool("Control", "FlowLimit", True),
+        # compressible p/rho bounds (dns_read_local.f90:158-161; -1 ->
+        # defaults pbg/rbg mean * 1e-/+6, dns_main.f90:211-214)
+        "min_pressure": ini.get_float("Control", "MinPressure", -1.0),
+        "max_pressure": ini.get_float("Control", "MaxPressure", -1.0),
+        "min_density": ini.get_float("Control", "MinDensity", -1.0),
+        "max_density": ini.get_float("Control", "MaxDensity", -1.0),
     }
 
     planes_cfg = {

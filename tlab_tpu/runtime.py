@@ -413,7 +413,9 @@ class Simulation:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         if grid is None:
             grid = grid_from_case(case)
-        fdm = build_fdm_plan(grid, case.space_order1, case.space_order2)
+        from tlab_tpu.utils.trace import trace as _tr
+        with _tr("FDM plan construction"):
+            fdm = build_fdm_plan(grid, case.space_order1, case.space_order2)
         nsp = NSParams(reynolds=case.reynolds, schmidt=tuple(case.schmidt),
                        prandtl=case.prandtl, froude=case.froude,
                        rossby=case.rossby)
@@ -502,7 +504,27 @@ class Simulation:
             sfactor = (1.0 / case.reynolds) * max(
                 1.0, 1.0 / case.prandtl,
                 1.0 / min(case.schmidt) if case.schmidt else 1.0)
-            comp = {"gamma": gama, "mach": case.mach,
+            # compressible bounds control ([Control] FlowLimit; defaults
+            # pbg/rbg mean * 1e-/+6, dns_main.f90:211-214)
+            bounds = None
+            ctrl_ = getattr(case, "control", None) or {}
+            if ctrl_.get("flow_limit", True):
+                ini_ = getattr(case, "ini", None)
+                p_mean = ini_.get_float("Flow", "Pressure",
+                                        1.0 / (gama * case.mach ** 2)) \
+                    if ini_ is not None else 1.0 / (gama * case.mach ** 2)
+                r_mean = ini_.get_float("Flow", "Density", 1.0) \
+                    if ini_ is not None else 1.0
+                pmin = ctrl_.get("min_pressure", -1.0)
+                pmax = ctrl_.get("max_pressure", -1.0)
+                rmin = ctrl_.get("min_density", -1.0)
+                rmax = ctrl_.get("max_density", -1.0)
+                bounds = {
+                    "p": (pmin if pmin >= 0 else p_mean * 1e-6,
+                          pmax if pmax >= 0 else p_mean * 1e6),
+                    "r": (rmin if rmin >= 0 else r_mean * 1e-6,
+                          rmax if rmax >= 0 else r_mean * 1e6)}
+            comp = {"gamma": gama, "mach": case.mach, "bounds": bounds,
                     "mixture": mixture_table, "aw": aw, "gvec": gvec,
                     "schmidt": schmidt0, "sfactor": sfactor,
                     "prandtl": case.prandtl, "gas": gas,
@@ -516,10 +538,11 @@ class Simulation:
                     "lx": float(grid.x.scale)}
             return cls(case=case, grid=grid, fdm=fdm, nsp=nsp, P=P,
                        ell_plans={}, dtype=dtype, comp=comp)
-        ell_nn = elliptic.build_elliptic_plan(fdm, ibc=BC.NN)
-        ell_dd = elliptic.build_elliptic_plan(fdm, ibc=BC.DD)
-        ell_plans = {BC.NN: elliptic.device_elliptic_plan(ell_nn, dtype),
-                     BC.DD: elliptic.device_elliptic_plan(ell_dd, dtype)}
+        with _tr("OPR_Elliptic plan construction"):
+            ell_nn = elliptic.build_elliptic_plan(fdm, ibc=BC.NN)
+            ell_dd = elliptic.build_elliptic_plan(fdm, ibc=BC.DD)
+            ell_plans = {BC.NN: elliptic.device_elliptic_plan(ell_nn, dtype),
+                         BC.DD: elliptic.device_elliptic_plan(ell_dd, dtype)}
         # anelastic THERMODYNAMICS are independent of the momentum set:
         # [Thermodynamics] Type=anelastic with Equations=incompressible is
         # the reference's Boussinesq + moist-thermo combination (Case15/24,

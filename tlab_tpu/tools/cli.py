@@ -89,6 +89,9 @@ def main(argv=None):
 
     case = load_case(args.ini)
     os.makedirs(args.outdir, exist_ok=True)
+    from tlab_tpu.utils import trace
+    trace.maybe_init(case, args.outdir)
+    trace.point(f"tool {args.command} starting ({args.ini})")
 
     if args.command == "inigrid":
         grid = grid_from_case(case)

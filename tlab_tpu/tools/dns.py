@@ -371,15 +371,18 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                                        "time_dependent", False)):
         inner_steps = 1                     # per-step host work required
     is_comp = getattr(sim, "comp", None) is not None
+    from tlab_tpu.utils import trace as _trace
+    _trace.maybe_init(case, outdir)
     if not is_comp:
         sim.attach_buffer(state)
     else:
         sim.attach_buffer_compressible(state)
     if inflow is not None and pstate is not None:
         raise NotImplementedError("unsteady inflow with particles")
-    step, cfl_only = make_step_functions(
-        sim, particles=particle_props if pstate is not None else None,
-        inner_steps=inner_steps, unsteady_inflow=inflow is not None)
+    with _trace.trace("building step functions (jit)"):
+        step, cfl_only = make_step_functions(
+            sim, particles=particle_props if pstate is not None else None,
+            inner_steps=inner_steps, unsteady_inflow=inflow is not None)
 
     sponge_fn = None
     if getattr(sim, "filter_sponge", None) is not None:
@@ -541,12 +544,31 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             new_dt = fixed_dt or min(cfla / cmax if cmax > 0 else np.inf,
                                      cfld / dden if dden > 0 else np.inf)
             dnum = new_dt * dden
+            # compressible bounds control (DNS_BOUNDS_CONTROL,
+            # dns_local.f90:136-158): abort + checkpoint when the p/rho
+            # extrema leave [Control] Min/MaxPressure / Min/MaxDensity
+            bnd = sim.comp.get("bounds")
+            if bnd is not None and (
+                    extras[0] < bnd["p"][0] or extras[1] > bnd["p"][1]
+                    or extras[2] < bnd["r"][0] or extras[3] > bnd["r"][1]):
+                status = 2              # DNS_ERROR_NEGDENS/NEGPRESS analog
+                log.step(status, itime, rtime, new_dt, new_dt * cmax,
+                         dnum, visc, *extras)
+                with open(os.path.join(outdir, "tlab.err"), "a") as fh:
+                    fh.write(f"DNS_CONTROL. Pressure/density out of "
+                             f"bounds at It{itime}.\n")
+                if checkpoint and case.it_restart > 0:
+                    fields_io.write_comp_state(
+                        os.path.join(outdir, "flow"), itime, state,
+                        rtime, visc)
+                break
         else:
             new_dt = fixed_dt or dyn.next_dt(sim.P, cmax, cfla, cfld)
             dnum = new_dt * dconst
         if itime % case.it_log == 0:
             log.step(status, itime, rtime, new_dt, new_dt * cmax,
                      dnum, visc, *extras)
+            _trace.point(f"iteration {itime} logged (dt={new_dt:.3e})")
         if time.monotonic() - t_start > runtime_sec:
             with open(os.path.join(outdir, "tlab.err"), "a") as fh:
                 fh.write(f"Maximum walltime of {runtime_sec:g} seconds "
