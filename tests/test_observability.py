@@ -128,6 +128,29 @@ def test_bounds_control_defaults_pass(tmp_path):
     assert not os.path.exists(os.path.join(out, "tlab.err"))
 
 
+def test_compressible_postprocessing(tmp_path):
+    """The offline tools consume COMPRESSIBLE restarts (reference
+    averages.x/visuals.x/pdfs.x work on both solver families): primitive
+    conversion + EOS thermodynamic visuals."""
+    out = str(tmp_path)
+    sim, U = _mk(tmp_path, iter_extra="Restart=2")
+    dns_tool.run(sim, U, outdir=out, n_steps=2)
+    from tlab_tpu.tools import postprocess as pp
+    pp.run_visuals(sim, out, [2],
+                   which=("Density", "Temperature", "Pressure",
+                          "Enstrophy"))
+    pp.run_averages(sim, out, [2])
+    pp.run_pdfs(sim, out, [2])
+    from tlab_tpu.io import fields_io
+    T, _, _ = fields_io.read_field(os.path.join(out, "vis2.Temperature"))
+    assert T.shape == sim.grid.shape
+    assert 0.5 < T.mean() < 2.0
+    p, _, _ = fields_io.read_field(os.path.join(out, "vis2.Pressure"))
+    # p ~ rho T/(gamma M^2) = 1.984 for the uniform base state
+    assert abs(p.mean() - 1.984127) < 0.05
+    assert os.path.exists(os.path.join(out, "avg2"))
+
+
 def test_profiling_and_watchdog(tmp_path):
     """[Main] Profiling writes dns.prof; [Iteration] Runtime=0 trips the
     walltime watchdog immediately (tlab.err, dns_main.f90:355-360)."""

@@ -19,7 +19,21 @@ from tlab_tpu.runtime import Simulation
 from tlab_tpu.stats import averages, pdfs, spectra
 
 
-def load_snapshot(sim: Simulation, outdir: str, itime: int) -> State:
+def load_snapshot(sim: Simulation, outdir: str, itime: int):
+    """(State, rtime): PRIMITIVE fields for either solver family.
+
+    Compressible restarts (flow.<it>.1-5 conservative fields, reference
+    inb_flow=5) are converted to primitive velocities/scalars so every
+    postprocessor below works on both; the thermodynamic fields are
+    available via comp_fields()."""
+    if getattr(sim, "comp", None) is not None:
+        U, rtime = _load_comp(sim, outdir, itime)
+        rho = U.rho
+        ns = U.rhos.shape[0] if U.rhos is not None else 0
+        s = (U.rhos / rho[None]) if ns else jnp.zeros((0,) + rho.shape,
+                                                      sim.dtype)
+        return State(u=U.rhou / rho, v=U.rhov / rho, w=U.rhow / rho,
+                     s=s), rtime
     u, v, w, s, rtime, _ = fields_io.read_state(
         os.path.join(outdir, "flow"), os.path.join(outdir, "scal"),
         itime, sim.nsp.n_scalars)
@@ -28,12 +42,44 @@ def load_snapshot(sim: Simulation, outdir: str, itime: int) -> State:
     return st, rtime
 
 
+def _load_comp(sim: Simulation, outdir: str, itime: int):
+    from tlab_tpu.dycore.compressible import CompState
+    U, rtime, _ = fields_io.read_comp_state(os.path.join(outdir, "flow"),
+                                            itime)
+    return CompState(*(jnp.asarray(a, sim.dtype) if a is not None else None
+                       for a in U)), rtime
+
+
+def comp_fields(sim: Simulation, U):
+    """(rho, T, p [, ql]) primitive thermodynamics of a compressible
+    restart (FI_DIAGNOSTIC: THERMO_CALORIC_TEMPERATURE +
+    THERMO_THERMAL_PRESSURE)."""
+    from tlab_tpu.dycore import compressible as comp_mod
+    c = sim.comp
+    if c.get("aw") is not None:
+        u, v, w, T, p, ql, _ = comp_mod.primitive_airwater(U, c["aw"])
+        return U.rho, T, p, ql
+    prim = comp_mod.primitive(sim.P, U, c["gamma"], c["mach"],
+                              mix=c.get("mixture")) \
+        if c["energy"] == "total" else comp_mod.primitive_internal(
+            sim.P, U, c["gamma"], c["mach"], mix=c.get("mixture"))
+    return U.rho, prim[3], prim[4], None
+
+
 def run_averages(sim: Simulation, outdir: str, iterations,
                  gate_scalar: int = 0, gate_level: float = 0.0) -> None:
     """Plane-averaged statistics tables; gate_scalar>0 additionally writes
     gate-conditioned statistics and the intermittency profile, gated on
     scalar #gate_scalar exceeding gate_level (reference averages.f90
     conditional analysis, igate/gate_level)."""
+    if getattr(sim, "comp", None) is not None:
+        # compressible branch: the dns-side Favre table writer consumes
+        # the conservative state directly (avg_flow_xz.f90 compressible)
+        from tlab_tpu.tools.dns import write_statistics_compressible
+        for it in iterations:
+            U, rtime = _load_comp(sim, outdir, it)
+            write_statistics_compressible(sim, U, outdir, it, rtime)
+        return
     for it in iterations:
         st, rtime = load_snapshot(sim, outdir, it)
         extras = averages.build_extras(sim, st)
@@ -180,10 +226,33 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
     restricted to [PostProcessing] Subdomain."""
     from tlab_tpu.dycore import incompressible as dyn
     sub = subdomain_slices(sim)
+    is_comp = getattr(sim, "comp", None) is not None
     for it in iterations:
-        st, rtime = load_snapshot(sim, outdir, it)
+        comp_f = None
+        if is_comp:
+            U, rtime = _load_comp(sim, outdir, it)
+            rho_f, T_f, p_f, ql_f = comp_fields(sim, U)
+            comp_f = {"Density": rho_f, "Temperature": T_f,
+                      "Pressure": p_f}
+            if ql_f is not None:
+                comp_f["Liquid"] = ql_f
+            ns = U.rhos.shape[0] if U.rhos is not None else 0
+            st = State(u=U.rhou / rho_f, v=U.rhov / rho_f,
+                       w=U.rhow / rho_f,
+                       s=(U.rhos / rho_f[None]) if ns
+                       else jnp.zeros((0,) + rho_f.shape, sim.dtype))
+        else:
+            st, rtime = load_snapshot(sim, outdir, it)
         P = sim.P
         for name in which:
+            if comp_f is not None and name in comp_f:
+                arr = np.asarray(comp_f[name])
+                if sub is not None:
+                    arr = arr[sub]
+                fields_io.write_field(
+                    os.path.join(outdir, f"vis{it}.{name}"), arr, it,
+                    (rtime,), dtype="<f4")
+                continue
             if name == "Enstrophy":
                 fld = mappings.vorticity_magnitude2(P, st.u, st.v, st.w)
             elif name == "Strain":
