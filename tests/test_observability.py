@@ -151,6 +151,24 @@ def test_compressible_postprocessing(tmp_path):
     assert os.path.exists(os.path.join(out, "avg2"))
 
 
+def test_compressible_planes_and_towers(tmp_path):
+    """SavePlanes/SaveTowers work in compressible runs via the primitive
+    view (reference planes.f90/dns_tower.f90 are solver-agnostic)."""
+    out = str(tmp_path)
+    sim, U = _mk(tmp_path, iter_extra="SavePlanes=2\nRestart=4",
+                 main_extra="""
+[SavePlanes]
+PlanesJ=5
+[SaveTowers]
+Stride=8,1,1
+Pressure=yes
+""")
+    dns_tool.run(sim, U, outdir=out, n_steps=4)
+    names = os.listdir(out)
+    assert any(n.startswith("planesJ") for n in names), names
+    assert any(n.startswith("tower") for n in names), names
+
+
 def test_profiling_and_watchdog(tmp_path):
     """[Main] Profiling writes dns.prof; [Iteration] Runtime=0 trips the
     walltime watchdog immediately (tlab.err, dns_main.f90:355-360)."""

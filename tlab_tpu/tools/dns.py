@@ -325,6 +325,16 @@ def write_statistics_compressible(sim: Simulation, U, outdir: str,
                       sim.grid.y.nodes, sc, sgroups, itime, rtime)
 
 
+def _primitive_view(U) -> State:
+    """Primitive State of a conservative compressible state, for the
+    consumers shared with the incompressible path (planes/towers)."""
+    rho = U.rho
+    ns = U.rhos.shape[0] if U.rhos is not None else 0
+    s = (U.rhos / rho[None]) if ns else jnp.zeros((0,) + rho.shape,
+                                                  rho.dtype)
+    return State(u=U.rhou / rho, v=U.rhov / rho, w=U.rhow / rho, s=s)
+
+
 def write_obs(sim: Simulation, state: State, outdir: str, itime: int,
               rtime: float) -> None:
     """Ekman-case observables to dns.obs (reference dns_main.f90:500-566):
@@ -419,7 +429,7 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                                              indices=planes_cfg[ax]))
     towers_cfg = getattr(case, "towers", None) or {}
     tower_acc = None
-    if towers_cfg.get("stride") and not is_comp:
+    if towers_cfg.get("stride"):
         from tlab_tpu.io.planes import TowerAccumulator
         st = towers_cfg["stride"]
         tower_acc = TowerAccumulator(stride=(st[0], st[-1]))
@@ -624,15 +634,21 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                     sim.grid.x.nodes, sim.grid.y.nodes, tabs, itime, rtime)
         if obs_log and itime % case.it_log == 0 and not is_comp:
             write_obs(sim, state, outdir, itime, rtime)
-        if plane_specs and itime % planes_cfg["step"] == 0 and not is_comp:
+        if plane_specs and itime % planes_cfg["step"] == 0:
             from tlab_tpu.io.planes import write_planes
-            write_planes(outdir, itime, state, plane_specs)
+            write_planes(outdir, itime,
+                         _primitive_view(state) if is_comp else state,
+                         plane_specs)
         if tower_acc is not None:
             p_tow = None
+            st_tow = _primitive_view(state) if is_comp else state
             if towers_cfg.get("pressure"):
-                from tlab_tpu.dycore.pressure import pressure_boussinesq
-                p_tow = pressure_boussinesq(sim.P, state)
-            tower_acc.accumulate(itime, rtime, state, pressure=p_tow)
+                if is_comp:
+                    p_tow = p_cur   # EOS pressure from the step
+                else:
+                    from tlab_tpu.dycore.pressure import pressure_boussinesq
+                    p_tow = pressure_boussinesq(sim.P, state)
+            tower_acc.accumulate(itime, rtime, st_tow, pressure=p_tow)
             if checkpoint and case.it_restart > 0 \
                     and itime % case.it_restart == 0:
                 tower_acc.flush(outdir)
