@@ -263,6 +263,30 @@ def write_statistics(sim: Simulation, state: State, outdir: str,
         gamma = avg.intermittency(state.s[0] > gate_level)
         avg.write_table(os.path.join(outdir, f"int{itime}"), y,
                         {"gamma": gamma}, itime, rtime)
+    if ini is not None and ini.get_bool("Statistics", "Spectrums", False):
+        # in-run 1-D auto-spectra (reference DNS_STATISTICS_TEMPORAL
+        # spectra branch, dns_statistics.f90 Spectrums)
+        from tlab_tpu.stats import spectra as spmod
+        fields = {"u": state.u, "v": state.v, "w": state.w}
+        for i in range(state.s.shape[0]):
+            fields[f"s{i + 1}"] = state.s[i]
+        want_corr = ini.get_bool("Statistics", "Correlations", False)
+        for name, a in fields.items():
+            spmod.write_spectra(
+                os.path.join(outdir, f"xsp{itime}.{name}"),
+                np.asarray(spmod.spectrum_x(a)), itime)
+            if sim.grid.z.size > 1:
+                spmod.write_spectra(
+                    os.path.join(outdir, f"zsp{itime}.{name}"),
+                    np.asarray(spmod.spectrum_z(a)), itime)
+            if want_corr:
+                spmod.write_spectra(
+                    os.path.join(outdir, f"xcr{itime}.{name}"),
+                    np.asarray(spmod.correlation_x(a)), itime)
+                if sim.grid.z.size > 1:
+                    spmod.write_spectra(
+                        os.path.join(outdir, f"zcr{itime}.{name}"),
+                        np.asarray(spmod.correlation_z(a)), itime)
 
 
 def write_statistics_compressible(sim: Simulation, U, outdir: str,
