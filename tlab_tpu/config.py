@@ -577,10 +577,15 @@ def consistency_check(case: CaseSetup) -> None:
             "AirWater (thermodynamics.f90:205-208).")
     from tlab_tpu.physics.mixtures import MIXTURES as _COMB
     if mixture in _COMB or mixture == "chemkin":
-        if eqs not in ("compressible", "internal"):
+        if eqs not in ("compressible", "internal", "total"):
             raise ValueError(
                 f"Mixture={mixture}: combustion mixtures require the "
                 "compressible solver (thermodynamics.f90:217-430).")
+        if mixture == "chemkin" \
+                and not (case.thermo or {}).get("chemkin_file"):
+            raise ValueError(
+                "Mixture=chemkin requires [Thermodynamics] ChemkinFile "
+                "(THERMO_READ_CHEMKIN input).")
         nsp = len(_COMB.get(mixture, ()))
         if nsp and len(case.schmidt) != nsp - 1:
             raise ValueError(

@@ -61,7 +61,7 @@ def mass_fractions(U: CompState):
     return jnp.concatenate([Y, (1.0 - jnp.sum(Y, axis=0))[None]], axis=0)
 
 
-def mixture_thermal(U: CompState, e, mach: float, mix, n_newton: int = 4):
+def mixture_thermal(U: CompState, e, mach: float, mix, n_newton: int = 8):
     """(T, p, cp) from nondimensional internal energy via the mixture
     caloric table (reference THERMO_CALORIC_TEMPERATURE Newton +
     THERMO_THERMAL_PRESSURE, thermo_caloric.f90/thermo_thermal.f90).
@@ -78,7 +78,15 @@ def mixture_thermal(U: CompState, e, mach: float, mix, n_newton: int = 4):
     e_nd = e * (g0 - 1.0) * mach ** 2
     R = mx.gas_constant(mix, Y)
     rfac = (g0 - 1.0) / g0          # rref/cpref
-    T = jnp.full(e_nd.shape, 1.0, e_nd.dtype)
+    # initial guess from the leading (constant-cp) caloric term so flame
+    # temperatures T/TREF ~ 5-8 start near the root; the fixed-count
+    # Newton (jit-friendly; reference THERMO_CALORIC_TEMPERATURE iterates
+    # to tolerance) then converges quadratically
+    a1 = jnp.asarray(mix.ai[0])[(...,) + (None,) * e_nd.ndim]
+    a6 = jnp.asarray(mix.ai[5])[(...,) + (None,) * e_nd.ndim]
+    cp0 = jnp.sum(a1 * Y, axis=0)
+    h0 = jnp.sum(a6 * Y, axis=0)
+    T = jnp.maximum((e_nd - h0) / jnp.maximum(cp0 - rfac * R, 1e-12), 0.05)
     for _ in range(n_newton):
         res = mx.h_mixture(mix, T, Y) - rfac * R * T - e_nd
         cv = mx.cp_mixture(mix, T, Y) - rfac * R
@@ -86,6 +94,17 @@ def mixture_thermal(U: CompState, e, mach: float, mix, n_newton: int = 4):
     cp = mx.cp_mixture(mix, T, Y)
     p = U.rho * R * T / (g0 * mach ** 2)
     return T, p, cp
+
+
+def primitive_view(U: CompState):
+    """Primitive velocities/scalars of a conservative state as a dycore
+    State -- the shared shape for planes/towers/postprocessing."""
+    from tlab_tpu.dycore.state import State
+    rho = U.rho
+    ns = U.rhos.shape[0] if U.rhos is not None else 0
+    s = (U.rhos / rho[None]) if ns else jnp.zeros((0,) + rho.shape,
+                                                  rho.dtype)
+    return State(u=U.rhou / rho, v=U.rhov / rho, w=U.rhow / rho, s=s)
 
 
 def _div(P, fx, fy, fz):
@@ -591,7 +610,7 @@ def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
             h = _apply_wall_bcs(P, h, sides=(nscbc.ymin == "wall",
                                              nscbc.ymax == "wall"))
             h = apply_nscbc(P, U, h, gamma, mach, nscbc, ly, lx=lx,
-                            energy=energy)
+                            energy=energy, mix=mix)
         else:
             h = _apply_wall_bcs(P, h)
         if buffer is not None:     # after BCs, as the reference (time.f90:808)

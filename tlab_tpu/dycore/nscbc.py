@@ -243,16 +243,33 @@ def _transverse_corrections(P, side, r, un, v1, v2, p, gam, gvec,
 
 def apply_nscbc(P, U: CompState, h: CompState, gamma: float, mach: float,
                 spec: NSCBCSpec, ly: float, lx: float = 1.0,
-                gvec=(0.0, 0.0, 0.0), energy: str = "total") -> CompState:
+                gvec=(0.0, 0.0, 0.0), energy: str = "total",
+                mix=None) -> CompState:
     """Add the characteristic corrections at open boundary rows (y axis
     with idir=2 incl. transverse terms; x axis with idir=1). 'wall'/
-    'none' sides are left to the caller."""
-    rho = U.rho
-    u, v, w, T, p = primitive(P, U, gamma, mach)
-    gam = gamma
+    'none' sides are left to the caller.
 
-    m2 = max_mach2(U, gamma, mach) if spec.drift else \
-        jnp.asarray(mach ** 2, U.rho.dtype)
+    mix: combustion mixture table -- the boundary characteristics then
+    use the mixture pressure/temperature and the LOCAL gamma field
+    (reference GAMMA_LOC from THERMO_GAMMA, time.f90:777), and each
+    scalar characteristic feeds the energy with its formation-enthalpy
+    weight (boundary_bcs_compressible.f90:723-730 general case)."""
+    rho = U.rho
+    u, v, w, T, p = primitive(P, U, gamma, mach, mix=mix)
+    if mix is not None and U.rhos is not None:
+        from tlab_tpu.physics import mixtures as mx
+        from tlab_tpu.dycore.compressible import mass_fractions
+        Y = mass_fractions(U)
+        gam = mx.gamma_mixture(mix, T, Y)
+        m2 = jnp.max((u * u + v * v + w * w) * rho / (gam * p)) \
+            if spec.drift else jnp.asarray(mach ** 2, rho.dtype)
+        # code-units formation enthalpies a6_i/( (gama0-1) M^2 )
+        hform = mix.ai[5] / ((mix.gama0 - 1.0) * mach ** 2)
+    else:
+        gam = jnp.full_like(rho, gamma)
+        m2 = max_mach2(U, gamma, mach) if spec.drift else \
+            jnp.asarray(mach ** 2, U.rho.dtype)
+        hform = None
     drift = jnp.maximum(1.0 - m2, 0.0)
 
     comps = [h.rho, h.rhou, h.rhov, h.rhow, h.rhoE]
@@ -285,7 +302,7 @@ def apply_nscbc(P, U: CompState, h: CompState, gamma: float, mach: float,
             v1_b = t1[sl]
             v2_b = t2[sl]
             p_b = p[sl]
-            g_b = jnp.full_like(r_b, gam)
+            g_b = gam[sl]
             drdn = _edge_deriv(P, rho, axis, side)
             dundn = _edge_deriv(P, vn, axis, side)
             dv1dn = _edge_deriv(P, t1, axis, side)
@@ -335,6 +352,11 @@ def apply_nscbc(P, U: CompState, h: CompState, gamma: float, mach: float,
                         jnp.full_like(r_b, spec.rho_inf),
                         jnp.zeros_like(r_b), idir=idir)
                     hs = hs.at[(i_s,) + idx].add(hz)
+                    if hform is not None:
+                        # formation-enthalpy energy coupling
+                        # h4 += hz (a6_is - a6_NSP)
+                        comps[4] = comps[4].at[idx].add(
+                            hz * float(hform[i_s] - hform[-1]))
     return CompState(*comps, hs)
 
 

@@ -311,16 +311,30 @@ def write_statistics_compressible(sim: Simulation, U, outdir: str,
         s_ent = jnp.log(T) / (gamma - 1.0) - jnp.log(rho)
         gamma_field = comp_mod.gamma_airwater(aw, U.rhos[0] / rho, ql, T)
     else:
-        prim = comp_mod.primitive(sim.P, U, gamma, mach) \
+        mix = c.get("mixture")
+        prim = comp_mod.primitive(sim.P, U, gamma, mach, mix=mix) \
             if c["energy"] == "total" else comp_mod.primitive_internal(
-                sim.P, U, gamma, mach)
+                sim.P, U, gamma, mach, mix=mix)
         u, v, w, T, p = prim
-        e = T / (gamma * (gamma - 1.0) * mach ** 2)
-        h = e + p / rho
-        # ideal-gas entropy s = ln(T)/(gamma-1) - ln(rho) (THERMO_ENTROPY
-        # analog in our nondimensionalization)
-        s_ent = jnp.log(T) / (gamma - 1.0) - jnp.log(rho)
-        gamma_field = jnp.full_like(T, gamma)
+        if mix is not None and U.rhos is not None:
+            from tlab_tpu.physics import mixtures as mx
+            Y = comp_mod.mass_fractions(U)
+            cp = mx.cp_mixture(mix, T, Y)
+            R = mx.gas_constant(mix, Y)
+            rfac = (mix.gama0 - 1.0) / mix.gama0
+            h_nd = mx.h_mixture(mix, T, Y)
+            e = (h_nd - rfac * R * T) / ((mix.gama0 - 1.0) * mach ** 2)
+            h = h_nd / ((mix.gama0 - 1.0) * mach ** 2)
+            s_ent = (jnp.log(jnp.maximum(T, 1e-30)) * cp
+                     - rfac * R * jnp.log(jnp.maximum(p, 1e-30)))
+            gamma_field = cp / (cp - rfac * R)
+        else:
+            e = T / (gamma * (gamma - 1.0) * mach ** 2)
+            h = e + p / rho
+            # ideal-gas entropy s = ln(T)/(gamma-1) - ln(rho)
+            # (THERMO_ENTROPY analog in our nondimensionalization)
+            s_ent = jnp.log(T) / (gamma - 1.0) - jnp.log(rho)
+            gamma_field = jnp.full_like(T, gamma)
     ns = U.rhos.shape[0] if U.rhos is not None else 0
     s_scal = (U.rhos / rho[None]) if ns else jnp.zeros((0,) + rho.shape,
                                                        rho.dtype)
@@ -350,13 +364,8 @@ def write_statistics_compressible(sim: Simulation, U, outdir: str,
 
 
 def _primitive_view(U) -> State:
-    """Primitive State of a conservative compressible state, for the
-    consumers shared with the incompressible path (planes/towers)."""
-    rho = U.rho
-    ns = U.rhos.shape[0] if U.rhos is not None else 0
-    s = (U.rhos / rho[None]) if ns else jnp.zeros((0,) + rho.shape,
-                                                  rho.dtype)
-    return State(u=U.rhou / rho, v=U.rhov / rho, w=U.rhow / rho, s=s)
+    from tlab_tpu.dycore.compressible import primitive_view
+    return primitive_view(U)
 
 
 def write_obs(sim: Simulation, state: State, outdir: str, itime: int,
@@ -695,11 +704,18 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 from tlab_tpu.dycore.state import State as _St
                 import jax.numpy as _jnp
                 c = sim.comp
-                prim = comp_mod.primitive(
-                    sim.P, state, c["gamma"], c["mach"]) \
-                    if c["energy"] == "total" else \
-                    comp_mod.primitive_internal(
-                        sim.P, state, c["gamma"], c["mach"])
+                if c.get("aw") is not None:
+                    u_, v_, w_, T_, p_, _, _ = \
+                        comp_mod.primitive_airwater(state, c["aw"])
+                    prim = (u_, v_, w_, T_, p_)
+                else:
+                    prim = comp_mod.primitive(
+                        sim.P, state, c["gamma"], c["mach"],
+                        mix=c.get("mixture")) \
+                        if c["energy"] == "total" else \
+                        comp_mod.primitive_internal(
+                            sim.P, state, c["gamma"], c["mach"],
+                            mix=c.get("mixture"))
                 u_, v_, w_, T_, p_ = prim
                 ns_ = state.rhos.shape[0] if state.rhos is not None else 0
                 flds = {"u": u_, "v": v_, "w": w_}

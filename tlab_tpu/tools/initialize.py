@@ -407,16 +407,28 @@ def _airwater_compressible_state(sim: Simulation, st, seed: int = 7):
                 * np.cos(wz * zg + spec["phasez"][im])
     else:
         disp = np.zeros((nx, nz))
-    h_f = np.empty((nx, ny, nz))
-    for ii in range(nx):
-        for kk in range(nz):
-            d = disp[ii, kk]
+    # Profile evaluation is plain numpy arithmetic, so the displaced
+    # parameters broadcast: shape (ncol, 1) fields against y (ny,) give
+    # all columns in one vectorized call (the crop families use scalar
+    # max() and keep the per-column loop)
+    d = disp.reshape(-1)[:, None]               # (nx*nz, 1)
+    if hbg.type in ("linearcrop", "mixedlayer"):
+        h_cols = np.empty((d.shape[0], ny))
+        for i_c in range(d.shape[0]):
             ploc = _dc.replace(
-                hbg, ymean=hbg.ymean + d,
-                delta=hbg.delta + (hbg.uslope - hbg.lslope) * d * jscale,
-                mean=hbg.mean + 0.5 * (hbg.uslope + hbg.lslope) * d
-                * jscale)
-            h_f[ii, :, kk] = ploc(y)
+                hbg, ymean=hbg.ymean + float(d[i_c, 0]),
+                delta=hbg.delta + (hbg.uslope - hbg.lslope)
+                * float(d[i_c, 0]) * jscale,
+                mean=hbg.mean + 0.5 * (hbg.uslope + hbg.lslope)
+                * float(d[i_c, 0]) * jscale)
+            h_cols[i_c] = ploc(y)
+    else:
+        pvec = _dc.replace(
+            hbg, ymean=hbg.ymean + d,
+            delta=hbg.delta + (hbg.uslope - hbg.lslope) * d * jscale,
+            mean=hbg.mean + 0.5 * (hbg.uslope + hbg.lslope) * d * jscale)
+        h_cols = pvec(y)                        # (nx*nz, ny)
+    h_f = h_cols.reshape(nx, nz, ny).transpose(0, 2, 1)
     h_field = jnp.asarray(h_f, sim.dtype)
     T, ql, _ = th.airwater_ph_re(aw, qt, p, h_field)
     rho = th.thermal_density(aw, qt, ql, p, T)

@@ -27,13 +27,9 @@ def load_snapshot(sim: Simulation, outdir: str, itime: int):
     postprocessor below works on both; the thermodynamic fields are
     available via comp_fields()."""
     if getattr(sim, "comp", None) is not None:
+        from tlab_tpu.dycore.compressible import primitive_view
         U, rtime = _load_comp(sim, outdir, itime)
-        rho = U.rho
-        ns = U.rhos.shape[0] if U.rhos is not None else 0
-        s = (U.rhos / rho[None]) if ns else jnp.zeros((0,) + rho.shape,
-                                                      sim.dtype)
-        return State(u=U.rhou / rho, v=U.rhov / rho, w=U.rhow / rho,
-                     s=s), rtime
+        return primitive_view(U), rtime
     u, v, w, s, rtime, _ = fields_io.read_state(
         os.path.join(outdir, "flow"), os.path.join(outdir, "scal"),
         itime, sim.nsp.n_scalars)
@@ -230,17 +226,14 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
     for it in iterations:
         comp_f = None
         if is_comp:
+            from tlab_tpu.dycore.compressible import primitive_view
             U, rtime = _load_comp(sim, outdir, it)
             rho_f, T_f, p_f, ql_f = comp_fields(sim, U)
             comp_f = {"Density": rho_f, "Temperature": T_f,
                       "Pressure": p_f}
             if ql_f is not None:
                 comp_f["Liquid"] = ql_f
-            ns = U.rhos.shape[0] if U.rhos is not None else 0
-            st = State(u=U.rhou / rho_f, v=U.rhov / rho_f,
-                       w=U.rhow / rho_f,
-                       s=(U.rhos / rho_f[None]) if ns
-                       else jnp.zeros((0,) + rho_f.shape, sim.dtype))
+            st = primitive_view(U)
         else:
             st, rtime = load_snapshot(sim, outdir, it)
         P = sim.P

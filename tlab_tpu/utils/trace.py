@@ -20,7 +20,7 @@ import contextlib
 import os
 import time
 
-_state = {"fh": None, "t0": 0.0}
+_state = {"fh": None, "t0": 0.0, "path": None}
 
 
 def enabled() -> bool:
@@ -28,12 +28,16 @@ def enabled() -> bool:
 
 
 def init(outdir: str = ".", force: bool = False) -> None:
-    """Open tlab.trace (idempotent); honored when the INI/env asked for
-    tracing (callers gate on that) or force=True."""
-    if _state["fh"] is not None and not force:
-        return
+    """Open tlab.trace; idempotent for the SAME outdir, but a different
+    outdir re-targets the trace so back-to-back runs in one process each
+    get their own file."""
     path = os.path.join(outdir, "tlab.trace")
+    if _state["fh"] is not None and not force:
+        if _state["path"] == path:
+            return
+        close()
     _state["fh"] = open(path, "a")
+    _state["path"] = path
     _state["t0"] = time.monotonic()
     point("trace initialized")
 
@@ -77,3 +81,4 @@ def close() -> None:
         point("trace closed")
         fh.close()
         _state["fh"] = None
+        _state["path"] = None
