@@ -522,6 +522,30 @@ def test_case05_two_schmidt_diffusion_limited_dt(tmp_path):
     assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.2)   # CFL
 
 
+def test_case84_ekman3d_towers_end_to_end(tmp_path):
+    """Case84: 3-D turbulent Ekman layer (128x96x128, CompactDirect6
+    second derivatives, gravity + Jmax buffer, SaveTowers). dt is
+    diffusion-limited so time/dt/D#/visc match the reference exactly;
+    the CFL column (Ekman mean profile + broadband RNG) to 2%; the
+    tower accumulator writes its stride file."""
+    out = str(tmp_path)
+    ini = f"{REF}/Case84/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case84/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    for col in (2, 3, 5, 6):
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
+                           atol=1e-12), col
+    assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.02)
+    assert any(n.startswith("tower.") for n in os.listdir(out))
+
+
 @pytest.mark.parametrize("case", ["Case02", "Case04"])
 def test_compressible_internal_vs_reference_log(tmp_path, case):
     """Case02/04: single-species COMPRESSIBLE shear layer (internal-energy
