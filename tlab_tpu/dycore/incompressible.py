@@ -112,7 +112,10 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
     P = {
         "dtype": np.dtype(jnp.dtype(dtype)).name,
         "rk": {"kdt": tuple(scheme.kdt), "kco": tuple(scheme.kco),
-               "ktime": tuple(scheme.ktime)},
+               "ktime": tuple(scheme.ktime),
+               # semi-implicit diffusion removes the diffusion-number dt
+               # restriction (TIME_COURANT, time.f90:530-534)
+               "explicit_diffusion": "diffusion" not in rk_name.lower()},
         "visc": float(nsp.visc),
         "diff": tuple(nsp.visc / sc for sc in nsp.schmidt),
         "sizes": tuple(p.size for p in (fdm.x, fdm.y, fdm.z)),
@@ -631,8 +634,12 @@ def dilatation_minmax(P, state: State):
 
 
 def next_dt(P, cfl_max_value, cfla, cfld):
-    """Host-side dt selection (reference TIME_COURANT final ops)."""
+    """Host-side dt selection (reference TIME_COURANT final ops); the
+    diffusion limit applies only to fully explicit schemes
+    (time.f90:530-534, RKM_EXP3/EXP4)."""
     dtc = cfla / cfl_max_value if cfl_max_value > 0 else np.inf
+    if not P["rk"].get("explicit_diffusion", True):
+        return dtc
     dconst = P["diffusion_constant"]
     dtd = cfld / dconst if dconst > 0 else np.inf
     return min(dtc, dtd)
