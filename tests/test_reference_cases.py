@@ -241,7 +241,7 @@ def test_case25_anelastic_deterministic_end_to_end(tmp_path):
 
 def _run_case_exact(tmp_path, case_name, cols=(2, 3, 4, 5, 6),
                     dil_factor=3.0, steps=11, time_rtol=1e-6,
-                    col_rtol=None):
+                    col_rtol=None, with_particles=False):
     """Run a fully deterministic reference case from its unmodified INI
     and require the given dns.out columns to match dns.out.ref to every
     printed digit; dilatation bounded by dil_factor x the reference's.
@@ -251,7 +251,9 @@ def _run_case_exact(tmp_path, case_name, cols=(2, 3, 4, 5, 6),
     print-rounding boundary (one unit in the 3rd printed digit)."""
     out = str(tmp_path)
     ini = f"{REF}/{case_name}/tlab.ini"
-    for cmd in (["ini"], ["dns"]):
+    cmds = (["ini"], ["inipart"], ["dns"]) if with_particles \
+        else (["ini"], ["dns"])
+    for cmd in cmds:
         r = subprocess.run(
             [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
              "--x64", "--ini", ini, "--outdir", out],
@@ -478,10 +480,18 @@ def test_case54_bil_cloud_four_particles_end_to_end(tmp_path):
     accumulates sub-print dt differences); dilatation below the
     reference's envelope."""
     ours, ref = _run_case_exact(tmp_path, "Case54", dil_factor=None,
-                                time_rtol=1e-4)
+                                time_rtol=1e-4, with_particles=True)
     dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
     dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
     assert np.all(dil <= dil_ref)
+    # [Particles] CalculatePDF writes the reference-format histogram at
+    # the statistics cadence (particle_pdf.f90)
+    pdfs = [n for n in os.listdir(tmp_path)
+            if n.startswith("particle_pdf.")]
+    assert pdfs, os.listdir(tmp_path)
+    rows = open(os.path.join(tmp_path, sorted(pdfs)[-1])).readlines()
+    assert len(rows) == int(5 / 0.05)        # PdfMax/PdfInterval bins
+    assert sum(int(r.split()[1]) for r in rows) > 0
 
 
 def test_case55_three_scalar_chemistry_particles_end_to_end(tmp_path):
@@ -520,6 +530,34 @@ def test_case05_two_schmidt_diffusion_limited_dt(tmp_path):
         assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
                            atol=1e-12), col
     assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.2)   # CFL
+
+
+def test_case52_tracer_trajectories_end_to_end(tmp_path):
+    """Case52: Case01 + 50 tracer particles with TrajNumber=2 in-run
+    trajectory accumulation (particle_trajectories.f90). Structural
+    columns at Case01 tolerances; the trajectory file holds the 2 tagged
+    particles at every step."""
+    out = str(tmp_path)
+    ini = f"{REF}/Case52/tlab.ini"
+    for cmd in (["ini"], ["inipart"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case52/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    assert np.all(np.abs(ours[:, 3] / ref[:, 3] - 1.0) < 0.15)   # dt
+    assert np.allclose(ours[:, 4], ref[:, 4])                    # CFL
+    assert np.allclose(ours[:, 6], ref[:, 6])                    # visc
+    ratio = (ours[:, 5] / ours[:, 3]) / (ref[:, 5] / ref[:, 3])
+    assert np.all(np.abs(ratio - 1.0) < 0.02)
+    traj = [n for n in os.listdir(out) if n.startswith("trajectories.")]
+    assert traj, os.listdir(out)
+    d = np.load(os.path.join(out, traj[0]))
+    assert d["x"].shape == (10, 2, 3)
+    assert np.isfinite(d["x"]).all()
 
 
 def test_case84_ekman3d_towers_end_to_end(tmp_path):

@@ -54,7 +54,11 @@ class Ini:
 
     def get_float(self, section, key, default=0.0) -> float:
         v = self.get(section, key, str(default))
-        return float(v) if v != "" else default
+        if v == "":
+            return default
+        # Fortran list-directed ScanFile_Real takes the FIRST value of a
+        # comma-separated list (e.g. Case30's ThickIniS=84.,84.)
+        return float(v.split(",")[0].strip())
 
     def get_bool(self, section, key, default=False) -> bool:
         v = self.get(section, key, "yes" if default else "no").lower()
@@ -128,6 +132,8 @@ class CaseSetup:
     force_dilatation: bool
     normalize_k: float
     profile_ini_k: Profile
+    profile_ini_s: tuple           # per-scalar IniS envelope profiles
+    normalize_s: tuple             # per-scalar target max plane rms
     broadband: dict
     grid_segments: dict            # per direction list of segment dicts
     buoyancy: object               # BuoyancyProps
@@ -164,7 +170,7 @@ def _read_profile(ini: Ini, section: str, tag: str, yscale: float,
     # (Profiles_ReadBlock, profiles.f90:113-127)
     ymean_abs = ini.get(section, f"YMean{tag}", "")
     if ymean_abs != "":
-        ymean = float(ymean_abs)
+        ymean = float(ymean_abs.split(",")[0].strip())
     else:
         ycoor = ini.get_float(
             section, f"YCoor{tag}",
@@ -242,6 +248,19 @@ def _read_discrete(ini: Ini) -> dict:
     return {"amplitude": tuple(amps), "modex": modex, "modez": modez,
             "phasex": tuple(phasex) + (0.0,) * n,
             "phasez": tuple(phasez) + (0.0,) * n}
+
+
+def _ini_s_profile(ini: Ini, i: int, jscale: float, jstart: float):
+    """IniS / IniS<i> perturbation envelope for scalar i: per-scalar keys
+    win over the shared IniS block; default type gaussiansurface,
+    amplitude forced to 1 and mean to 0 (scal_local.f90:96-112)."""
+    has_i = ini.get("IniFields", f"ProfileIniS{i+1}",
+                    ini.get("IniFields", f"ThickIniS{i+1}", "")) != ""
+    p = _read_profile(ini, "inifields", f"IniS{i+1}" if has_i else "IniS",
+                      jscale, jstart)
+    if p.type == "none":
+        p = dataclasses.replace(p, type="gaussiansurface")
+    return dataclasses.replace(p, delta=1.0, mean=0.0)
 
 
 def load_case(path_or_ini) -> CaseSetup:
@@ -480,7 +499,11 @@ def load_case(path_or_ini) -> CaseSetup:
         schmidt=schmidt,
         prandtl=ini.get_float("Parameters", "Prandtl", 1.0),
         mach=ini.get_float("Parameters", "Mach", 0.3),
-        gamma=ini.get_float("Parameters", "Gamma", 1.4),
+        # reference key: [Thermodynamics] HeatCapacityRatio
+        # (thermodynamics.f90 gama0; overridden by the property tables
+        # when a mixture is selected); legacy [Parameters] Gamma kept
+        gamma=ini.get_float("Thermodynamics", "HeatCapacityRatio",
+                            ini.get_float("Parameters", "Gamma", 1.4)),
         froude=froude,
         rossby=rossby,
         imax=ini.get_int("Grid", "Imax", 1),
@@ -507,6 +530,16 @@ def load_case(path_or_ini) -> CaseSetup:
         profile_ini_k=dataclasses.replace(
             _read_profile(ini, "inifields", "IniK", jscale, jstart),
             delta=1.0, mean=0.0),
+        # per-scalar perturbation envelope IniS / IniS<i> (default
+        # gaussiansurface) + NormalizeS target max plane rms
+        # (scal_local.f90:96-127); one NormalizeS value applies to all
+        profile_ini_s=tuple(_ini_s_profile(ini, i, jscale, jstart)
+                            for i in range(n_scal)),
+        normalize_s=tuple(
+            (list(ini.get_floats("IniFields", "NormalizeS", ()))
+             + [ini.get_floats("IniFields", "NormalizeS", (0.0,))[0]]
+             * n_scal)[i]
+            for i in range(n_scal)),
         broadband=bb,
         grid_segments=segs,
         buoyancy=buoyancy,

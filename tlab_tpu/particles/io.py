@@ -54,6 +54,12 @@ class TrajectoryAccumulator:
 
     def accumulate(self, itime: int, rtime: float, pstate: ParticleState):
         idx = np.asarray(self.tag_ids)
+        tags = np.asarray(pstate.tags) if pstate.tags is not None else None
+        if tags is not None and not np.array_equal(tags[idx], idx):
+            # owner-sharded migration reorders the SoA: look the tagged
+            # particles up by tag (particle_trajectories.f90 tag search)
+            order = np.argsort(tags)
+            idx = order[np.searchsorted(tags, idx, sorter=order)]
         self.buffer.append((itime, rtime,
                             np.asarray(pstate.x)[idx].copy(),
                             np.asarray(pstate.v)[idx].copy()))
@@ -90,6 +96,46 @@ def particle_pdfs(pstate, prop_index, y_edges, vmin: float, vmax: float,
         sel = (y >= y_edges[j]) & (y < y_edges[j + 1])
         counts[j], _ = np.histogram(vals[sel], bins=edges)
     return counts, edges
+
+
+def particle_pdf_reference(grid, pstate, scal_field, locate,
+                           subdomain, pdf_max: float, pdf_interval: float,
+                           path: str) -> None:
+    """The reference's in-run PARTICLE_PDF (particle_pdf.f90): histograms
+    of (1) the LAST scalar field interpolated to the particle positions
+    and (2,3) the first two particle property columns, restricted to the
+    scale-normalized subdomain (x0,x1,y0,y1[,z0,z1]); bins of width
+    pdf_interval on [0, pdf_max); ASCII rows 'value c1 c2 c3'
+    (written at the statistics cadence, dns_statistics.f90:212-214)."""
+    import numpy as np
+    from tlab_tpu.particles.core import interpolate_to_particles
+    nb = max(int(pdf_max / pdf_interval), 1)
+    loc = locate(pstate.x)
+    vals = np.asarray(interpolate_to_particles(scal_field, loc))
+    xs = np.asarray(pstate.x)
+    sub = list(subdomain) + [0.0] * (6 - len(subdomain))
+    scales = (grid.x.scale, grid.y.scale,
+              grid.z.scale if grid.z.size > 1 else 1.0)
+    sel = np.ones(xs.shape[0], bool)
+    for d in range(3):
+        lo, hi = sub[2 * d], sub[2 * d + 1]
+        if hi > lo:
+            xn = xs[:, d] / scales[d]
+            sel &= (xn >= lo) & (xn <= hi)
+    cols = [vals]
+    props = np.asarray(pstate.props) if pstate.props is not None else None
+    for ip in range(2):
+        cols.append(props[:, ip] if props is not None
+                    and props.shape[1] > ip else np.zeros_like(vals))
+    bins = np.zeros((nb, 3), np.int64)
+    for ic, cv in enumerate(cols):
+        j = np.floor(cv[sel] / pdf_interval).astype(int)
+        j = j[(j >= 0) & (j < nb)]
+        np.add.at(bins[:, ic], j, 1)
+    with open(path, "w") as fh:
+        for i in range(nb):
+            fh.write(f"{i * pdf_interval:6.3f} {bins[i, 0]:20d} "
+                     f"{bins[i, 1]:20d} {bins[i, 2]:20d}\n")
 
 
 def write_particle_pdfs(path: str, counts, edges, itime: int) -> None:

@@ -460,6 +460,26 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             if planes_cfg.get(ax):
                 plane_specs.append(PlaneSpec(axis=ax,
                                              indices=planes_cfg[ax]))
+    # in-run particle trajectories + PDFs ([Particles] TrajNumber /
+    # CalculatePDF, reference particle_trajectories.f90 + particle_pdf.f90)
+    traj_acc = None
+    part_pdf_cfg = None
+    if pstate is not None and getattr(case, "ini", None) is not None:
+        p_ini = case.ini
+        tn = p_ini.get_int("Particles", "TrajNumber", 0)
+        if tn > 0:
+            from tlab_tpu.particles.io import TrajectoryAccumulator
+            traj_acc = TrajectoryAccumulator(
+                tag_ids=np.arange(min(tn, int(pstate.x.shape[0]))))
+        if p_ini.get_bool("Particles", "CalculatePDF", False):
+            from tlab_tpu.particles.core import make_locator
+            part_pdf_cfg = {
+                "subdomain": p_ini.get_floats("Particles", "PdfSubdomain",
+                                              ()),
+                "max": p_ini.get_float("Particles", "PdfMax", 10.0),
+                "interval": p_ini.get_float("Particles", "PdfInterval",
+                                            0.5),
+                "locate": make_locator(sim.grid)}
     towers_cfg = getattr(case, "towers", None) or {}
     tower_acc = None
     if towers_cfg.get("stride"):
@@ -665,6 +685,29 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 write_station_budgets(
                     os.path.join(outdir, f"avg_zt{itime}"),
                     sim.grid.x.nodes, sim.grid.y.nodes, tabs, itime, rtime)
+        if traj_acc is not None and pstate is not None:
+            traj_acc.accumulate(itime, rtime, pstate)
+            if checkpoint and case.it_restart > 0 \
+                    and itime % case.it_restart == 0:
+                traj_acc.flush(outdir)
+        if part_pdf_cfg is not None and pstate is not None \
+                and case.it_stats > 0 and itime % case.it_stats == 0:
+            # reference PARTICLE_PDF on the LAST scalar (incl. the
+            # diagnostic AirWaterLinear liquid, s(:,inb_scal_array))
+            from tlab_tpu.particles.io import particle_pdf_reference
+            tcfg_p = getattr(case, "thermo", {}) or {}
+            sf = state.s[-1] if state.s.shape[0] else jnp.zeros_like(
+                state.u)
+            if tcfg_p.get("mixture", "") == "airwaterlinear" \
+                    and tcfg_p.get("parameters"):
+                from tlab_tpu.physics import thermo as _tt
+                sf = _tt.airwater_linear(
+                    tuple(tcfg_p["parameters"]), state.s)
+            particle_pdf_reference(
+                sim.grid, pstate, sf, part_pdf_cfg["locate"],
+                part_pdf_cfg["subdomain"], part_pdf_cfg["max"],
+                part_pdf_cfg["interval"],
+                os.path.join(outdir, f"particle_pdf.{itime}"))
         if obs_log and itime % case.it_log == 0 and not is_comp:
             write_obs(sim, state, outdir, itime, rtime)
         if plane_specs and itime % planes_cfg["step"] == 0:
@@ -762,6 +805,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         fields_io.write_state(os.path.join(outdir, "flow"),
                               os.path.join(outdir, "scal"),
                               itime, state, rtime, visc)
+    if traj_acc is not None:
+        traj_acc.flush(outdir)
     return DnsRun(sim=sim, state=state, itime=itime, rtime=rtime, log=log,
                   pstate=pstate)
 

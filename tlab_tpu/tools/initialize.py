@@ -267,14 +267,67 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
         base = jnp.broadcast_to(jnp.asarray(prof(y))[None, :, None],
                                 (nx, ny, nz)).astype(sim.dtype)
         mode = sim.case.ini_scalar
+        norm_s = (sim.case.normalize_s[i]
+                  if i < len(sim.case.normalize_s) else 0.0)
+
+        def _scal_shape():
+            """SCAL_SHAPE (scal_local.f90:146-177): the IniS envelope
+            with tanh^2 boundary damping for gaussiansurface."""
+            profs = sim.case.profile_ini_s
+            ps = profs[i] if i < len(profs) else None
+            if ps is None:
+                return sim.case.profile_ini_k(y)
+            env_ = ps(y)
+            if ps.type == "gaussiansurface":
+                th = max(ps.thick, 1e-30)
+                env_ = env_ * np.tanh(0.5 * (y - y[0]) / th) ** 2 \
+                    * np.tanh(-0.5 * (y - y[-1]) / th) ** 2
+            return env_
+
+        def _normalized(fld):
+            """SCAL_NORMALIZE: scale so max-over-y plane rms = norm_s."""
+            ms = jnp.max(jnp.mean(fld ** 2, axis=(0, 2)))
+            return fld * (norm_s / jnp.sqrt(jnp.maximum(ms, 1e-300)))
+
         if mode in ("layerbroadband", "planebroadband"):
-            # broadband scalar perturbation shaped by the IniK envelope
-            # (reference iniscal LayerBroadband mode)
+            # broadband scalar perturbation shaped by the IniS envelope
+            # (reference iniscal LayerBroadband); NormalizeS rescales to
+            # the target max plane rms -- legacy INIs without NormalizeS
+            # keep the NormalizeK amplitude scaling
             pert = random_field(sim, rng)
             pert -= pert.mean(axis=(0, 2), keepdims=True)
-            env = sim.case.profile_ini_k(y)[None, :, None]
-            amp = sim.case.normalize_k if sim.case.normalize_k > 0 else 1e-2
-            base = base + jnp.asarray(amp * env * pert, sim.dtype)
+            env = _scal_shape()[None, :, None] if norm_s > 0 \
+                else sim.case.profile_ini_k(y)[None, :, None]
+            fld = jnp.asarray(env * pert, sim.dtype)
+            if norm_s > 0:
+                fld = _normalized(fld)
+            else:
+                amp = sim.case.normalize_k if sim.case.normalize_k > 0 \
+                    else 1e-2
+                fld = amp * fld
+            base = base + fld
+        elif mode == "layerdiscrete":
+            # discrete (x,z) modes times the IniS layer envelope
+            # (SCAL_FLUCTUATION_VOLUME PERT_LAYER_DISCRETE,
+            # scal_local.f90:212-231)
+            spec = sim.case.discrete or {}
+            xg = sim.grid.x.nodes[:, None]
+            zg = (sim.grid.z.nodes[None, :] if nz > 1
+                  else np.zeros((1, 1)))
+            wx1 = 2.0 * np.pi / sim.grid.x.scale
+            wz1 = 2.0 * np.pi / sim.grid.z.scale if nz > 1 else 0.0
+            pat = np.zeros((nx, nz))
+            for im, amp_m in enumerate(spec.get("amplitude", ())):
+                wx = spec["modex"][im] * wx1
+                wz = spec["modez"][im] * wz1 if nz > 1 else 0.0
+                pat = pat + amp_m * np.cos(wx * xg + spec["phasex"][im]) \
+                    * np.cos(wz * zg + spec["phasez"][im])
+            fld = jnp.asarray(pat[:, None, :] * _scal_shape()[None, :,
+                                                              None],
+                              sim.dtype)
+            if norm_s > 0:
+                fld = _normalized(fld)
+            base = base + fld
         elif mode in ("deltadiscrete", "planediscrete", "fluxdiscrete"):
             # discrete-mode displacement field disp(x, z) (reference
             # SCAL_FLUCTUATION_PLANE, scal_local.f90:275-345):
