@@ -169,6 +169,99 @@ Pressure=yes
     assert any(n.startswith("tower") for n in names), names
 
 
+INC_SMALL = """
+[Main]
+Type=temporal
+Equations=incompressible
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit4
+TimeCFL=1.0
+[Parameters]
+Reynolds=500
+Schmidt=1.0
+[Iteration]
+Start=0
+End=4
+Restart=0
+IteraLog=1
+{iter_extra}
+[Control]
+ScalLimit=no
+{control_extra}
+[Grid]
+XPeriodic=yes
+YPeriodic=no
+ZPeriodic=yes
+{extra}
+[Flow]
+ProfileVelocityX=Tanh
+ThickVelocityX=0.05
+DeltaVelocityX=1.0
+[Scalar]
+ProfileScalar1=Tanh
+ThickScalar1=0.05
+DeltaScalar1=1.0
+[BoundaryConditions]
+VelocityJmin=freeslip
+VelocityJmax=freeslip
+Scalar1Jmin=neumann
+Scalar1Jmax=neumann
+[IniFields]
+Velocity=None
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=33
+scales_1=2.0
+opts_1=uniform
+[IniGridOy]
+periodic=no
+segments=1
+points_1=32
+scales_1=1.0
+opts_1=uniform
+[IniGridOz]
+periodic=no
+segments=1
+points_1=1
+scales_1=1.0
+opts_1=uniform
+"""
+
+
+def _mk_inc(tmp_path, control_extra="", extra="", iter_extra=""):
+    from tlab_tpu.tools.initialize import initial_state
+    ini = Ini(text=INC_SMALL.format(control_extra=control_extra,
+                                    extra=extra, iter_extra=iter_extra))
+    sim = Simulation.from_case(load_case(ini))
+    return sim, initial_state(sim, seed=5)
+
+
+def test_max_dilatation_bound(tmp_path):
+    """[Control] MaxDilatation trips the bound_d abort (status 3 +
+    tlab.err) when the divergence residual exceeds it."""
+    out = str(tmp_path)
+    sim, st = _mk_inc(tmp_path, control_extra="MaxDilatation=1e-30")
+    run = dns_tool.run(sim, st, outdir=out, n_steps=4)
+    assert run.log.lines[-1].startswith("3 ")
+    assert "Dilatation" in open(os.path.join(out, "tlab.err")).read()
+
+
+def test_pressure_planes(tmp_path):
+    """[SavePlanes] PressureJ writes per-j pressure planes each cadence
+    (planes.f90 PressureJ)."""
+    out = str(tmp_path)
+    sim, st = _mk_inc(tmp_path, iter_extra="SavePlanes=2",
+                      extra="[SavePlanes]\nPressureJ=7\n")
+    dns_tool.run(sim, st, outdir=out, n_steps=4)
+    files = [n for n in os.listdir(out) if n.startswith("planesJ.p7.")]
+    assert files, os.listdir(out)
+    import numpy as np
+    a = np.load(os.path.join(out, files[0]))
+    assert a.shape == (32, 1)
+    assert np.isfinite(a).all()
+
+
 def test_profiling_and_watchdog(tmp_path):
     """[Main] Profiling writes dns.prof; [Iteration] Runtime=0 trips the
     walltime watchdog immediately (tlab.err, dns_main.f90:355-360)."""

@@ -436,12 +436,18 @@ def load_case(path_or_ini) -> CaseSetup:
         "max_pressure": ini.get_float("Control", "MaxPressure", -1.0),
         "min_density": ini.get_float("Control", "MinDensity", -1.0),
         "max_density": ini.get_float("Control", "MaxDensity", -1.0),
+        # incompressible/anelastic dilatation bound (bound_d,
+        # dns_read_local.f90:163-173; default unbounded)
+        "max_dilatation": ini.get_float("Control", "MaxDilatation", -1.0),
     }
 
     planes_cfg = {
         "i": tuple(int(v) for v in ini.get_floats("SavePlanes", "PlanesI", ())),
         "j": tuple(int(v) for v in ini.get_floats("SavePlanes", "PlanesJ", ())),
         "k": tuple(int(v) for v in ini.get_floats("SavePlanes", "PlanesK", ())),
+        # pressure planes at j-indices (planes.f90 PressureJ)
+        "pressure_j": tuple(int(v) for v in
+                            ini.get_floats("SavePlanes", "PressureJ", ())),
         "step": ini.get_int("Iteration", "SavePlanes", -1),
     }
     towers_cfg = {

@@ -628,6 +628,24 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         else:
             new_dt = fixed_dt or dyn.next_dt(sim.P, cmax, cfla, cfld)
             dnum = new_dt * dconst
+            # dilatation bound (DNS_BOUNDS_CONTROL bound_d branch):
+            # abort when max |nabla.u| exceeds [Control] MaxDilatation
+            max_dil = (getattr(case, "control", None)
+                       or {}).get("max_dilatation", -1.0)
+            if max_dil > 0 and len(extras) >= 2 \
+                    and max(abs(extras[0]), abs(extras[1])) > max_dil:
+                status = 3
+                log.step(status, itime, rtime, new_dt, new_dt * cmax,
+                         dnum, visc, *extras)
+                with open(os.path.join(outdir, "tlab.err"), "a") as fh:
+                    fh.write(f"DNS_CONTROL. Dilatation out of bounds "
+                             f"at It{itime}.\n")
+                if checkpoint and case.it_restart > 0:
+                    fields_io.write_state(
+                        os.path.join(outdir, "flow"),
+                        os.path.join(outdir, "scal"), itime, state,
+                        rtime, visc)
+                break
         if itime % case.it_log == 0:
             log.step(status, itime, rtime, new_dt, new_dt * cmax,
                      dnum, visc, *extras)
@@ -715,6 +733,18 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             write_planes(outdir, itime,
                          _primitive_view(state) if is_comp else state,
                          plane_specs)
+        if planes_cfg.get("pressure_j") \
+                and itime % planes_cfg["step"] == 0:
+            # pressure planes at j-indices (planes.f90 PressureJ): the
+            # step's projection/EOS pressure
+            p_pl = p_cur
+            if p_pl is None:
+                from tlab_tpu.dycore.pressure import pressure_boussinesq
+                p_pl = pressure_boussinesq(sim.P, state)
+            arr = np.asarray(p_pl)
+            for jp in planes_cfg["pressure_j"]:
+                np.save(os.path.join(outdir, f"planesJ.p{jp}.{itime}.npy"),
+                        arr[:, jp, :])
         if tower_acc is not None:
             p_tow = None
             st_tow = _primitive_view(state) if is_comp else state
