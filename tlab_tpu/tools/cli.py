@@ -239,6 +239,34 @@ def main(argv=None):
     if args.command in ("averages", "spectra", "pdfs", "superlayer", "visuals"):
         from tlab_tpu.tools import postprocess as pp
         its = [int(t) for t in args.files.split(",") if t]
+        if not its:
+            # [PostProcessing] Files = iteration list (the reference
+            # tools' batch input, dns_read_times.h)
+            its = [int(v) for v in
+                   case.ini.get_floats("PostProcessing", "Files", ())]
+        fields = tuple(args.fields.split(","))
+        pvis = case.ini.get_floats("PostProcessing", "ParamVisuals", ())
+        if args.command == "visuals" and args.fields == "Enstrophy" \
+                and pvis:
+            # ParamVisuals quantity indices -> names (visuals.f90 menu,
+            # iscal_offset = 9 for single-species)
+            ns_ = sim.nsp.n_scalars
+            menu = {1: ("VelocityX",), 2: ("VelocityY",),
+                    3: ("VelocityZ",),
+                    4: ("VelocityX", "VelocityY", "VelocityZ"),
+                    5: ("VelocityMagnitude",),
+                    6: ("Density",), 7: ("Temperature",),
+                    8: ("Pressure",),
+                    9: tuple(f"Scalar{i+1}" for i in range(max(ns_, 1))),
+                    10: ("ScalarGradientVector",),
+                    11: ("ScalarGradient",),
+                    13: ("Vorticity",), 14: ("LogEnstrophy",),
+                    16: ("Strain",), 17: ("Strain",),
+                    19: ("InvariantP", "InvariantQ", "InvariantR"),
+                    21: ("Buoyancy",), 23: ("HorizontalDivergence",)}
+            fields = tuple(n for v in pvis for n in menu.get(int(v), ()))
+            if not fields:
+                fields = ("Enstrophy",)
         if args.command == "averages":
             pp.run_averages(sim, args.outdir, its,
                             gate_scalar=args.gate_scalar,
@@ -252,8 +280,7 @@ def main(argv=None):
         elif args.command == "superlayer":
             pp.run_superlayer(sim, args.outdir, its)
         else:
-            pp.run_visuals(sim, args.outdir, its,
-                           which=tuple(args.fields.split(",")))
+            pp.run_visuals(sim, args.outdir, its, which=fields)
         print(f"{args.command} done for {its}")
         return 0
 
