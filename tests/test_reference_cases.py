@@ -582,6 +582,15 @@ def test_case84_ekman3d_towers_end_to_end(tmp_path):
                            atol=1e-12), col
     assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.02)
     assert any(n.startswith("tower.") for n in os.listdir(out))
+    # batch-mode visuals from the INI's [PostProcessing] block
+    # (Files=0, ParamVisuals=0,1,2,3,9,11,14 menu indices)
+    r = subprocess.run(
+        [sys.executable, "-m", "tlab_tpu.tools.cli", "visuals", "--cpu",
+         "--x64", "--ini", ini, "--outdir", out],
+        cwd=REPO, capture_output=True, text=True, timeout=2400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for n in ("vis0.VelocityX", "vis0.Scalar1", "vis0.LogEnstrophy"):
+        assert os.path.exists(os.path.join(out, n)), n
 
 
 @pytest.mark.parametrize("case", ["Case02", "Case04"])

@@ -272,9 +272,18 @@ def main(argv=None):
                             gate_scalar=args.gate_scalar,
                             gate_level=args.gate_level)
         elif args.command == "spectra":
-            pp.run_spectra(sim, args.outdir, its, cross=args.cross,
-                           correlations=args.correlations,
-                           y_blocks=args.y_blocks)
+            cross, corr, ybl = (args.cross, args.correlations,
+                                args.y_blocks)
+            psp = case.ini.get_floats("PostProcessing", "ParamSpectra",
+                                      ())
+            if psp and not (cross or corr or ybl):
+                # ParamSpectra: 1 spectra, 2 cross-spectra,
+                # 3 correlations, 4 cross-correlations (spectra.f90 menu)
+                om = int(psp[0])
+                cross = om in (2, 4)
+                corr = om in (3, 4)
+            pp.run_spectra(sim, args.outdir, its, cross=cross,
+                           correlations=corr, y_blocks=ybl)
         elif args.command == "pdfs":
             pp.run_pdfs(sim, args.outdir, its)
         elif args.command == "superlayer":
