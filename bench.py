@@ -133,5 +133,34 @@ def main():
     }))
 
 
+def wait_for_backend(max_wait_s: float = 900.0, probe_timeout: float = 90.0):
+    """The axon tunnel can be transiently down (backend init then either
+    raises UNAVAILABLE quickly or hangs). Probe `jax.devices()` in a
+    SUBPROCESS with a timeout so a hung init cannot wedge this process,
+    and retry until the tunnel answers or max_wait_s elapses."""
+    import subprocess
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=probe_timeout)
+            if r.returncode == 0 and r.stdout.strip().isdigit():
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.monotonic() - t0
+        if waited > max_wait_s:
+            print(f"# bench: TPU backend unreachable after "
+                  f"{waited:.0f}s / {attempt} probes", file=sys.stderr)
+            return False
+        time.sleep(min(60.0, 10.0 * attempt))
+
+
 if __name__ == "__main__":
+    if not wait_for_backend():
+        sys.exit(2)
     main()
