@@ -532,6 +532,31 @@ def test_case05_two_schmidt_diffusion_limited_dt(tmp_path):
     assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.2)   # CFL
 
 
+def test_case44_channel_end_to_end(tmp_path):
+    """Case44: plane channel (mirrored fixed_scale tanh grid,
+    PotentialBroadband IC). Diffusion-limited dt so time/dt/D#/visc are
+    exact; CFL (RNG max |u|) to 5%; dilatation envelope same order as
+    the reference's."""
+    out = str(tmp_path)
+    ini = f"{REF}/Case44/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case44/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    for col in (2, 3, 5, 6):
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
+                           atol=1e-12), col
+    assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.05)
+    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
+    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
+    assert np.all(dil <= 4.0 * dil_ref)
+
+
 def test_case52_tracer_trajectories_end_to_end(tmp_path):
     """Case52: Case01 + 50 tracer particles with TrajNumber=2 in-run
     trajectory accumulation (particle_trajectories.f90). Structural
