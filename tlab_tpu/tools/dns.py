@@ -249,6 +249,16 @@ def write_statistics(sim: Simulation, state: State, outdir: str,
                                    p=p, visc=sim.nsp.visc, extras=extras)
         _wr(os.path.join(outdir, f"avg{itime}s{i + 1}"), y, sc,
                       sgroups, itime, rtime)
+    _inrun_pdfs_spectra(sim, state, outdir, itime, rtime)
+
+
+def _inrun_pdfs_spectra(sim: Simulation, state: State, outdir: str,
+                        itime: int, rtime: float) -> None:
+    """[Statistics] Pdfs / Intermittency / Spectrums / Correlations at
+    the statistics cadence (DNS_STATISTICS_TEMPORAL branches) -- shared
+    by the incompressible and compressible (primitive-view) writers."""
+    from tlab_tpu.stats import averages as avg
+    y = sim.grid.y.nodes
     ini = getattr(sim.case, "ini", None)
     if ini is not None and ini.get_bool("Statistics", "Pdfs", False):
         # in-run PDFs (reference DNS_STATISTICS_TEMPORAL pdf branch)
@@ -257,7 +267,7 @@ def write_statistics(sim: Simulation, state: State, outdir: str,
             counts, edges = pdfmod.pdf_per_plane(a)
             pdfmod.write_pdf(os.path.join(outdir, f"pdf{itime}.{name}"),
                              counts, edges, itime)
-    if ini is not None and sim.nsp.n_scalars \
+    if ini is not None and state.s.shape[0] \
             and ini.get_bool("Statistics", "Intermittency", False):
         gate_level = ini.get_float("Statistics", "GateLevel", 0.5)
         gamma = avg.intermittency(state.s[0] > gate_level)
@@ -361,6 +371,7 @@ def write_statistics_compressible(sim: Simulation, U, outdir: str,
                                    rho=rho, vis=vis)
         _wr(os.path.join(outdir, f"avg{itime}s{i + 1}"),
                       sim.grid.y.nodes, sc, sgroups, itime, rtime)
+    _inrun_pdfs_spectra(sim, state, outdir, itime, rtime)
 
 
 def _primitive_view(U) -> State:
