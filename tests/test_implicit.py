@@ -28,7 +28,7 @@ def test_diffusion_decay_large_dt():
     dy = y[1] - y[0]
     dt_explicit_limit = 0.3 / (nu * (1.0 / dy ** 2))   # would be ~1e-3
     dt = 20 * dt_explicit_limit
-    step = jax.jit(lambda st: imp.rk_step_implicit(sim.P, st, dt))
+    step = jax.jit(lambda st: imp.rk_step_implicit(sim.P, st, dt)[0])
     n = 30
     for _ in range(n):
         state = step(state)
@@ -51,7 +51,7 @@ def test_poiseuille_steady_implicit():
         v=jnp.zeros((nx, ny, nz)), w=jnp.zeros((nx, ny, nz)),
         s=jnp.zeros((1, nx, ny, nz)))
     dt = 5e-3                                  # ~10x explicit diffusive limit
-    step = jax.jit(lambda st: imp.rk_step_implicit(sim.P, st, dt))
+    step = jax.jit(lambda st: imp.rk_step_implicit(sim.P, st, dt)[0])
     out = state
     for _ in range(50):
         out = step(out)

@@ -52,13 +52,18 @@ class Ini:
         v = self.get(section, key, str(default))
         return int(float(v)) if v != "" else default
 
+    @staticmethod
+    def _fnum(tok: str) -> float:
+        # Fortran d-exponent literals (MaxDilatation=1.0d6)
+        return float(re.sub(r"[dD](?=[+-]?\d)", "e", tok.strip()))
+
     def get_float(self, section, key, default=0.0) -> float:
         v = self.get(section, key, str(default))
         if v == "":
             return default
         # Fortran list-directed ScanFile_Real takes the FIRST value of a
         # comma-separated list (e.g. Case30's ThickIniS=84.,84.)
-        return float(v.split(",")[0].strip())
+        return self._fnum(v.split(",")[0])
 
     def get_bool(self, section, key, default=False) -> bool:
         v = self.get(section, key, "yes" if default else "no").lower()
@@ -68,7 +73,8 @@ class Ini:
         v = self.get(section, key, "")
         if not v:
             return tuple(default)
-        return tuple(float(tok) for tok in re.split(r"[,\s]+", v) if tok)
+        return tuple(self._fnum(tok) for tok in re.split(r"[,\s]+", v)
+                     if tok)
 
     def write_bak(self, path: Optional[str] = None) -> None:
         """Echo every read key=value (the reference's tlab.ini.bak)."""
@@ -248,6 +254,14 @@ def _read_discrete(ini: Ini) -> dict:
     return {"amplitude": tuple(amps), "modex": modex, "modez": modez,
             "phasex": tuple(phasex) + (0.0,) * n,
             "phasez": tuple(phasez) + (0.0,) * n}
+
+
+def _pad_list(vals, n: int, fill: float = 0.0) -> tuple:
+    """Fortran LIST_REAL semantics: a singleton broadcasts to all n
+    entries; an empty list becomes `fill` (scal_local.f90:114-127)."""
+    vals = list(vals)
+    pad = vals[0] if vals else fill
+    return tuple((vals + [pad] * n)[:n])
 
 
 def _ini_s_profile(ini: Ini, i: int, jscale: float, jstart: float):
@@ -541,11 +555,8 @@ def load_case(path_or_ini) -> CaseSetup:
         # (scal_local.f90:96-127); one NormalizeS value applies to all
         profile_ini_s=tuple(_ini_s_profile(ini, i, jscale, jstart)
                             for i in range(n_scal)),
-        normalize_s=tuple(
-            (list(ini.get_floats("IniFields", "NormalizeS", ()))
-             + [ini.get_floats("IniFields", "NormalizeS", (0.0,))[0]]
-             * n_scal)[i]
-            for i in range(n_scal)),
+        normalize_s=_pad_list(
+            ini.get_floats("IniFields", "NormalizeS", ()), n_scal),
         broadband=bb,
         grid_segments=segs,
         buoyancy=buoyancy,

@@ -142,6 +142,40 @@ def _d12_stack(P, axis_name: str, axis: int, stack):
     return both[tuple(sl1)], both[tuple(sl2)]
 
 
+def _apply_visc_bc(P, dx2, dy2, dz2):
+    """[BoundaryConditions] ViscousI/J/K treatment of the second
+    derivatives in the (u, v, w, T/h) stack (reference bcs_inf/bcs_out
+    routing, rhs_flow_global_2.f90:250-290,347 + dns_read_local.f90:
+    564-580): 'outflow' zeroes the TANGENTIAL laps and the conduction
+    term at both boundary rows of that direction (bcs_out); 'inflow'
+    zeroes those at the max side and the DIAGONAL (normal-component)
+    lap at the min side (bcs_inf)."""
+    vb = P.get("visc_bc")
+    if not vb:
+        return dx2, dy2, dz2
+    # per direction: (stacked d2, axis index in the field, normal comp)
+    out = []
+    for axn, d2, axis, normal in (("x", dx2, 1, 0), ("y", dy2, 2, 1),
+                                  ("z", dz2, 3, 2)):
+        kind = vb.get(axn)
+        if kind is None:
+            out.append(d2)
+            continue
+        tang = [i for i in range(d2.shape[0]) if i != normal]
+        idx_min = [slice(None)] * 4
+        idx_max = [slice(None)] * 4
+        idx_min[axis] = 0
+        idx_max[axis] = -1
+        if kind == "outflow":
+            d2 = d2.at[(tang,) + tuple(idx_min[1:])].set(0.0)
+            d2 = d2.at[(tang,) + tuple(idx_max[1:])].set(0.0)
+        else:   # inflow
+            d2 = d2.at[(tang,) + tuple(idx_max[1:])].set(0.0)
+            d2 = d2.at[(normal,) + tuple(idx_min[1:])].set(0.0)
+        out.append(d2)
+    return tuple(out)
+
+
 def _visc_terms(P, u, v, w, T, mu, cond, variable_mu: bool):
     """(divtau_x, divtau_y, divtau_z, conduction, grads, Phi).
 
@@ -156,6 +190,7 @@ def _visc_terms(P, u, v, w, T, mu, cond, variable_mu: bool):
     dx1, dx2 = _d12_stack(P, "x", 0, stack)
     dy1, dy2 = _d12_stack(P, "y", 1, stack)
     dz1, dz2 = _d12_stack(P, "z", 2, stack)
+    dx2, dy2, dz2 = _apply_visc_bc(P, dx2, dy2, dz2)
     ux, vx, wx, Tx = dx1
     uy, vy, wy, Ty = dy1
     uz, vz, wz, Tz = dz1

@@ -67,9 +67,11 @@ def _helmholtz_update(P, pair, q, rhs, q_wall_aug, alpha_h, kef):
 
 
 def rk_step_implicit(P, state: State, dtime):
-    """One full SMR91 step (3 stages)."""
+    """One full SMR91 step (3 stages); returns (state, last stage
+    pressure) like the explicit rk_step."""
     visc = P["visc"]
     h_old = None
+    p = None
     for i in range(3):
         dte = dtime * KDT[i]
         kim, kex, kco = KIM[i], KEX[i], KCO[i]
@@ -123,4 +125,4 @@ def rk_step_implicit(P, state: State, dtime):
         v_new = v_new.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
 
         state = State(u=u_new, v=v_new, w=w_new, s=s_new)
-    return state
+    return state, p

@@ -54,12 +54,33 @@ class TrajectoryAccumulator:
 
     def accumulate(self, itime: int, rtime: float, pstate: ParticleState):
         idx = np.asarray(self.tag_ids)
+        # fast path: gather the tagged ROWS on device (tiny D2H) and only
+        # fall back to the full-SoA tag search if the positional identity
+        # does not hold (post-migration reorder/padding)
+        if pstate.tags is not None and idx.max() < pstate.tags.shape[0]:
+            t_sel = np.asarray(pstate.tags[idx])
+            if np.array_equal(t_sel, idx):
+                self.buffer.append((itime, rtime,
+                                    np.asarray(pstate.x[idx]),
+                                    np.asarray(pstate.v[idx])))
+                return
         tags = np.asarray(pstate.tags) if pstate.tags is not None else None
-        if tags is not None and not np.array_equal(tags[idx], idx):
-            # owner-sharded migration reorders the SoA: look the tagged
-            # particles up by tag (particle_trajectories.f90 tag search)
-            order = np.argsort(tags)
-            idx = order[np.searchsorted(tags, idx, sorter=order)]
+        if tags is not None and (idx.max() >= tags.shape[0]
+                                 or not np.array_equal(tags[idx], idx)):
+            # owner-sharded migration reorders/pads the SoA: look the
+            # tagged particles up by tag (particle_trajectories.f90 tag
+            # search); tags absent this step (culled/remote) keep NaN
+            order = np.argsort(tags, kind="stable")
+            pos = np.searchsorted(tags, idx, sorter=order)
+            pos = np.minimum(pos, tags.shape[0] - 1)
+            idx2 = order[pos]
+            found = tags[idx2] == idx
+            x = np.full((idx.shape[0], 3), np.nan)
+            v = np.full((idx.shape[0], 3), np.nan)
+            x[found] = np.asarray(pstate.x)[idx2[found]]
+            v[found] = np.asarray(pstate.v)[idx2[found]]
+            self.buffer.append((itime, rtime, x, v))
+            return
         self.buffer.append((itime, rtime,
                             np.asarray(pstate.x)[idx].copy(),
                             np.asarray(pstate.v)[idx].copy()))
@@ -129,7 +150,10 @@ def particle_pdf_reference(grid, pstate, scal_field, locate,
                     and props.shape[1] > ip else np.zeros_like(vals))
     bins = np.zeros((nb, 3), np.int64)
     for ic, cv in enumerate(cols):
-        j = np.floor(cv[sel] / pdf_interval).astype(int)
+        # reference binning j = 1 + int(v/interval) TRUNCATES toward
+        # zero, so values in (-interval, interval) share the first bin
+        # (particle_pdf.f90:77-83)
+        j = np.trunc(cv[sel] / pdf_interval).astype(int)
         j = j[(j >= 0) & (j < nb)]
         np.add.at(bins[:, ic], j, 1)
     with open(path, "w") as fh:

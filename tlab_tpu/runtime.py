@@ -448,27 +448,27 @@ class Simulation:
                                        with_elliptic=False,
                                        wall_refs=wall_refs)
             P["y_periodic"] = grid.y.periodic
-            # [BoundaryConditions] ViscousI/J/K=outflow: the viscous
-            # second derivative is ZEROED at those boundary rows
-            # (bcs_out -> OPR_Partial "if 1, set to zero",
-            # dns_read_local.f90:564-580); the inflow variant zeroes
-            # only the max side in the bcs_out-routed terms
+            # [BoundaryConditions] ViscousI/J/K: boundary treatment of
+            # the viscous second derivatives (bcs_inf/bcs_out routing,
+            # dns_read_local.f90:564-580 + OPR_Partial "if 1, set to
+            # zero"): outflow zeroes the bcs_out-routed terms
+            # (cross/tangential laps + conduction) at BOTH sides;
+            # inflow additionally zeroes the bcs_inf-routed DIAGONAL
+            # lap at the min side. Applied component-wise inside
+            # _visc_terms via P['visc_bc'].
             ini0 = getattr(case, "ini", None)
             vkey = {"x": "ViscousI", "y": "ViscousJ", "z": "ViscousK"}
+            visc_bc = {}
             for axn, per in (("x", grid.x.periodic), ("y", grid.y.periodic),
                              ("z", grid.z.periodic)):
-                if per or f"d12{axn}" not in P or ini0 is None:
+                if per or ini0 is None:
                     continue
                 kind = ini0.get("BoundaryConditions", vkey[axn],
                                 "none").lower()
-                if kind not in ("outflow", "inflow"):
-                    continue
-                d12m = np.array(P[f"d12{axn}"])
-                n = d12m.shape[0] // 2
-                if kind == "outflow":
-                    d12m[n, :] = 0.0       # D2 row at the min boundary
-                d12m[2 * n - 1, :] = 0.0   # D2 row at the max boundary
-                P[f"d12{axn}"] = d12m
+                if kind in ("outflow", "inflow"):
+                    visc_bc[axn] = kind
+            if visc_bc:
+                P["visc_bc"] = visc_bc
             nscbc = None
             vb = case.velocity_bc
             if any(k in ("outflow", "inflow") for k in vb):

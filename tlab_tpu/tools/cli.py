@@ -36,8 +36,10 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--files", default="",
                     help="comma-separated snapshot iterations for postprocessing")
-    ap.add_argument("--fields", default="Enstrophy",
-                    help="comma-separated derived fields for visuals")
+    ap.add_argument("--fields", default="",
+                    help="comma-separated derived fields for visuals "
+                         "(default: [PostProcessing] ParamVisuals, else "
+                         "Enstrophy)")
     ap.add_argument("--cross", action="store_true",
                     help="spectra: add pair cross-spectra (pow/pha)")
     ap.add_argument("--correlations", action="store_true",
@@ -244,10 +246,10 @@ def main(argv=None):
             # tools' batch input, dns_read_times.h)
             its = [int(v) for v in
                    case.ini.get_floats("PostProcessing", "Files", ())]
-        fields = tuple(args.fields.split(","))
+        fields = tuple(f for f in args.fields.split(",") if f) \
+            or ("Enstrophy",)
         pvis = case.ini.get_floats("PostProcessing", "ParamVisuals", ())
-        if args.command == "visuals" and args.fields == "Enstrophy" \
-                and pvis:
+        if args.command == "visuals" and not args.fields and pvis:
             # ParamVisuals quantity indices -> names (visuals.f90 menu,
             # iscal_offset = 9 for single-species)
             ns_ = sim.nsp.n_scalars

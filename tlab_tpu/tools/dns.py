@@ -179,10 +179,21 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             aux["rtime"] = rtime
         return aux or None
 
+    # TimeOrder=RungeKuttaDiffusion3 dispatches the SMR91 semi-implicit
+    # diffusion step (reference RKM_IMP3_DIFFUSION, time.f90:114-134),
+    # which is what licenses dropping the diffusion-number dt limit
+    implicit_diff = "diffusion" in sim.case.time_order.lower()
+
+    def _rk(state, dtime, aux=None):
+        if implicit_diff:
+            from tlab_tpu.dycore import implicit as impl
+            return impl.rk_step_implicit(P, state, dtime)
+        return dyn.rk_step(P, state, dtime, aux=aux)
+
     if particles is None and unsteady_inflow:
         @jax.jit
         def _step(state, dtime, aux):
-            new_state, p = dyn.rk_step(P, state, dtime, aux=aux)
+            new_state, p = _rk(state, dtime, aux=aux)
             cfl = dyn.cfl_advective_max(P, new_state)
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
             return new_state, p, cfl, jnp.stack([dmin, dmax])
@@ -196,10 +207,10 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             if inner_steps > 1:
                 new_state, p = jax.lax.fori_loop(
                     0, inner_steps,
-                    lambda i, c: dyn.rk_step(P, c[0], dtime, aux=aux),
+                    lambda i, c: _rk(c[0], dtime, aux=aux),
                     (state, jnp.zeros_like(state.u)))
             else:
-                new_state, p = dyn.rk_step(P, state, dtime, aux=aux)
+                new_state, p = _rk(state, dtime, aux=aux)
             cfl = dyn.cfl_advective_max(P, new_state)
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
             return new_state, p, cfl, jnp.stack([dmin, dmax])
@@ -744,7 +755,7 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             write_planes(outdir, itime,
                          _primitive_view(state) if is_comp else state,
                          plane_specs)
-        if planes_cfg.get("pressure_j") \
+        if planes_cfg.get("pressure_j") and planes_cfg["step"] > 0 \
                 and itime % planes_cfg["step"] == 0:
             # pressure planes at j-indices (planes.f90 PressureJ): the
             # step's projection/EOS pressure
