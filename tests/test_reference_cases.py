@@ -557,6 +557,32 @@ def test_case44_channel_end_to_end(tmp_path):
     assert np.all(dil <= 4.0 * dil_ref)
 
 
+def test_case91_slope_flow_end_to_end(tmp_path):
+    """Case91: rotating katabatic slope flow -- HOMOGENEOUS gravity along
+    Ox on the buoyancy scalar, explicit Coriolis about Oz, two scalars
+    with Schmidt=(0.71, 1.0) on a 194-point stretched wall grid.
+    Diffusion-limited dt so time/dt/D#/visc are exact; the CFL column
+    (deterministic mean-flow spin-up + RNG seed) to 3%."""
+    out = str(tmp_path)
+    ini = f"{REF}/Case91/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case91/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    for col in (2, 3, 5, 6):
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
+                           atol=1e-12), col
+    assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.03)
+    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
+    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
+    assert np.all(dil <= 2.0 * dil_ref)
+
+
 def test_case52_tracer_trajectories_end_to_end(tmp_path):
     """Case52: Case01 + 50 tracer particles with TrajNumber=2 in-run
     trajectory accumulation (particle_trajectories.f90). Structural
