@@ -262,6 +262,23 @@ def test_pressure_planes(tmp_path):
     assert np.isfinite(a).all()
 
 
+def test_viscchange_ramp(tmp_path):
+    """[ViscChange] Time ramps the viscosity of a restart whose stored
+    visc differs from the INI's toward the INI value (dns_main.f90:
+    176-184,261): the logged visc column starts at the restart value and
+    reaches 1/Re by the end of the ramp."""
+    out = str(tmp_path)
+    sim, st = _mk_inc(tmp_path, extra="[ViscChange]\nTime=0.01\n")
+    visc_ini = sim.nsp.visc                  # 1/500
+    run = dns_tool.run(sim, st, outdir=out, n_steps=8,
+                       restart_visc=2.0 * visc_ini)
+    rows = [ln.split() for ln in run.log.lines if ln.startswith("0 ")]
+    viscs = [float(r[6]) for r in rows]
+    assert abs(viscs[0] - 2.0 * visc_ini) < 1e-9      # starts at restart
+    assert abs(viscs[-1] - visc_ini) < 1e-9           # ramp complete
+    assert viscs[0] > viscs[2] > viscs[-1] - 1e-12    # monotone down
+
+
 def test_profiling_and_watchdog(tmp_path):
     """[Main] Profiling writes dns.prof; [Iteration] Runtime=0 trips the
     walltime watchdog immediately (tlab.err, dns_main.f90:355-360)."""

@@ -368,6 +368,10 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
     fields = jnp.concatenate([u[None], v[None], w[None], s], axis=0)
     nu = jnp.asarray((visc,) * 3 + tuple(P["diff"]),
                      fields.dtype)[:, None, None, None]
+    if aux is not None and "visc_scale" in aux:
+        # [ViscChange] ramp: restart viscosity relaxing toward the INI
+        # value (dns_main.f90:176-184, 261); rides as a traced scalar
+        nu = nu * aux["visc_scale"]
     adv = (_burgers_all(P, "x", 0, fields, u, nu)
            + _burgers_all(P, "y", 1, fields, v, nu)
            + _burgers_all(P, "z", 2, fields, w, nu))

@@ -147,7 +147,7 @@ def main(argv=None):
                                inner_steps=args.inner_steps)
             print("\n".join(run.log.lines[-3:]))
             return 0
-        u, v, w, s, rtime, _ = fields_io.read_state(
+        u, v, w, s, rtime, visc0 = fields_io.read_state(
             os.path.join(args.outdir, "flow"),
             os.path.join(args.outdir, "scal"), it0, sim.nsp.n_scalars)
         state = State(u=jnp.asarray(u, sim.dtype), v=jnp.asarray(v, sim.dtype),
@@ -169,7 +169,8 @@ def main(argv=None):
                            rtime=float(rtime), n_steps=args.steps,
                            log_path=os.path.join(args.outdir, "dns.out"),
                            inner_steps=args.inner_steps,
-                           pstate=pstate, particle_props=pprops)
+                           pstate=pstate, particle_props=pprops,
+                           restart_visc=float(visc0) if visc0 else None)
         print("\n".join(run.log.lines[-3:]))
         return 0
 

@@ -155,7 +155,7 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
                             P, U, c["gamma"], c["mach"], mix=mix))
                 return cfl, _diag(U, prim[4], None)
 
-        def step(U, dtime, rtime=None):
+        def step(U, dtime, rtime=None, extra=None):
             return _comp_step(U, dtime)
 
         return step, cfl_only
@@ -215,9 +215,9 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             dmin, dmax = dyn.dilatation_minmax(P, new_state)
             return new_state, p, cfl, jnp.stack([dmin, dmax])
 
-        def step(state, dtime, rtime=None):
+        def step(state, dtime, rtime=None, extra=None):
             return _step(state, dtime,
-                         _aux(rtime=rtime if timed else None))
+                         _aux(extra, rtime if timed else None))
     else:
         from tlab_tpu.particles.core import make_locator
         from tlab_tpu.particles.stepping import rk_step_with_particles
@@ -427,7 +427,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         n_steps: Optional[int] = None, log_path: Optional[str] = None,
         checkpoint: bool = True, nan_abort: bool = True,
         opr_check: bool = False, pstate=None, particle_props=None,
-        inner_steps: int = 1, inflow=None) -> DnsRun:
+        inner_steps: int = 1, inflow=None,
+        restart_visc: Optional[float] = None) -> DnsRun:
     case = sim.case
     n_steps = n_steps if n_steps is not None else (case.it_end - itime)
     if inner_steps > 1 and (pstate is not None or case.flow_type == "spatial"
@@ -539,6 +540,27 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     dconst = sim.P["diffusion_constant"]
     visc = sim.nsp.visc
 
+    # [ViscChange] viscosity ramp: a restart whose stored viscosity
+    # differs from the INI's relaxes linearly over Time toward it
+    # (dns_main.f90:176-184, 261); rides into the step as the traced
+    # visc_scale factor. Unsupported combinations (particles/inflow)
+    # jump immediately, as Time=0 does.
+    visc_ini = visc
+    ramp_rate = 0.0
+    if restart_visc is not None and restart_visc > 0.0 \
+            and abs(restart_visc - visc_ini) > 1e-14 * visc_ini:
+        vtime = case.ini.get_float("ViscChange", "Time", 0.0) \
+            if getattr(case, "ini", None) else 0.0
+        if vtime > 0.0 and pstate is None and inflow is None:
+            visc = restart_visc
+            ramp_rate = (visc_ini - restart_visc) / vtime
+
+    def _visc_extra():
+        if ramp_rate == 0.0 or visc == visc_ini:
+            return None
+        return {"visc_scale": jnp.asarray(visc / visc_ini,
+                                          state.u.dtype)}
+
     # lagged-dt pipelining: compute the next dt from the PREVIOUS step's
     # CFL (already materialized on the host) so the next device dispatch
     # never waits for a D2H fetch -- removes the per-step tunnel sync
@@ -594,9 +616,14 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             state, p_cur, cmax_dev, aux_v = step(state, dtime, aux,
                                                  rtime=rtime)
         else:
-            state, p_cur, cmax_dev, aux_v = step(state, dtime, rtime=rtime)
+            state, p_cur, cmax_dev, aux_v = step(state, dtime, rtime=rtime,
+                                                 extra=_visc_extra())
         itime += inner_steps
         rtime += dtime * inner_steps
+        if ramp_rate != 0.0 and visc != visc_ini:
+            visc = visc + ramp_rate * dtime * inner_steps
+            if (ramp_rate > 0) == (visc >= visc_ini):
+                visc = visc_ini         # ramp complete
         if sponge_fn is not None:
             state = sponge_fn(state)
         if filter_fn is not None and itime % filt_step == 0:
