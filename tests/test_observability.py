@@ -248,17 +248,18 @@ def test_max_dilatation_bound(tmp_path):
 
 
 def test_pressure_planes(tmp_path):
-    """[SavePlanes] PressureJ writes per-j pressure planes each cadence
-    (planes.f90 PressureJ)."""
+    """[SavePlanes] plane sets carry the projection pressure alongside
+    the field planes (planes.f90 PLANES_INITIALIZE sizes every set as
+    flow + scalars + pressure)."""
+    import numpy as np
     out = str(tmp_path)
     sim, st = _mk_inc(tmp_path, iter_extra="SavePlanes=2",
-                      extra="[SavePlanes]\nPressureJ=7\n")
+                      extra="[SavePlanes]\nPlanesJ=7\nPressureJ=yes\n")
     dns_tool.run(sim, st, outdir=out, n_steps=4)
-    files = [n for n in os.listdir(out) if n.startswith("planesJ.p7.")]
+    files = [n for n in os.listdir(out) if n.startswith("planesJ.p.")]
     assert files, os.listdir(out)
-    import numpy as np
-    a = np.load(os.path.join(out, files[0]))
-    assert a.shape == (32, 1)
+    a = np.fromfile(os.path.join(out, sorted(files)[0]), "<f4")
+    assert a.size == 32 * 1                   # (nx, nz) j-plane
     assert np.isfinite(a).all()
 
 

@@ -557,6 +557,30 @@ def test_case44_channel_end_to_end(tmp_path):
     assert np.all(dil <= 4.0 * dil_ref)
 
 
+def test_case82_ekman3d_planes_end_to_end(tmp_path):
+    """Case82: 3-D Ekman layer with [SavePlanes] PlanesJ=1,2,3,7,11 and
+    the commented-out Saveplanes cadence -- the reference's
+    mod(itime,-1)==0 quirk saves planes EVERY step, each set carrying
+    u/v/w + pressure. time/dt/D#/visc exact; CFL to 2%."""
+    out = str(tmp_path)
+    ini = f"{REF}/Case82/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case82/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    for col in (2, 3, 5, 6):
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
+                           atol=1e-12), col
+    assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.02)
+    for n in ("planesJ.u.1", "planesJ.p.10"):
+        assert os.path.exists(os.path.join(out, n)), n
+
+
 def test_case91_slope_flow_end_to_end(tmp_path):
     """Case91: rotating katabatic slope flow -- HOMOGENEOUS gravity along
     Ox on the buoyancy scalar, explicit Coriolis about Oz, two scalars

@@ -459,9 +459,6 @@ def load_case(path_or_ini) -> CaseSetup:
         "i": tuple(int(v) for v in ini.get_floats("SavePlanes", "PlanesI", ())),
         "j": tuple(int(v) for v in ini.get_floats("SavePlanes", "PlanesJ", ())),
         "k": tuple(int(v) for v in ini.get_floats("SavePlanes", "PlanesK", ())),
-        # pressure planes at j-indices (planes.f90 PressureJ)
-        "pressure_j": tuple(int(v) for v in
-                            ini.get_floats("SavePlanes", "PressureJ", ())),
         "step": ini.get_int("Iteration", "SavePlanes", -1),
     }
     towers_cfg = {

@@ -24,15 +24,20 @@ def extract_plane(field: np.ndarray, spec: PlaneSpec) -> np.ndarray:
     return np.take(np.asarray(field), spec.indices, axis=ax)
 
 
-def write_planes(outdir: str, itime: int, state, specs) -> None:
+def write_planes(outdir: str, itime: int, state, specs,
+                 pressure=None) -> None:
+    """Field planes + (as the reference, which sizes every plane set as
+    flow + scalars + PRESSURE, planes.f90 PLANES_INITIALIZE) the
+    pressure plane when given."""
     for spec in specs:
-        for name, comp in (("u", state.u), ("v", state.v), ("w", state.w)):
+        comps = [("u", state.u), ("v", state.v), ("w", state.w)]
+        comps += [(f"s{i+1}", state.s[i]) for i in range(state.s.shape[0])]
+        if pressure is not None:
+            comps.append(("p", pressure))
+        for name, comp in comps:
             pl = extract_plane(np.asarray(comp), spec)
-            path = os.path.join(outdir, f"planes{spec.axis.upper()}.{name}.{itime}")
-            pl.astype("<f4").tofile(path)
-        for i in range(state.s.shape[0]):
-            pl = extract_plane(np.asarray(state.s[i]), spec)
-            path = os.path.join(outdir, f"planes{spec.axis.upper()}.s{i+1}.{itime}")
+            path = os.path.join(outdir,
+                                f"planes{spec.axis.upper()}.{name}.{itime}")
             pl.astype("<f4").tofile(path)
 
 

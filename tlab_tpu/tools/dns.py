@@ -477,12 +477,17 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         if getattr(case, "ini", None) else False
     planes_cfg = getattr(case, "planes", None) or {}
     plane_specs = []
-    if planes_cfg.get("step", -1) > 0:
+    # [Iteration] Saveplanes absent (-1) with plane lists present means
+    # EVERY step: the reference's mod(itime, -1) == 0 always holds
+    # (dns_main.f90:351); Saveplanes=0 disables
+    if planes_cfg.get("step", -1) != 0:
         from tlab_tpu.io.planes import PlaneSpec
         for ax in ("i", "j", "k"):
             if planes_cfg.get(ax):
                 plane_specs.append(PlaneSpec(axis=ax,
                                              indices=planes_cfg[ax]))
+    plane_step = planes_cfg.get("step", -1)
+    plane_step = plane_step if plane_step > 0 else 1
     # in-run particle trajectories + PDFs ([Particles] TrajNumber /
     # CalculatePDF, reference particle_trajectories.f90 + particle_pdf.f90)
     traj_acc = None
@@ -777,23 +782,17 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 os.path.join(outdir, f"particle_pdf.{itime}"))
         if obs_log and itime % case.it_log == 0 and not is_comp:
             write_obs(sim, state, outdir, itime, rtime)
-        if plane_specs and itime % planes_cfg["step"] == 0:
+        if plane_specs and itime % plane_step == 0:
             from tlab_tpu.io.planes import write_planes
-            write_planes(outdir, itime,
-                         _primitive_view(state) if is_comp else state,
-                         plane_specs)
-        if planes_cfg.get("pressure_j") and planes_cfg["step"] > 0 \
-                and itime % planes_cfg["step"] == 0:
-            # pressure planes at j-indices (planes.f90 PressureJ): the
-            # step's projection/EOS pressure
+            # every plane set carries the pressure too (planes.f90
+            # PLANES_INITIALIZE sizes flow + scalars + 1)
             p_pl = p_cur
-            if p_pl is None:
+            if p_pl is None and not is_comp:
                 from tlab_tpu.dycore.pressure import pressure_boussinesq
                 p_pl = pressure_boussinesq(sim.P, state)
-            arr = np.asarray(p_pl)
-            for jp in planes_cfg["pressure_j"]:
-                np.save(os.path.join(outdir, f"planesJ.p{jp}.{itime}.npy"),
-                        arr[:, jp, :])
+            write_planes(outdir, itime,
+                         _primitive_view(state) if is_comp else state,
+                         plane_specs, pressure=p_pl)
         if tower_acc is not None:
             p_tow = None
             st_tow = _primitive_view(state) if is_comp else state
