@@ -122,24 +122,38 @@ def _d12_stack(P, axis_name: str, axis: int, stack):
     the fused [D1;D2] matmul (the same compact-D2-with-Jacobian operator
     Burgers uses) -- replaces D1(D1(.)) for viscous/conduction terms,
     which loses the odd-even (grid-scale) modes (reference uses OPR_P2,
-    fdm_derivative.f90:413)."""
+    fdm_derivative.f90:413). Pencil-aware: a sharded direction gathers
+    the stack through the all-to-all engine, applies the GLOBAL operator
+    and scatters both halves back (same pattern as _burgers_all)."""
     d12 = P.get(f"d12{axis_name}")
     if d12 is None:
         z = jnp.zeros_like(stack)
         return z, z
+    comm = dyn._axis_comm(P, axis_name)
+    if comm is not None:
+        from tlab_tpu.parallel import pencil
+        wire = comm.get("wire")
+        stack_t = pencil.cast_on_wire(pencil.GATHER[axis_name], stack, 1,
+                                      wire)
+    else:
+        stack_t = stack
     from tlab_tpu.ops.derivative import op_precision
     pref = jnp.float32 if stack.dtype in (jnp.bfloat16, jnp.float16) \
         else stack.dtype
     eins = {0: "ab,fbjk->fajk", 1: "ab,fibk->fiak", 2: "ab,fijb->fija"}[axis]
-    both = jnp.einsum(eins, d12, stack, preferred_element_type=pref,
+    both = jnp.einsum(eins, d12, stack_t, preferred_element_type=pref,
                       precision=op_precision(stack.dtype)
                       ).astype(stack.dtype)
-    n = stack.shape[axis + 1]
+    n = stack_t.shape[axis + 1]
     sl1 = [slice(None)] * 4
     sl2 = [slice(None)] * 4
     sl1[axis + 1] = slice(0, n)
     sl2[axis + 1] = slice(n, 2 * n)
-    return both[tuple(sl1)], both[tuple(sl2)]
+    d1o, d2o = both[tuple(sl1)], both[tuple(sl2)]
+    if comm is not None:
+        d1o = pencil.cast_on_wire(pencil.SCATTER[axis_name], d1o, 1, wire)
+        d2o = pencil.cast_on_wire(pencil.SCATTER[axis_name], d2o, 1, wire)
+    return d1o, d2o
 
 
 def _apply_visc_bc(P, dx2, dy2, dz2):

@@ -72,13 +72,42 @@ def _plane_d1(P, a2d, axis: int, which: str):
     """Tangential derivative of an edge plane.
 
     For a y-boundary the plane is (nx, nz): 'x' derivative contracts the
-    first index, 'z' the second."""
+    first index, 'z' the second. Pencil-aware: a sharded tangential
+    direction routes the plane (as a dummy-y 3-D block) through the
+    all-to-all engine like every other derivative."""
     M = P.get(f"d1{which}")
     if M is None:
         return jnp.zeros_like(a2d)
+    from tlab_tpu.dycore.incompressible import _axis_comm
+    comm = _axis_comm(P, which)
+    if comm is not None:
+        from tlab_tpu.parallel import pencil
+        wire = comm.get("wire")
+        a3 = a2d[:, None, :]
+        a3 = pencil.cast_on_wire(pencil.GATHER[which], a3, 0, wire)
+        if which == "x":
+            r = jnp.einsum("ab,bjk->ajk", jnp.asarray(M, a2d.dtype), a3)
+        else:
+            r = jnp.einsum("ab,ijb->ija", jnp.asarray(M, a2d.dtype), a3)
+        r = pencil.cast_on_wire(pencil.SCATTER[which], r, 0, wire)
+        return r[:, 0, :]
     if which == "x":
         return jnp.einsum("ab,bk->ak", jnp.asarray(M, a2d.dtype), a2d)
     return jnp.einsum("ab,ib->ia", jnp.asarray(M, a2d.dtype), a2d)
+
+
+def _global_max(P, v):
+    """Mesh-global max of a per-shard scalar inside shard_map (the
+    reference's MPI_ALLREDUCE of M2_max, time.f90:786)."""
+    comm = P.get("comm") if P is not None else None
+    if comm is None:
+        return v
+    from jax import lax
+    if comm.get("px", 1) > 1:
+        v = lax.pmax(v, "x")
+    if comm.get("pz", 1) > 1:
+        v = lax.pmax(v, "z")
+    return v
 
 
 def max_mach2(U: CompState, gamma: float, mach: float):
@@ -270,6 +299,7 @@ def apply_nscbc(P, U: CompState, h: CompState, gamma: float, mach: float,
         m2 = max_mach2(U, gamma, mach) if spec.drift else \
             jnp.asarray(mach ** 2, U.rho.dtype)
         hform = None
+    m2 = _global_max(P, m2)
     drift = jnp.maximum(1.0 - m2, 0.0)
 
     comps = [h.rho, h.rhou, h.rhov, h.rhow, h.rhoE]
@@ -375,9 +405,11 @@ def apply_nscbc_airwater(P, U: CompState, h: CompState, tp, spec: NSCBCSpec,
     gam = gamma_airwater(tp, qt, ql, T)
     ci = tp.cratio_inv
 
-    # Mach drift from the instantaneous local sound speed
+    # Mach drift from the instantaneous local sound speed (mesh-global
+    # under the pencil engine)
     m2 = jnp.max((u * u + v * v + w * w) * rho / (gam * p)) if spec.drift \
         else jnp.zeros((), rho.dtype)
+    m2 = _global_max(P, m2)
     drift = jnp.maximum(1.0 - m2, 0.0)
 
     comps = [h.rho, h.rhou, h.rhov, h.rhow, h.rhoE]

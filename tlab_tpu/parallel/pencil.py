@@ -206,3 +206,35 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None):
         return new_state
 
     return jax.jit(step_local)
+
+
+def make_pencil_step_compressible(mesh, P, step_fn, wire_dtype=None):
+    """Explicit shard_map pencil step for the COMPRESSIBLE core: the
+    conservative CompState shards P('x', None, 'z') (scalars stacked
+    with a leading field axis) and the dycore's operators route x/z
+    derivative work through the all-to-all engine via P['comm'] (the
+    [D1;D2] viscous stacks gather/apply-global/scatter like Burgers;
+    NSCBC tangential planes and the Mach drift go mesh-global).
+
+    step_fn(P, U, dtime) -> U (e.g. a lambda closing over
+    rk_step_compressible's physics arguments)."""
+    from tlab_tpu.dycore.compressible import CompState
+    px = mesh.shape["x"]
+    pz = mesh.shape["z"]
+    Pp = dict(P)
+    Pp["comm"] = {"px": px, "pz": pz, "wire": wire_dtype}
+
+    fspec = PSpec("x", None, "z")
+    sspec = PSpec(None, "x", None, "z")
+    u_spec = CompState(rho=fspec, rhou=fspec, rhov=fspec, rhow=fspec,
+                       rhoE=fspec, rhos=sspec)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(u_spec, PSpec()),
+        out_specs=u_spec,
+        check_vma=False)
+    def step_local(U, dtime):
+        return step_fn(Pp, U, dtime)
+
+    return jax.jit(step_local)
