@@ -478,9 +478,12 @@ scales_1=1.0
     new_state, _ = dyn.rk_step(sim.P, state, 1e-3)
     wall1 = np.asarray(new_state.s[0, :, 0, :])
     dw = wall1 - wall0
-    # anomaly-coupled: plane mean unchanged, but x-variation imprinted
+    # anomaly-coupled: plane mean unchanged, but x-variation imprinted.
+    # The wall moves with VELOCITY ref (ref accumulating cpl*anom per
+    # substep, reference hs wall-row = BcsScal%ref), so one step imprints
+    # O(dt^2 cpl flux') -- small but structured
     assert abs(dw.mean()) < 1e-12
-    assert np.max(np.abs(dw)) > 1e-4
+    assert np.max(np.abs(dw)) > 1e-8
     # sign: where the gradient (flux) is larger than average, wall warms
     flux = np.asarray(s0[:, 1, :] - s0[:, 0, :])
     corr = np.corrcoef(dw.ravel(), (flux - flux.mean()).ravel())[0, 1]

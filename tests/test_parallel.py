@@ -50,6 +50,8 @@ def test_step_decomposition_invariance():
     out_1 = jax.jit(lambda st: dyn.rk_step(P, st, 1e-3)[0])(state)
 
     for a, b in zip(out_sh, out_1):
+        if a is None or b is None:
+            continue
         assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 1e-12
 
 

@@ -49,6 +49,8 @@ def test_pencil_step_matches_single_device(px, pz):
     out_p = step_p(state_sh, 1e-3)
     out_1 = jax.jit(lambda st: dyn.rk_step(P, st, 1e-3)[0])(state)
     for a, b in zip(out_p, out_1):
+        if a is None:
+            continue
         err = np.max(np.abs(np.asarray(a) - np.asarray(b)))
         assert err < 1e-12, err
 

@@ -581,6 +581,34 @@ def test_case82_ekman3d_planes_end_to_end(tmp_path):
         assert os.path.exists(os.path.join(out, n)), n
 
 
+def test_case88_interactive_surface_end_to_end(tmp_path):
+    """Case88: stably-stratified Ekman layer with the INTERACTIVE linear
+    surface BC (Scalar1SfcTypeJmin=linear, Coupling=100): the surface
+    reference state ref accumulates the flux anomaly and drives the wall
+    TENDENCY (boundary_bcs.f90:478-545). Stable for 10 steps with
+    dt within 10% of the reference (broadband RNG IC), CFL/visc exact,
+    D#/dt ratio to 1%, dilatation the same order."""
+    out = str(tmp_path)
+    ini = f"{REF}/Case88/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case88/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    assert np.all(np.abs(ours[:, 3] / ref[:, 3] - 1.0) < 0.10)   # dt
+    assert np.allclose(ours[:, 4], ref[:, 4])                    # CFL
+    assert np.allclose(ours[:, 6], ref[:, 6])                    # visc
+    ratio = (ours[:, 5] / ours[:, 3]) / (ref[:, 5] / ref[:, 3])
+    assert np.all(np.abs(ratio - 1.0) < 0.01)
+    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
+    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
+    assert np.all(dil <= 2.0 * dil_ref)                          # stable
+
+
 def test_case91_slope_flow_end_to_end(tmp_path):
     """Case91: rotating katabatic slope flow -- HOMOGENEOUS gravity along
     Ox on the buoyancy scalar, explicit Coriolis about Oz, two scalars

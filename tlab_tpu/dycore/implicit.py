@@ -124,5 +124,5 @@ def rk_step_implicit(P, state: State, dtime):
         # already imposed them, re-pin after projection)
         v_new = v_new.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
 
-        state = State(u=u_new, v=v_new, w=w_new, s=s_new)
+        state = State(u=u_new, v=v_new, w=w_new, s=s_new, sfc=state.sfc)
     return state, p

@@ -491,30 +491,49 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
     return (h1, h2, h3), hs, p
 
 
-def surface_bc_update(P, s):
-    """Interactive (linear) surface BC: the scalar's wall value responds to
-    the local flux anomaly, ref += cpl (hfx - <hfx>)  (reference
-    BOUNDARY_BCS_SURFACE_Y, boundary_bcs.f90:478-545; SfcType=linear)."""
+def surface_bc_step(P, s_pre, s_new, sfc, dte):
+    """Interactive (linear) surface BC (reference BOUNDARY_BCS_SURFACE_Y,
+    boundary_bcs.f90:478-545 + the hs wall-row imposition,
+    rhs_global_incompressible_1.f90:390-396):
+
+        ref += cpl (hfx - <hfx>)        (per substep, flux of the
+                                         PRE-update scalar)
+        wall TENDENCY = ref  =>  s_wall += dte ref
+
+    The persistent surface state ref rides as State.sfc (2, ns, nx, nz);
+    sides with SfcType=static keep ref = 0 (frozen Dirichlet wall).
+    Returns (s_updated, sfc_updated)."""
     sbc = P.get("surface_bc")
-    if sbc is None or s.shape[0] == 0:
-        return s
+    if sbc is None or s_new.shape[0] == 0 or sfc is None:
+        return s_new, sfc
     d1y = P["d1y"]
-    dsdy_b = jnp.einsum("b,sibk->sik", d1y[0], s)
-    dsdy_t = jnp.einsum("b,sibk->sik", d1y[-1], s)
-    diff = jnp.asarray(P["diff"], s.dtype)[:, None, None]
+    diff = jnp.asarray(P["diff"], s_new.dtype)[:, None, None]
+    def pmean(a):
+        m = jnp.mean(a, axis=(1, 2), keepdims=True)
+        comm = P.get("comm")
+        if comm is not None:
+            from jax import lax
+            if comm.get("px", 1) > 1:
+                m = lax.pmean(m, "x")
+            if comm.get("pz", 1) > 1:
+                m = lax.pmean(m, "z")
+        return m
+
     cplb = sbc.get("cpl_jmin")
-    if cplb is not None:
-        hfx = diff * dsdy_b
-        anom = hfx - jnp.mean(hfx, axis=(1, 2), keepdims=True)
-        s = s.at[:, :, 0, :].add(
-            jnp.asarray(cplb, s.dtype)[:, None, None] * anom)
     cplt = sbc.get("cpl_jmax")
-    if cplt is not None:
-        hfx = -diff * dsdy_t
-        anom = hfx - jnp.mean(hfx, axis=(1, 2), keepdims=True)
-        s = s.at[:, :, -1, :].add(
-            jnp.asarray(cplt, s.dtype)[:, None, None] * anom)
-    return s
+    if cplb is not None and any(c != 0.0 for c in cplb):
+        hfx = diff * jnp.einsum("b,sibk->sik", d1y[0], s_pre)
+        anom = hfx - pmean(hfx)
+        sfc = sfc.at[0].add(
+            jnp.asarray(cplb, s_new.dtype)[:, None, None] * anom)
+        s_new = s_new.at[:, :, 0, :].add(dte * sfc[0])
+    if cplt is not None and any(c != 0.0 for c in cplt):
+        hfx = -diff * jnp.einsum("b,sibk->sik", d1y[-1], s_pre)
+        anom = hfx - pmean(hfx)
+        sfc = sfc.at[1].add(
+            jnp.asarray(cplt, s_new.dtype)[:, None, None] * anom)
+        s_new = s_new.at[:, :, -1, :].add(dte * sfc[1])
+    return s_new, sfc
 
 
 def _enforce_wall_values(P, state: State) -> State:
@@ -535,7 +554,7 @@ def _enforce_wall_values(P, state: State) -> State:
             u = u.at[:, j, :].set(refs["u"][side])
         if kinds["w"][side] == "dirichlet":
             w = w.at[:, j, :].set(refs["w"][side])
-    return State(u=u, v=v, w=w, s=state.s)
+    return State(u=u, v=v, w=w, s=state.s, sfc=state.sfc)
 
 
 def _rk_substep(P, state: State, hq, hs, dte, kco_i, aux=None):
@@ -551,12 +570,13 @@ def _rk_substep(P, state: State, hq, hs, dte, kco_i, aux=None):
         lo = jnp.asarray(mins, s_new.dtype)[:, None, None, None]
         hi = jnp.asarray(maxs, s_new.dtype)[:, None, None, None]
         s_new = jnp.clip(s_new, lo, hi)
+    sfc = state.sfc
     if s_new.shape[0]:
-        s_new = surface_bc_update(P, s_new)
+        s_new, sfc = surface_bc_step(P, state.s, s_new, sfc, dte)
     state = State(u=state.u + dte * hq[0],
                   v=state.v + dte * hq[1],
                   w=state.w + dte * hq[2],
-                  s=s_new)
+                  s=s_new, sfc=sfc)
     if P.get("ibm") is not None:
         # direct forcing: zero state in solids after the substep
         # (reference dns_main.f90:254-257)
@@ -578,6 +598,11 @@ def rk_step(P, state: State, dtime, aux=None, unroll: bool = False):
     kdt = P["rk"]["kdt"]
     kco = P["rk"]["kco"]
     state = _enforce_wall_values(P, state)
+    if P.get("surface_bc") is not None and state.sfc is None \
+            and state.s.shape[0]:
+        ns_, nx_, _, nz_ = state.s.shape
+        state = state._replace(sfc=jnp.zeros((2, ns_, nx_, nz_),
+                                             state.s.dtype))
     z = jnp.zeros_like(state.u)
     hq = (z, z, z)
     hs = jnp.zeros_like(state.s)

@@ -8,12 +8,17 @@ import jax.numpy as jnp
 
 
 class State(NamedTuple):
-    """Velocity components (nx, ny, nz) and scalars (ns, nx, ny, nz)."""
+    """Velocity components (nx, ny, nz) and scalars (ns, nx, ny, nz).
+
+    sfc: optional (2, ns, nx, nz) interactive-surface reference values
+    (jmin, jmax) -- the reference's BcsScalJmin/Jmax%ref surface state
+    that SfcType=linear evolves (boundary_bcs.f90:478-545)."""
 
     u: jax.Array
     v: jax.Array
     w: jax.Array
     s: jax.Array
+    sfc: jax.Array = None
 
     @property
     def shape3(self):

@@ -194,7 +194,8 @@ def apply_ibm_state(ibm, state):
             s = s * fluid[None] + (1 - fluid)[None] * sval[:, None, None, None]
         else:
             s = s * fluid[None]
-    return State(u=state.u * fluid, v=state.v * fluid, w=state.w * fluid,
+    return State(sfc=state.sfc,
+                 u=state.u * fluid, v=state.v * fluid, w=state.w * fluid,
                  s=s)
 
 

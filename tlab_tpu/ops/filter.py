@@ -99,4 +99,4 @@ def filter_state(mats: dict, state):
     return State(u=apply_filter(mats, state.u),
                  v=apply_filter(mats, state.v),
                  w=apply_filter(mats, state.w),
-                 s=s)
+                 s=s, sfc=state.sfc)

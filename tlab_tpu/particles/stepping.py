@@ -50,7 +50,8 @@ def rk_step_with_particles(P, grid, locate, pprops: ParticleProps,
         # flow substep
         hq, hs, _ = dyn.substep_rhs(P, state, hq, hs, dte)
         state = State(u=state.u + dte * hq[0], v=state.v + dte * hq[1],
-                      w=state.w + dte * hq[2], s=state.s + dte * hs)
+                      w=state.w + dte * hq[2], s=state.s + dte * hs,
+                      sfc=state.sfc)
         if i < len(kdt) - 1:
             a = kco[i]
             hq = (a * hq[0], a * hq[1], a * hq[2])

@@ -439,6 +439,13 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     is_comp = getattr(sim, "comp", None) is not None
     from tlab_tpu.utils import trace as _trace
     _trace.maybe_init(case, outdir)
+    if not is_comp and sim.P.get("surface_bc") is not None \
+            and getattr(state, "sfc", None) is None and state.s.shape[0]:
+        # interactive-surface reference state (BcsScal%ref) starts at 0
+        # each run, as the reference (allocated fresh per execution)
+        ns_, nx_, _, nz_ = state.s.shape
+        state = state._replace(sfc=jnp.zeros((2, ns_, nx_, nz_),
+                                             state.s.dtype))
     if not is_comp:
         sim.attach_buffer(state)
     else:
