@@ -581,6 +581,30 @@ def test_case82_ekman3d_planes_end_to_end(tmp_path):
         assert os.path.exists(os.path.join(out, n)), n
 
 
+def test_case85_semiimplicit_adaptive_end_to_end(tmp_path):
+    """Case85: 3-D Ekman layer with TimeOrder=RungeKuttaDiffusion3 and
+    ADAPTIVE dt -- the SMR91 semi-implicit dispatch with the diffusion
+    dt limit dropped (TIME_COURANT RKM check). dt/time/D# within 0.5%
+    of the reference (the small spread is the broadband RNG's max |u|);
+    CFL pinned at the configured 1.0 and visc exact."""
+    out = str(tmp_path)
+    ini = f"{REF}/Case85/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case85/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    for col in (2, 3, 5):
+        assert np.allclose(ours[:, col], ref[:, col], rtol=5e-3,
+                           atol=1e-12), col
+    assert np.allclose(ours[:, 4], ref[:, 4])     # CFL = 1.0 target
+    assert np.allclose(ours[:, 6], ref[:, 6])     # visc
+
+
 def test_case88_interactive_surface_end_to_end(tmp_path):
     """Case88: stably-stratified Ekman layer with the INTERACTIVE linear
     surface BC (Scalar1SfcTypeJmin=linear, Coupling=100): the surface
