@@ -558,10 +558,10 @@ def test_case44_channel_end_to_end(tmp_path):
 
 
 def test_case82_ekman3d_planes_end_to_end(tmp_path):
-    """Case82: 3-D Ekman layer with [SavePlanes] PlanesJ=1,2,3,7,11 and
-    the commented-out Saveplanes cadence -- the reference's
-    mod(itime,-1)==0 quirk saves planes EVERY step, each set carrying
-    u/v/w + pressure. time/dt/D#/visc exact; CFL to 2%."""
+    """Case82: 3-D Ekman layer with [SavePlanes] PlanesJ=1,2,3,7,11 but
+    NO [Iteration] Saveplanes cadence -- the reference clamps
+    nitera_pln<=0 to the run length (dns_read_local.f90:538), so no
+    in-run planes are written. time/dt/D#/visc exact; CFL to 2%."""
     out = str(tmp_path)
     ini = f"{REF}/Case82/tlab.ini"
     for cmd in (["ini"], ["dns"]):
@@ -577,8 +577,8 @@ def test_case82_ekman3d_planes_end_to_end(tmp_path):
         assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
                            atol=1e-12), col
     assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.02)
-    for n in ("planesJ.u.1", "planesJ.p.10"):
-        assert os.path.exists(os.path.join(out, n)), n
+    # the absent Saveplanes cadence means NO in-run plane files
+    assert not [n for n in os.listdir(out) if n.startswith("planesJ.")]
 
 
 def test_case85_semiimplicit_adaptive_end_to_end(tmp_path):

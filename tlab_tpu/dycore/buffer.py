@@ -135,4 +135,5 @@ def apply_filter_sponge(amp, filt_mats, state):
         return (1.0 - amp) * q + amp * qf
 
     return type(state)(u=blend(state.u, f.u), v=blend(state.v, f.v),
-                       w=blend(state.w, f.w), s=blend(state.s, f.s))
+                       w=blend(state.w, f.w), s=blend(state.s, f.s),
+                       sfc=state.sfc)

@@ -180,12 +180,27 @@ def _apply_visc_bc(P, dx2, dy2, dz2):
         idx_max = [slice(None)] * 4
         idx_min[axis] = 0
         idx_max[axis] = -1
+        comm = dyn._axis_comm(P, axn)
+
+        def _mask(d2_, comps, side_idx, is_min):
+            """Zero the GLOBAL boundary row: under the pencil engine the
+            local row 0/-1 is the global boundary only on the first/last
+            shard along the mesh axis (lax.axis_index gate)."""
+            masked = d2_.at[(comps,) + tuple(side_idx[1:])].set(0.0)
+            if comm is None:
+                return masked
+            from jax import lax
+            nsh = comm.get(f"p{axn}", 1)
+            idx = lax.axis_index(axn)
+            on_edge = (idx == 0) if is_min else (idx == nsh - 1)
+            return jnp.where(on_edge, masked, d2_)
+
         if kind == "outflow":
-            d2 = d2.at[(tang,) + tuple(idx_min[1:])].set(0.0)
-            d2 = d2.at[(tang,) + tuple(idx_max[1:])].set(0.0)
+            d2 = _mask(d2, tang, idx_min, True)
+            d2 = _mask(d2, tang, idx_max, False)
         else:   # inflow
-            d2 = d2.at[(tang,) + tuple(idx_max[1:])].set(0.0)
-            d2 = d2.at[(normal,) + tuple(idx_min[1:])].set(0.0)
+            d2 = _mask(d2, tang, idx_max, False)
+            d2 = _mask(d2, normal, idx_min, True)
         out.append(d2)
     return tuple(out)
 

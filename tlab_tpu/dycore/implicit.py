@@ -27,7 +27,7 @@ KEX = (145.0 / 256.0, -9.0 / 50.0, 2.0 / 9.0)
 KCO = (0.0, -17.0 / 25.0, -5.0 / 9.0)
 
 
-def _advective_rhs(P, state: State):
+def _advective_rhs(P, state: State, aux=None):
     """Convective tendencies + sources, NO diffusion (nu = 0 Burgers)."""
     u, v, w, s = state.u, state.v, state.w, state.s
     fields = jnp.concatenate([u[None], v[None], w[None], s], axis=0)
@@ -38,7 +38,7 @@ def _advective_rhs(P, state: State):
     h1, h2, h3 = adv[0], adv[1], adv[2]
     hs = adv[3:]
     if P["bodyforce"] is not None:
-        h1, h2, h3, hs = P["bodyforce"](P, state, h1, h2, h3, hs)
+        h1, h2, h3, hs = P["bodyforce"](P, state, h1, h2, h3, hs, aux=aux)
     return h1, h2, h3, hs
 
 
@@ -66,10 +66,13 @@ def _helmholtz_update(P, pair, q, rhs, q_wall_aug, alpha_h, kef):
     return x - kef * q
 
 
-def rk_step_implicit(P, state: State, dtime):
+def rk_step_implicit(P, state: State, dtime, aux=None):
     """One full SMR91 step (3 stages); returns (state, last stage
-    pressure) like the explicit rk_step."""
+    pressure) like the explicit rk_step. aux carries the [ViscChange]
+    visc_scale and time-dependent forcing inputs, as the explicit path."""
     visc = P["visc"]
+    if aux is not None and "visc_scale" in aux:
+        visc = visc * aux["visc_scale"]
     h_old = None
     p = None
     for i in range(3):
@@ -78,7 +81,7 @@ def rk_step_implicit(P, state: State, dtime):
         kef = kex / kim
         aug = 1.0 + kef
 
-        h1, h2, h3, hs = _advective_rhs(P, state)
+        h1, h2, h3, hs = _advective_rhs(P, state, aux=aux)
         h_raw = (h1, h2, h3, hs)           # saved for the next stage's kco
         if h_old is not None and kco != 0.0:
             h1 = h1 + kco * h_old[0]
@@ -103,9 +106,11 @@ def rk_step_implicit(P, state: State, dtime):
                                   alpha_h, kef)
         w_new = _helmholtz_update(P, bc_types["w"], w, aug * w + dte * h3,
                                   walls(w), alpha_h, kef)
+        vscale = aux["visc_scale"] if aux is not None \
+            and "visc_scale" in aux else 1.0
         s_list = []
         for isc in range(s.shape[0]):
-            a_s = dte * kim * P["diff"][isc]
+            a_s = dte * kim * P["diff"][isc] * vscale
             s_list.append(_helmholtz_update(P, bc_types["s"][isc], s[isc],
                                             aug * s[isc] + dte * hs[isc],
                                             walls(s[isc]), a_s, kef))

@@ -529,7 +529,11 @@ def surface_bc_step(P, s_pre, s_new, sfc, dte):
         s_new = s_new.at[:, :, 0, :].add(dte * sfc[0])
     if cplt is not None and any(c != 0.0 for c in cplt):
         hfx = -diff * jnp.einsum("b,sibk->sik", d1y[-1], s_pre)
-        anom = hfx - pmean(hfx)
+        # the reference's top-boundary average uses +diff times the
+        # BOTTOM plane's mean derivative (AVG1V2D at j=1,
+        # boundary_bcs.f90:531-537) -- mirrored verbatim for parity
+        hfx_avg = pmean(diff * jnp.einsum("b,sibk->sik", d1y[0], s_pre))
+        anom = hfx - hfx_avg
         sfc = sfc.at[1].add(
             jnp.asarray(cplt, s_new.dtype)[:, None, None] * anom)
         s_new = s_new.at[:, :, -1, :].add(dte * sfc[1])

@@ -79,6 +79,8 @@ def _plane_d1(P, a2d, axis: int, which: str):
     if M is None:
         return jnp.zeros_like(a2d)
     from tlab_tpu.dycore.incompressible import _axis_comm
+    from tlab_tpu.ops.derivative import op_precision
+    prec = op_precision(a2d.dtype)
     comm = _axis_comm(P, which)
     if comm is not None:
         from tlab_tpu.parallel import pencil
@@ -86,14 +88,18 @@ def _plane_d1(P, a2d, axis: int, which: str):
         a3 = a2d[:, None, :]
         a3 = pencil.cast_on_wire(pencil.GATHER[which], a3, 0, wire)
         if which == "x":
-            r = jnp.einsum("ab,bjk->ajk", jnp.asarray(M, a2d.dtype), a3)
+            r = jnp.einsum("ab,bjk->ajk", jnp.asarray(M, a2d.dtype), a3,
+                           precision=prec)
         else:
-            r = jnp.einsum("ab,ijb->ija", jnp.asarray(M, a2d.dtype), a3)
+            r = jnp.einsum("ab,ijb->ija", jnp.asarray(M, a2d.dtype), a3,
+                           precision=prec)
         r = pencil.cast_on_wire(pencil.SCATTER[which], r, 0, wire)
         return r[:, 0, :]
     if which == "x":
-        return jnp.einsum("ab,bk->ak", jnp.asarray(M, a2d.dtype), a2d)
-    return jnp.einsum("ab,ib->ia", jnp.asarray(M, a2d.dtype), a2d)
+        return jnp.einsum("ab,bk->ak", jnp.asarray(M, a2d.dtype), a2d,
+                          precision=prec)
+    return jnp.einsum("ab,ib->ia", jnp.asarray(M, a2d.dtype), a2d,
+                      precision=prec)
 
 
 def _global_max(P, v):

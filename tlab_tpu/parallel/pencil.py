@@ -194,7 +194,12 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None):
 
     fspec = PSpec("x", None, "z")
     sspec = PSpec(None, "x", None, "z")
-    state_spec = State(u=fspec, v=fspec, w=fspec, s=sspec)
+    # the interactive-surface state (2, ns, nx, nz) shards like a
+    # y-boundary plane stack; without [BoundaryConditions] SfcType it
+    # stays None and the spec leaf must be None too (pytree match)
+    sfc_spec = PSpec(None, None, "x", "z") \
+        if P.get("surface_bc") is not None else None
+    state_spec = State(u=fspec, v=fspec, w=fspec, s=sspec, sfc=sfc_spec)
 
     @functools.partial(
         shard_map, mesh=mesh,

@@ -54,6 +54,10 @@ class TrajectoryAccumulator:
 
     def accumulate(self, itime: int, rtime: float, pstate: ParticleState):
         idx = np.asarray(self.tag_ids)
+        if idx.size == 0:
+            self.buffer.append((itime, rtime, np.zeros((0, 3)),
+                                np.zeros((0, 3))))
+            return
         # fast path: gather the tagged ROWS on device (tiny D2H) and only
         # fall back to the full-SoA tag search if the positional identity
         # does not hold (post-migration reorder/padding)

@@ -187,7 +187,7 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
     def _rk(state, dtime, aux=None):
         if implicit_diff:
             from tlab_tpu.dycore import implicit as impl
-            return impl.rk_step_implicit(P, state, dtime)
+            return impl.rk_step_implicit(P, state, dtime, aux=aux)
         return dyn.rk_step(P, state, dtime, aux=aux)
 
     if particles is None and unsteady_inflow:
@@ -431,6 +431,7 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         restart_visc: Optional[float] = None) -> DnsRun:
     case = sim.case
     n_steps = n_steps if n_steps is not None else (case.it_end - itime)
+    it_first = itime        # nitera_first for cadence offsets
     if inner_steps > 1 and (pstate is not None or case.flow_type == "spatial"
                             or (sim.filter_matrices() is not None)
                             or getattr(sim.P.get("bodyforce"),
@@ -484,17 +485,15 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         if getattr(case, "ini", None) else False
     planes_cfg = getattr(case, "planes", None) or {}
     plane_specs = []
-    # [Iteration] Saveplanes absent (-1) with plane lists present means
-    # EVERY step: the reference's mod(itime, -1) == 0 always holds
-    # (dns_main.f90:351); Saveplanes=0 disables
-    if planes_cfg.get("step", -1) != 0:
-        from tlab_tpu.io.planes import PlaneSpec
-        for ax in ("i", "j", "k"):
-            if planes_cfg.get(ax):
-                plane_specs.append(PlaneSpec(axis=ax,
-                                             indices=planes_cfg[ax]))
+    from tlab_tpu.io.planes import PlaneSpec
+    for ax in ("i", "j", "k"):
+        if planes_cfg.get(ax):
+            plane_specs.append(PlaneSpec(axis=ax, indices=planes_cfg[ax]))
+    # [Iteration] Saveplanes <= 0 is clamped to the run length
+    # (dns_read_local.f90:538), i.e. NO in-run planes without the key
     plane_step = planes_cfg.get("step", -1)
-    plane_step = plane_step if plane_step > 0 else 1
+    if plane_step <= 0:
+        plane_step = n_steps + 1
     # in-run particle trajectories + PDFs ([Particles] TrajNumber /
     # CalculatePDF, reference particle_trajectories.f90 + particle_pdf.f90)
     traj_acc = None
@@ -789,7 +788,7 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 os.path.join(outdir, f"particle_pdf.{itime}"))
         if obs_log and itime % case.it_log == 0 and not is_comp:
             write_obs(sim, state, outdir, itime, rtime)
-        if plane_specs and itime % plane_step == 0:
+        if plane_specs and (itime - it_first) % plane_step == 0:
             from tlab_tpu.io.planes import write_planes
             # every plane set carries the pressure too (planes.f90
             # PLANES_INITIALIZE sizes flow + scalars + 1)
