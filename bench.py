@@ -133,7 +133,7 @@ def main():
     }))
 
 
-def wait_for_backend(max_wait_s: float = 1500.0, probe_timeout: float = 90.0):
+def wait_for_backend(max_wait_s: float = 600.0, probe_timeout: float = 90.0):
     """The axon tunnel can be transiently down (backend init then either
     raises UNAVAILABLE quickly or hangs). Probe `jax.devices()` in a
     SUBPROCESS with a timeout so a hung init cannot wedge this process,
