@@ -581,14 +581,15 @@ def test_case82_ekman3d_planes_end_to_end(tmp_path):
     assert not [n for n in os.listdir(out) if n.startswith("planesJ.")]
 
 
-def test_case85_semiimplicit_adaptive_end_to_end(tmp_path):
-    """Case85: 3-D Ekman layer with TimeOrder=RungeKuttaDiffusion3 and
-    ADAPTIVE dt -- the SMR91 semi-implicit dispatch with the diffusion
-    dt limit dropped (TIME_COURANT RKM check). dt/time/D# within 0.5%
-    of the reference (the small spread is the broadband RNG's max |u|);
-    CFL pinned at the configured 1.0 and visc exact."""
+@pytest.mark.parametrize("case", ["Case85", "Case86", "Case87"])
+def test_case85_semiimplicit_adaptive_end_to_end(tmp_path, case):
+    """Case85/86/87: 3-D Ekman layers with TimeOrder=RungeKuttaDiffusion3
+    and ADAPTIVE dt -- the SMR91 semi-implicit dispatch with the
+    diffusion dt limit dropped (TIME_COURANT RKM check). dt/time/D#
+    within 0.5% of the reference (the small spread is the broadband
+    RNG's max |u|); CFL pinned at the configured 1.0 and visc exact."""
     out = str(tmp_path)
-    ini = f"{REF}/Case85/tlab.ini"
+    ini = f"{REF}/{case}/tlab.ini"
     for cmd in (["ini"], ["dns"]):
         r = subprocess.run(
             [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
@@ -596,13 +597,63 @@ def test_case85_semiimplicit_adaptive_end_to_end(tmp_path):
             cwd=REPO, capture_output=True, text=True, timeout=2400)
         assert r.returncode == 0, r.stderr[-2000:]
     ours = _parse_dns_out(os.path.join(out, "dns.out"))
-    ref = _parse_dns_out(f"{REF}/Case85/dns.out.ref")
+    ref = _parse_dns_out(f"{REF}/{case}/dns.out.ref")
     assert ours.shape[0] == ref.shape[0] == 11
     for col in (2, 3, 5):
         assert np.allclose(ours[:, col], ref[:, col], rtol=5e-3,
                            atol=1e-12), col
     assert np.allclose(ours[:, 4], ref[:, 4])     # CFL = 1.0 target
     assert np.allclose(ours[:, 6], ref[:, 6])     # visc
+
+
+@pytest.mark.parametrize("case", ["Case41", "Case43"])
+def test_channel_diffusion_limited_end_to_end(tmp_path, case):
+    """Case41/43: plane channels (Case43 on the mirrored fixed_scale
+    grid) with diffusion-limited dt: time/dt/D#/visc exact to every
+    printed digit; CFL (RNG max |u|) within 10%."""
+    out = str(tmp_path)
+    ini = f"{REF}/{case}/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/{case}/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    for col in (2, 3, 5, 6):
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
+                           atol=1e-12), col
+    assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.10)
+
+
+@pytest.mark.parametrize("case", ["Case08", "Case13", "Case53"])
+def test_shear_layer_family_tolerance(tmp_path, case):
+    """Case08/13/53: shear-layer variants with broadband RNG ICs
+    (Case53 carries tracer particles without trajectories, Case13 the
+    PotentialBroadband IC). Structural columns at Case01 tolerances."""
+    out = str(tmp_path)
+    ini = f"{REF}/{case}/tlab.ini"
+    cmds = (["ini"], ["inipart"], ["dns"]) if case == "Case53" \
+        else (["ini"], ["dns"])
+    for cmd in cmds:
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, r.stderr[-2000:]
+    ours = _parse_dns_out(os.path.join(out, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/{case}/dns.out.ref")
+    assert ours.shape[0] == ref.shape[0] == 11
+    assert np.all(np.abs(ours[:, 3] / ref[:, 3] - 1.0) < 0.20)   # dt
+    assert np.allclose(ours[:, 6], ref[:, 6])                    # visc
+    ratio = (ours[:, 5] / ours[:, 3]) / (ref[:, 5] / ref[:, 3])
+    assert np.all(np.abs(ratio - 1.0) < 0.02)                    # D#/dt
+    # bounded, same-order dilatation (no instability)
+    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
+    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
+    assert np.all(dil <= 5.0 * dil_ref)
 
 
 def test_case88_interactive_surface_end_to_end(tmp_path):
