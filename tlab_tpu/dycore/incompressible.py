@@ -669,10 +669,12 @@ def dilatation_minmax(P, state: State):
 def next_dt(P, cfl_max_value, cfla, cfld):
     """Host-side dt selection (reference TIME_COURANT final ops); the
     diffusion limit applies only to fully explicit schemes
-    (time.f90:530-534, RKM_EXP3/EXP4)."""
+    (time.f90:530-534, RKM_EXP3/EXP4). A semi-implicit run starting
+    from REST (cfl max 0) still needs a finite dt, so the diffusion
+    limit serves as the cold-start fallback."""
     dtc = cfla / cfl_max_value if cfl_max_value > 0 else np.inf
-    if not P["rk"].get("explicit_diffusion", True):
-        return dtc
     dconst = P["diffusion_constant"]
     dtd = cfld / dconst if dconst > 0 else np.inf
+    if not P["rk"].get("explicit_diffusion", True):
+        return dtc if np.isfinite(dtc) else dtd
     return min(dtc, dtd)

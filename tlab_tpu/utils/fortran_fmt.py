@@ -8,6 +8,8 @@ def fort_e(x: float, digits: int) -> str:
         return "NaN"
     s = "-" if x < 0 else ""
     a = abs(x)
+    if a == float("inf"):
+        return f"{s}Infinity"
     if a == 0.0:
         return f"{s}0." + "0" * digits + "E+00"
     import math
