@@ -931,7 +931,8 @@ def write_avg_nc(path: str, y: np.ndarray, out: dict, groups, itime: int,
 def read_avg_nc(path: str):
     """Parse a .nc averages file -> (rtime, groups, dict) like read_avg."""
     from scipy.io import netcdf_file
-    with netcdf_file(path, "r") as f:
+    # mmap=False: the arrays are copied out, so the file closes cleanly
+    with netcdf_file(path, "r", mmap=False) as f:
         rtime = float(f.variables["t"][0])
         out = {"Y": np.array(f.variables["y"][:], float)}
         gmap = {}
