@@ -553,6 +553,7 @@ def rk_step_airwater(P, U: CompState, dtime, tp, visc: float,
             h = _apply_buffer(h, U, buffer)
         U = CompState(*(q + dte * hq if q is not None else None
                         for q, hq in zip(U, h)))
+        U = _clip_scalars(P, U)
         if i < len(kdt) - 1:
             a = kco[i]
             h = CompState(*(a * x if x is not None else None for x in h))
@@ -588,6 +589,19 @@ def diffusion_number_max(P, U: CompState, schmidt_factor: float):
     if "iodz" in P:
         acc = acc + P["iodz"][None, None, :] ** 2
     return schmidt_factor * jnp.max(acc / U.rho)
+
+
+def _clip_scalars(P, U: CompState) -> CompState:
+    """Per-substep scalar bounds on the transported mass fractions
+    (DNS_BOUNDS_LIMIT, dns_local.f90:67-90, [Control] ScalLimit)."""
+    bounds = P.get("scal_bounds")
+    if bounds is None or U.rhos is None:
+        return U
+    mins, maxs = bounds
+    lo = jnp.asarray(mins, U.rhos.dtype)[:, None, None, None]
+    hi = jnp.asarray(maxs, U.rhos.dtype)[:, None, None, None]
+    s = jnp.clip(U.rhos / U.rho[None], lo, hi)
+    return U._replace(rhos=s * U.rho[None])
 
 
 def _apply_wall_bcs(P, h: CompState, sides=(True, True)):
@@ -681,6 +695,7 @@ def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
             h = _apply_buffer(h, U, buffer)
         U = CompState(*(q + dte * hq if q is not None else None
                         for q, hq in zip(U, h)))
+        U = _clip_scalars(P, U)
         if i < len(kdt) - 1:
             a = kco[i]
             h = CompState(*(a * x if x is not None else None for x in h))

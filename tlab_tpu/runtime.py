@@ -545,6 +545,12 @@ class Simulation:
                           pmax if pmax >= 0 else p_mean * 1e6),
                     "r": (rmin if rmin >= 0 else r_mean * 1e-6,
                           rmax if rmax >= 0 else r_mean * 1e6)}
+            ctrl_c = getattr(case, "control", None)
+            if ctrl_c and ctrl_c.get("scal_limit") and nsp.n_scalars:
+                # per-substep scalar clipping also applies to the
+                # compressible transported scalars (DNS_BOUNDS_LIMIT)
+                P["scal_bounds"] = (tuple(ctrl_c["min_scalar"]),
+                                    tuple(ctrl_c["max_scalar"]))
             comp = {"gamma": gama, "mach": case.mach, "bounds": bounds,
                     "mixture": mixture_table, "aw": aw, "gvec": gvec,
                     "schmidt": schmidt0, "sfactor": sfactor,
