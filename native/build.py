@@ -1,8 +1,10 @@
-"""Build the native _tlabio extension in place.
+"""Build the native extensions in place.
 
 Usage: python native/build.py
-Compiles with the system toolchain (g++) into tlab_tpu/_tlabio*.so; the
-Python I/O layer falls back to NumPy when the extension is absent.
+Compiles with the system toolchain (g++/cc) into tlab_tpu/:
+  - _tlabio<EXT>.so  -- threaded field I/O engine (tlabio.cpp)
+  - _nrrand.so       -- reference-exact NR ran0/rang batch RNG (nrrand.c)
+The Python layers fall back to NumPy / pure Python when absent.
 """
 import pathlib
 import subprocess
@@ -14,15 +16,19 @@ def main():
     root = pathlib.Path(__file__).resolve().parent
     out_dir = root.parent / "tlab_tpu"
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    out = out_dir / f"_tlabio{suffix}"
     include = sysconfig.get_paths()["include"]
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        f"-I{include}", str(root / "tlabio.cpp"), "-o", str(out), "-pthread",
+
+    builds = [
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+         f"-I{include}", str(root / "tlabio.cpp"),
+         "-o", str(out_dir / f"_tlabio{suffix}"), "-pthread"],
+        ["gcc", "-O2", "-shared", "-fPIC", str(root / "nrrand.c"),
+         "-o", str(out_dir / "_nrrand.so"), "-lm"],
     ]
-    print(" ".join(cmd))
-    subprocess.check_call(cmd)
-    print(f"built {out}")
+    for cmd in builds:
+        print(" ".join(cmd))
+        subprocess.check_call(cmd)
+    print("native extensions built")
 
 
 if __name__ == "__main__":

@@ -17,3 +17,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Build the native extensions once per session so the suite exercises the
+# C paths (tlabio threaded I/O, reference-exact NR RNG); the Python
+# fallbacks cover environments without a toolchain.
+import glob  # noqa: E402
+import pathlib  # noqa: E402
+import subprocess  # noqa: E402
+import sys  # noqa: E402
+
+_repo = pathlib.Path(__file__).resolve().parent.parent
+if not glob.glob(str(_repo / "tlab_tpu" / "_nrrand*.so")) \
+        or not glob.glob(str(_repo / "tlab_tpu" / "_tlabio*.so")):
+    try:
+        subprocess.run([sys.executable, str(_repo / "native" / "build.py")],
+                       check=False, capture_output=True, timeout=120)
+    except Exception:
+        pass

@@ -63,10 +63,10 @@ scales_1=2.0
 """
 
 GOLDEN = {
-    'u_mean': 3.842766024578478e-10, 'u_var': 0.20132041421227148,
-    'v_var': 3.374220050983807e-05, 's_mean': -2.3975434432390046e-14,
-    'u_probe': 0.001936246729024651, 'v_probe': 0.006833335609716872,
-    's_probe': -0.4963577503827784,
+    'u_mean': -2.5604283855856387e-10, 'u_var': 0.20132195413770695,
+    'v_var': 3.3777512261666786e-05, 's_mean': -8.131766864810035e-15,
+    'u_probe': -0.018917006298662706, 'v_probe': 0.004876271375601671,
+    's_probe': -0.4963587083108184,
 }
 
 

@@ -95,10 +95,11 @@ def test_potential_broadband_solenoidal():
     ini_txt = BROADBAND_CASE.replace("Velocity=VelocityBroadband",
                                      "Velocity=PotentialBroadband")
     sim = Simulation.from_case(load_case(Ini(text=ini_txt)))
-    from tlab_tpu.tools.initialize import velocity_potential_broadband
+    from tlab_tpu.tools.initialize import (velocity_potential_broadband,
+                                           inirand_fields)
     from tlab_tpu.dycore import incompressible as dyn
-    rng = np.random.default_rng(2)
-    u, v, w = velocity_potential_broadband(sim, rng)
+    flow_rand, _ = inirand_fields(sim, seed=2)
+    u, v, w = velocity_potential_broadband(sim, flow_rand)
     div = np.asarray(dyn.divergence(sim.P, u, v, w))
     grad = max(np.max(np.abs(np.asarray(dyn._d1(sim.P, a, i, f))))
                for a, i, f in (("x", 0, u), ("y", 1, v), ("z", 2, w)))

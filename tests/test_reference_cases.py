@@ -122,10 +122,14 @@ def test_case01_end_to_end_vs_reference_log(tmp_path):
 
     # iteration numbers identical
     assert np.array_equal(ours[:, 1], ref[:, 1])
-    # dt within 15% at every step (the ICs use a different RNG realization
-    # and the two runs evolve apart; the FORMULA is pinned by the exact
-    # D#/dt ratio below)
-    assert np.all(np.abs(ours[:, 3] / ref[:, 3] - 1.0) < 0.15)
+    # dt within 0.5% at every step: the IC realization is now the exact
+    # reference ran0/rang stream (utils/nrrandom.py); the residual is the
+    # reference projection's wall-row truncation artifact (its factorized
+    # Int1 sweeps leave O(0.1) dilatation near walls, opr_odes.f90) which
+    # our solve removes to round-off
+    assert np.all(np.abs(ours[:, 3] / ref[:, 3] - 1.0) < 5e-3)
+    # physical time within 0.2%
+    assert np.all(np.abs(ours[1:, 2] / ref[1:, 2] - 1.0) < 2e-3)
     # CFL column exactly the configured 1.2
     assert np.allclose(ours[:, 4], ref[:, 4])
     # viscosity column exact (1/Re)

@@ -484,12 +484,22 @@ def load_case(path_or_ini) -> CaseSetup:
                                        True),
     }
 
+    # [Broadband] (rand_local.f90:52-99): f0 is a list "mean[,fmin,fmax]"
+    # (clip window), Sigma defaults to mean/6, Spectrum to quartic
+    f0_list = ini.get_floats("Broadband", "f0", (1.0,))
+    f0_mean = f0_list[0] if len(f0_list) else 1.0
+    bb_sigma = ini.get_float("Broadband", "Sigma", -1.0)
+    cov_list = ini.get_floats("Broadband", "Covariance", ())
     bb = {
         "distribution": ini.get("Broadband", "Distribution", "none").lower(),
-        "spectrum": ini.get("Broadband", "Spectrum", "quadratic").lower(),
-        "f0": ini.get_float("Broadband", "f0", 1.0),
-        "sigma": ini.get_float("Broadband", "Sigma", 1.0),
+        "spectrum": ini.get("Broadband", "Spectrum", "quartic").lower(),
+        "f0": f0_mean,
+        "fclip": (f0_list[1] if len(f0_list) > 1 else 0.0,
+                  f0_list[2] if len(f0_list) > 2 else 1e30),
+        "sigma": bb_sigma if bb_sigma >= 0.0 else f0_mean / 6.0,
         "seed": ini.get_int("Broadband", "Seed", 7),
+        "covariance": (tuple(cov_list) if len(cov_list) == 6
+                       else (1.0, 1.0, 1.0, 0.0, 0.0, 0.0)),
     }
 
     return CaseSetup(

@@ -26,7 +26,8 @@ def main(argv=None):
                     help="RK steps per device dispatch (fixed dt within)")
     ap.add_argument("--ini", default="tlab.ini")
     ap.add_argument("--outdir", default=".")
-    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override [Broadband] Seed (default: ini value)")
     ap.add_argument("--x64", action="store_true",
                     help="run in float64 (validation mode)")
     ap.add_argument("--cpu", action="store_true",
@@ -205,7 +206,8 @@ def main(argv=None):
                 kw.update(mode="scalar", scal=s1,
                           scal_mean=ini.get_float("Scalar", "MeanScalar1", 0.0),
                           scal_delta=ini.get_float("Scalar", "DeltaScalar1", 1.0))
-        ps = init_particles(sim.grid, n_part, seed=args.seed, **kw)
+        ps = init_particles(sim.grid, n_part,
+                            seed=7 if args.seed is None else args.seed, **kw)
         write_particles(os.path.join(args.outdir, f"part.{case.it_start}"),
                         ps, case.it_start)
         print(f"{n_part} particles written")

@@ -4,8 +4,11 @@ Functionally mirrors the reference preprocessing tools
 (src/tools/initialize/{grid,rand,flow,scal}): random fields shaped to a
 target isotropic PSD, velocity construction from broadband vorticity via
 Poisson solves, solenoidal projection, TKE normalization, mean profiles.
-RNG differs from the reference (PCG64 vs Numerical Recipes ran0), so fields
-are statistically, not bitwise, equivalent.
+The random fields reproduce the reference's realization EXACTLY: the same
+Numerical Recipes ran0/rang stream (utils/nrrandom.py), consumed in the
+same order as inirand (rand_main.f90: inb_flow fields then inb_scal
+fields), with the same spectral shaping (OPR_Fourier_SetPSD,
+opr_fourier.f90:660-746) and normalization (RAND_NORMALIZE).
 """
 from __future__ import annotations
 
@@ -17,6 +20,7 @@ from tlab_tpu.dycore import incompressible as dyn
 from tlab_tpu.dycore.state import State
 from tlab_tpu.ops import elliptic
 from tlab_tpu.runtime import Simulation
+from tlab_tpu.utils.nrrandom import NRStream
 
 
 # ---------------------------------------------------------------------------
@@ -36,40 +40,141 @@ def _spectral_shape(kind: str, f, f0: float, sigma: float):
     raise ValueError(kind)
 
 
-def random_field(sim: Simulation, rng: np.random.Generator) -> np.ndarray:
-    """One random field with the case's [Broadband] spectrum.
+def _psd_amplitude(sim: Simulation) -> np.ndarray:
+    """Target |u_hat| over the (nx//2+1, ny, nz) r2c modes.
 
-    Gaussian noise in real space, FFT over all directions, amplitude rescaled
-    to the target isotropic PSD keeping phases (reference
-    OPR_Fourier_SetPSD, opr_fourier.f90:660-746).
-    """
-    case = sim.case
+    Distributions_Compute with the f0-list clip window, then the
+    isotropic-shell geometric factor 1/(pi f) in 2-D or 1/(2 pi f^2) in
+    3-D, then sqrt (reference OPR_Fourier_SetPSD, opr_fourier.f90:687-722).
+    Frequencies are integer wavenumbers over the domain scale."""
     nx, ny, nz = sim.grid.shape
-    bb = case.broadband
-    noise = rng.standard_normal((nx, ny, nz))
-    u_hat = np.fft.rfftn(noise, axes=(2, 1, 0))      # rfft over x (axis 0)
-
-    # frequencies in cycles per unit length, placed on the matching axes of
-    # the (nkx, ny, nz) spectrum
-    fi = (np.fft.rfftfreq(nx, d=1.0) * nx / sim.grid.x.scale)[:, None, None]
+    bb = sim.case.broadband
+    fi = (np.arange(nx // 2 + 1) / sim.grid.x.scale)[:, None, None]
     fj = (np.fft.fftfreq(ny, d=1.0) * ny / sim.grid.y.scale)[None, :, None] \
         if ny > 1 else np.zeros((1, 1, 1))
     fk = (np.fft.fftfreq(nz, d=1.0) * nz / sim.grid.z.scale)[None, None, :] \
         if nz > 1 else np.zeros((1, 1, 1))
     f = np.sqrt(fi ** 2 + fj ** 2 + fk ** 2)
-
     pow_dst = _spectral_shape(bb["spectrum"], f, bb["f0"], bb["sigma"])
+    lo, hi = bb.get("fclip", (0.0, 1e30))
+    pow_dst = np.where((f - lo) * (hi - f) < 0.0, 0.0, pow_dst)
     two_d = (ny == 1) or (nz == 1)
     with np.errstate(divide="ignore", invalid="ignore"):
         pow_dst = np.where(f == 0.0, 0.0,
                            pow_dst / (np.pi * f) if two_d
                            else pow_dst / (2 * np.pi * f ** 2))
-    amp = np.sqrt(np.maximum(pow_dst, 0.0))
-    mag = np.abs(u_hat)
-    scale = np.where(mag > 0, amp / np.where(mag > 0, mag, 1.0), 0.0)
-    u_hat = u_hat * scale
-    out = np.fft.irfftn(u_hat, s=(nz, ny, nx), axes=(2, 1, 0))
-    return out
+    return np.sqrt(np.maximum(pow_dst, 0.0))
+
+
+def _rand_normalize(variance: float, a: np.ndarray) -> np.ndarray:
+    """RAND_NORMALIZE (rand_local.f90:224-244): remove the 3-D mean, then
+    rescale the second raw moment to `variance`."""
+    a = a - a.mean()
+    msq = (a * a).mean()
+    if msq > 0.0:
+        a = a * np.sqrt(variance / msq)
+    return a
+
+
+def _rand_field(rng: NRStream, variance: float, sim: Simulation) -> np.ndarray:
+    """One RAND_FIELD call (rand_local.f90:116-163), reference-exact.
+
+    Distribution=uniform/gaussian fills the field from the ran0/rang
+    stream in Fortran storage order (x fastest) and rescales spectral
+    amplitudes to the target PSD keeping phases; Distribution=none draws
+    isize_txc_field = (nx+2)*ny*nz uniform values and uses the first
+    (nx//2+1)*ny*nz as random phases under the PSD amplitude, with zero
+    phase on the kx=0 and Nyquist planes."""
+    nx, ny, nz = sim.grid.shape
+    bb = sim.case.broadband
+    n = nx * ny * nz
+    pdf = bb["distribution"]
+    if pdf == "uniform":
+        vals = rng.uniform(n) - 0.5
+    elif pdf == "gaussian":
+        vals = rng.gaussian(n)
+    else:
+        vals = np.zeros(n)
+    a = vals.reshape(nz, ny, nx).transpose(2, 1, 0)   # Fortran (i,j,k)
+
+    if bb["spectrum"] != "none":
+        amp = _psd_amplitude(sim)
+        if pdf != "none":
+            uh = np.fft.rfft(a, axis=0)
+            if nz > 1:
+                uh = np.fft.fft(uh, axis=2)
+            if ny > 1:
+                uh = np.fft.fft(uh, axis=1)
+            mag = np.abs(uh)
+            uh = np.where(mag > 0.0,
+                          uh * (amp / np.where(mag > 0.0, mag, 1.0)), 0.0)
+        else:
+            # random phases: the loop fills the PADDED txc array
+            # (tlab_memory.f90:184-187) so the stream advances by
+            # (nx+2)*ny*nz even though only the r2c block is used
+            ph = rng.uniform((nx + 2) * ny * nz)[: (nx // 2 + 1) * ny * nz]
+            loc = ph.reshape(nz, ny, nx // 2 + 1).transpose(2, 1, 0)
+            phase = (loc - 0.5) * 2.0 * np.pi
+            phase[0] = 0.0
+            if nx % 2 == 0:
+                phase[nx // 2] = 0.0
+            uh = amp * (np.cos(phase) + 1j * np.sin(phase))
+        if ny > 1:
+            uh = np.fft.ifft(uh, axis=1)
+        if nz > 1:
+            uh = np.fft.ifft(uh, axis=2)
+        a = np.fft.irfft(uh, n=nx, axis=0)
+    return _rand_normalize(variance, a)
+
+
+def _rand_covariance(cov, flow, sim: Simulation):
+    """RAND_COVARIANCE (rand_local.f90:168-222): renormalize per-component
+    variances; off-diagonal Rxy via the 2-D eigenframe rotation."""
+    nx, ny, nz = sim.grid.shape
+    Rxx, Ryy, Rzz, Rxy, Rxz, Ryz = cov[:6]
+    if nz > 1:
+        if Rxz != 0.0 or Ryz != 0.0:
+            raise NotImplementedError("Rxz/Ryz covariance (reference "
+                                      "rand_local.f90:186 undeveloped)")
+        flow[2] = _rand_normalize(Rzz, flow[2])
+    if Rxy == 0.0:
+        flow[0] = _rand_normalize(Rxx, flow[0])
+        flow[1] = _rand_normalize(Ryy, flow[1])
+    else:
+        trace = Rxx + Ryy
+        lam1 = 0.5 * (trace + np.sqrt(trace * trace
+                                      - 4.0 * (Rxx * Ryy - Rxy * Rxy)))
+        lam2 = trace - lam1
+        u = _rand_normalize(lam1, flow[0])
+        v = _rand_normalize(lam2, flow[1])
+        alpha = np.arctan((lam1 - Rxx) / Rxy)
+        ca, sa = np.cos(alpha), np.sin(alpha)
+        flow[0] = ca * u - sa * v
+        flow[1] = sa * u + ca * v
+    return flow
+
+
+def inirand_fields(sim: Simulation, seed: int | None = None):
+    """The full inirand program (rand_main.f90:69-88): inb_flow velocity
+    fields then inb_scal scalar fields from ONE continuous ran0 stream,
+    seeded -abs([Broadband] Seed) (rand_local.f90:53-55).
+
+    Returns (flow_fields, scal_fields) as float64 (nx,ny,nz) arrays --
+    the in-memory equivalent of the flow.rand / scal.rand files."""
+    bb = sim.case.broadband
+    if seed is None:
+        seed = bb["seed"]
+    rng = NRStream(-abs(int(seed)))
+    ucov = list(bb.get("covariance", (1.0, 1.0, 1.0, 0.0, 0.0, 0.0)))
+    inb_flow = 5 if getattr(sim, "comp", None) is not None else 3
+    flow = [_rand_field(rng, ucov[iq] if iq < 6 else 0.0, sim)
+            for iq in range(inb_flow)]
+    if bb["distribution"] == "gaussian":
+        _rand_covariance(ucov, flow, sim)
+    ns = sim.nsp.n_scalars
+    scal = [_rand_field(rng, ucov[i_s] if i_s < 6 else 1.0, sim)
+            for i_s in range(ns)]
+    return flow, scal
 
 
 # ---------------------------------------------------------------------------
@@ -107,13 +212,12 @@ def _flow_shape(sim: Simulation):
     return f, mdf
 
 
-def velocity_broadband_vorticity(sim: Simulation, rng: np.random.Generator):
+def velocity_broadband_vorticity(sim: Simulation, flow_rand):
     """Velocity from broadband vorticity: lap(u) = -curl(omega)
     (reference VELOCITY_BROADBAND, flow_local.f90:302-340)."""
     nx, ny, nz = sim.grid.shape
-    u = random_field(sim, rng)
-    v = random_field(sim, rng)
-    w = random_field(sim, rng) if nz > 1 else np.zeros((nx, ny, nz))
+    u, v, w = (np.array(flow_rand[0]), np.array(flow_rand[1]),
+               np.array(flow_rand[2]))
 
     # remove horizontal mean per level
     for a in (u, v, w):
@@ -149,8 +253,7 @@ def velocity_broadband_vorticity(sim: Simulation, rng: np.random.Generator):
     return uj, vj, wj
 
 
-def velocity_potential_broadband(sim: Simulation,
-                                 rng: np.random.Generator):
+def velocity_potential_broadband(sim: Simulation, flow_rand):
     """Velocity from a random vector potential: u = curl(A) with A the
     PSD-shaped random fields times the IniK envelope (reference
     PERT_BROADBAND_POTENTIAL, flow_local.f90:279-300) -- solenoidal by
@@ -160,9 +263,8 @@ def velocity_potential_broadband(sim: Simulation,
     # (flow_local.f90:256-258); in 2-D (kmax=1) A_z is the stream
     # function and the ONLY one that contributes: u = dA_z/dy,
     # v = -dA_z/dx
-    ax = random_field(sim, rng)
-    ay = random_field(sim, rng)
-    az = random_field(sim, rng)
+    ax, ay, az = (np.array(flow_rand[0]), np.array(flow_rand[1]),
+                  np.array(flow_rand[2]))
     for a in (ax, ay, az):
         a -= a.mean(axis=(0, 2), keepdims=True)
     fshape, dfshape = _flow_shape(sim)
@@ -240,18 +342,27 @@ def velocity_discrete(sim: Simulation):
     return u, v, w
 
 
-def initial_state(sim: Simulation, seed: int = 7) -> State:
-    """Full IC: mean profiles + perturbations per [IniFields]."""
-    rng = np.random.default_rng(seed)
+def initial_state(sim: Simulation, seed: int | None = None) -> State:
+    """Full IC: mean profiles + perturbations per [IniFields].
+
+    `seed` overrides [Broadband] Seed (default: the ini value, as the
+    reference's inirand reads it)."""
     nx, ny, nz = sim.grid.shape
     y = sim.grid.y.nodes
 
+    needs_rand = (sim.case.ini_velocity in
+                  ("vorticitybroadband", "velocitybroadband",
+                   "potentialbroadband")
+                  or "broadband" in sim.case.ini_scalar)
+    flow_rand, scal_rand = (inirand_fields(sim, seed=seed) if needs_rand
+                            else ([], []))
+
     if sim.case.ini_velocity in ("vorticitybroadband", "velocitybroadband"):
-        u, v, w = velocity_broadband_vorticity(sim, rng)
+        u, v, w = velocity_broadband_vorticity(sim, flow_rand)
     elif sim.case.ini_velocity == "velocitydiscrete":
         u, v, w = velocity_discrete(sim)
     elif sim.case.ini_velocity == "potentialbroadband":
-        u, v, w = velocity_potential_broadband(sim, rng)
+        u, v, w = velocity_potential_broadband(sim, flow_rand)
     else:
         z = jnp.zeros((nx, ny, nz), sim.dtype)
         u, v, w = z, z, z
@@ -294,7 +405,8 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
             # (reference iniscal LayerBroadband); NormalizeS rescales to
             # the target max plane rms -- legacy INIs without NormalizeS
             # keep the NormalizeK amplitude scaling
-            pert = random_field(sim, rng)
+            pert = np.array(scal_rand[i]) if i < len(scal_rand) \
+                else np.zeros((nx, ny, nz))
             pert -= pert.mean(axis=(0, 2), keepdims=True)
             env = _scal_shape()[None, :, None] if norm_s > 0 \
                 else sim.case.profile_ini_k(y)[None, :, None]
@@ -396,7 +508,7 @@ def initial_state(sim: Simulation, seed: int = 7) -> State:
     return State(u=u, v=v, w=w, s=s)
 
 
-def _airwater_compressible_state(sim: Simulation, st, seed: int = 7):
+def _airwater_compressible_state(sim: Simulation, st, seed: int | None = None):
     """Compressible AirWater ICs (reference iniflow, flow_main.f90:106-119
     with Mixture=AirWater + gravity):
 
@@ -488,7 +600,7 @@ def _airwater_compressible_state(sim: Simulation, st, seed: int = 7):
     return from_primitive_airwater(aw, rho, st.u, st.v, st.w, T, qt, ql)
 
 
-def compressible_initial_state(sim: Simulation, seed: int = 7):
+def compressible_initial_state(sim: Simulation, seed: int | None = None):
     """Compressible ICs (reference iniflow compressible branch,
     flow_main.f90): velocity mean profiles + perturbations as in the
     incompressible path; rho/p from the [Flow] ProfileDensity /
