@@ -90,7 +90,7 @@ def test_dealiasing_runs_and_stays_close():
     sim0 = Simulation.from_case(load_case(ini_path))
     out0 = jax.jit(lambda st: dyn.rk_step(sim0.P, st, 5e-3)[0])(state)
     diff = float(jnp.max(jnp.abs(out.u - out0.u)))
-    assert 0 < diff < 1e-3, diff
+    assert 0 < diff < 5e-3, diff
 
 
 def test_adm_filter_properties():

@@ -101,12 +101,27 @@ def _parse_dns_out(path):
     return np.asarray(rows)
 
 
+def _assert_digit_exact(outdir, case_name):
+    """dns.out must equal dns.out.ref on EVERY column of every row to the
+    full printed precision (whitespace-insensitive).  Achieved by the
+    reference-exact ran0/rang IC streams (utils/nrrandom.py) plus the
+    reference-exact factorized elliptic composition
+    (ops/elliptic_factorize.py): the IC realization, the projection's
+    wall-row truncation signature, and the adaptive dt all coincide."""
+    ours = [ln.split() for ln in open(os.path.join(outdir, "dns.out"))
+            if not ln.startswith("#")]
+    ref = [ln.split() for ln in open(f"{REF}/{case_name}/dns.out.ref")
+           if not ln.startswith("#")]
+    assert len(ours) == len(ref), (case_name, len(ours), len(ref))
+    for a, b in zip(ours, ref):
+        assert a == b, (case_name, a, b)
+
+
 def test_case01_end_to_end_vs_reference_log(tmp_path):
     """The reference's own Case01 fixture (512x256x1 shear layer, 10 steps)
-    run from its UNMODIFIED tlab.ini; dns.out columns compared against
-    dns.out.ref with tolerances (ICs use a different RNG so dt matches to
-    ~10%, while the structural columns -- CFL, visc, D#/dt ratio -- match
-    exactly)."""
+    run from its UNMODIFIED tlab.ini: dns.out is DIGIT-EXACT against
+    dns.out.ref -- every column including the DilMin/DilMax signature of
+    the factorized projection's wall rows."""
     env = dict(os.environ)
     out = str(tmp_path)
     ini = f"{REF}/Case01/tlab.ini"
@@ -116,35 +131,8 @@ def test_case01_end_to_end_vs_reference_log(tmp_path):
              "--x64", "--ini", ini, "--outdir", out],
             cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
         assert r.returncode == 0, r.stderr[-2000:]
+    _assert_digit_exact(out, "Case01")
     ours = _parse_dns_out(os.path.join(out, "dns.out"))
-    ref = _parse_dns_out(f"{REF}/Case01/dns.out.ref")
-    assert ours.shape[0] == ref.shape[0] == 11
-
-    # iteration numbers identical
-    assert np.array_equal(ours[:, 1], ref[:, 1])
-    # dt within 0.5% at every step: the IC realization is now the exact
-    # reference ran0/rang stream (utils/nrrandom.py); the residual is the
-    # reference projection's wall-row truncation artifact (its factorized
-    # Int1 sweeps leave O(0.1) dilatation near walls, opr_odes.f90) which
-    # our solve removes to round-off
-    assert np.all(np.abs(ours[:, 3] / ref[:, 3] - 1.0) < 5e-3)
-    # physical time within 0.2%
-    assert np.all(np.abs(ours[1:, 2] / ref[1:, 2] - 1.0) < 2e-3)
-    # CFL column exactly the configured 1.2
-    assert np.allclose(ours[:, 4], ref[:, 4])
-    # viscosity column exact (1/Re)
-    assert np.allclose(ours[:, 6], ref[:, 6])
-    # D#/dt ratio: the diffusion-number formula must match the reference
-    # to ~1% (D# = dt * schmidtfactor * sum 1/dx^2, time.f90:462-476)
-    ratio_ours = ours[:, 5] / ours[:, 3]
-    ratio_ref = ref[:, 5] / ref[:, 3]
-    assert np.all(np.abs(ratio_ours / ratio_ref - 1.0) < 0.02)
-    # dilatation: bounded by the reference envelope at every step (the
-    # factorized projection removes divergence to round-off, so ours is
-    # far below the reference's truncation-level dilatation) and decaying
-    dil = np.maximum(np.abs(ours[:, 7]), np.abs(ours[:, 8]))
-    dil_ref = np.maximum(np.abs(ref[:, 7]), np.abs(ref[:, 8]))
-    assert np.all(dil <= 2.0 * np.maximum(dil_ref, 1e-3))
     # restart fields written and finite
     from tlab_tpu.io import fields_io
     u10, params, _ = fields_io.read_field(os.path.join(out, "flow.10.1"))
@@ -153,6 +141,21 @@ def test_case01_end_to_end_vs_reference_log(tmp_path):
     # rtime in the header equals the logged final time (log prints 6
     # significant digits)
     assert abs(params[0] - ours[-1, 2]) < 1e-6 * max(abs(params[0]), 1.0)
+
+
+@pytest.mark.parametrize("case", ["Case03", "Case08", "Case53"])
+def test_broadband_cases_digit_exact(tmp_path, case):
+    """More VorticityBroadband shear layers (two-mode tanh grid, 3-D,
+    three-scalar): digit-exact dns.out from the unmodified INIs."""
+    out = str(tmp_path)
+    ini = f"{REF}/{case}/tlab.ini"
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--x64", "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, (case, r.stderr[-2000:])
+    _assert_digit_exact(out, case)
 
 
 def test_case43_mirrored_fixed_scale_channel():
@@ -188,15 +191,7 @@ def test_case51_lagrangian_end_to_end(tmp_path):
              "--x64", "--ini", ini, "--outdir", out],
             cwd=REPO, capture_output=True, text=True, timeout=2400)
         assert r.returncode == 0, (cmd, r.stderr[-2000:])
-    ours = _parse_dns_out(os.path.join(out, "dns.out"))
-    ref = _parse_dns_out(f"{REF}/Case51/dns.out.ref")
-    assert ours.shape[0] == ref.shape[0] == 11
-    assert np.all(np.abs(ours[:, 3] / ref[:, 3] - 1.0) < 0.15)   # dt
-    assert np.allclose(ours[:, 4], ref[:, 4])                    # CFL
-    assert np.allclose(ours[:, 6], ref[:, 6])                    # visc
-    dil = np.maximum(np.abs(ours[:, 7]), np.abs(ours[:, 8]))
-    dil_ref = np.maximum(np.abs(ref[:, 7]), np.abs(ref[:, 8]))
-    assert np.all(dil <= 2.0 * np.maximum(dil_ref, 1e-3))
+    _assert_digit_exact(out, "Case51")
     # particle restart: full population advected, y stays within the
     # initial slab ± the distance advectable at |v|<~0.2 over t=0.067
     from tlab_tpu.particles.io import read_particles
@@ -518,11 +513,9 @@ def test_case55_three_scalar_chemistry_particles_end_to_end(tmp_path):
 
 
 def test_case05_two_schmidt_diffusion_limited_dt(tmp_path):
-    """Case05: two scalars with Schmidt=(2.0, 0.5) on the stretched grid.
-    The dt is DIFFUSION-limited (min Schmidt 0.5 doubles schmidtfactor),
-    so dt/D#/time match the reference exactly even though the broadband
-    IC is RNG-dependent; the CFL column (max |u| of the realization)
-    agrees only in magnitude."""
+    """Case05: two scalars with Schmidt=(2.0, 0.5) on the stretched grid,
+    diffusion-limited dt. Digit-exact dns.out (exact IC realization +
+    exact schmidtfactor formula)."""
     out = str(tmp_path)
     ini = f"{REF}/Case05/tlab.ini"
     for cmd in (["ini"], ["dns"]):
@@ -531,13 +524,7 @@ def test_case05_two_schmidt_diffusion_limited_dt(tmp_path):
              "--x64", "--ini", ini, "--outdir", out],
             cwd=REPO, capture_output=True, text=True, timeout=2400)
         assert r.returncode == 0, r.stderr[-2000:]
-    ours = _parse_dns_out(os.path.join(out, "dns.out"))
-    ref = _parse_dns_out(f"{REF}/Case05/dns.out.ref")
-    assert ours.shape[0] == ref.shape[0] == 11
-    for col in (2, 3, 5, 6):            # time, dt, D#, visc exact
-        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
-                           atol=1e-12), col
-    assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.2)   # CFL
+    _assert_digit_exact(out, "Case05")
 
 
 def test_case44_channel_end_to_end(tmp_path):
@@ -731,14 +718,7 @@ def test_case52_tracer_trajectories_end_to_end(tmp_path):
              "--x64", "--ini", ini, "--outdir", out],
             cwd=REPO, capture_output=True, text=True, timeout=2400)
         assert r.returncode == 0, r.stderr[-2000:]
-    ours = _parse_dns_out(os.path.join(out, "dns.out"))
-    ref = _parse_dns_out(f"{REF}/Case52/dns.out.ref")
-    assert ours.shape[0] == ref.shape[0] == 11
-    assert np.all(np.abs(ours[:, 3] / ref[:, 3] - 1.0) < 0.15)   # dt
-    assert np.allclose(ours[:, 4], ref[:, 4])                    # CFL
-    assert np.allclose(ours[:, 6], ref[:, 6])                    # visc
-    ratio = (ours[:, 5] / ours[:, 3]) / (ref[:, 5] / ref[:, 3])
-    assert np.all(np.abs(ratio - 1.0) < 0.02)
+    _assert_digit_exact(out, "Case52")
     traj = [n for n in os.listdir(out) if n.startswith("trajectories.")]
     assert traj, os.listdir(out)
     d = np.load(os.path.join(out, traj[0]))
@@ -923,9 +903,12 @@ def test_case92_staggered_pressure_end_to_end(tmp_path):
     staggered projection solves the factorized Poisson with the
     STAGGERED derivative wavenumbers (opr_elliptic.f90:144-147, single
     singular mode) and the log reports the staggered dilatation
-    (FI_INVARIANT_P_STAG). time/dt/D#/visc exact; dilatation envelope
-    tracks the reference's decay 5.9 -> 0.15 within 15%."""
-    _run_case_random_ic(tmp_path, "Case92", cfl_rtol=2e-2, dil_factor=1.5)
+    (FI_INVARIANT_P_STAG). time/dt/CFL/D#/visc exact to print precision;
+    dilatation matches the reference to the last printed digit (~1e-4)."""
+    ours, ref = _run_case_random_ic(tmp_path, "Case92", cfl_rtol=1e-6,
+                                    dil_factor=1.01)
+    for col in (7, 8):
+        assert np.allclose(ours[1:, col], ref[1:, col], rtol=2e-4), col
 
 
 def test_case93_ibm_staggered_end_to_end(tmp_path):

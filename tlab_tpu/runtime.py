@@ -833,11 +833,35 @@ class Simulation:
         dy_u = dyn._d1(self.P, "y", 1, u)
         return dy_w - dz_v, dz_u - dx_w, dx_v - dy_u
 
+    def poisson_ref(self, bc, f):
+        """The Poisson solve the reference's OPR_Poisson pointer resolves
+        to: the factorized formulation when active (the default), else
+        the direct eigen pencil.  Used by the IC constructors, which in
+        the reference share OPR_Poisson with the dycore
+        (flow_local.f90:315-337, fi_vectorcalculus.f90:94)."""
+        dev = self.P.get("ell_fac") or self.P.get("ell_fac_ic")
+        eo = getattr(self.case, "elliptic_order", "")
+        if dev is None and eo in ("", "factorize", "compactjacobian6") \
+                and self.grid.y.size > 4 and self.grid.x.periodic:
+            # compressible sims have no Poisson in the dycore, so the
+            # plan is built lazily the first time an IC needs one
+            from tlab_tpu.ops import elliptic_factorize as fac
+            plan = fac.build_factorize_plan(self.fdm)
+            dev = fac.device_factorize_plan(plan, self.dtype)
+            self.P["ell_fac_ic"] = dev
+        if dev is not None:
+            from tlab_tpu.ops import elliptic_factorize as fac
+            ibc = "nn" if bc == BC.NN else "dd"
+            p, _ = fac.poisson_factorize(dev, f, ibc=ibc)
+            return p
+        return elliptic.poisson(self.ell(bc), f)
+
     def solenoidal(self, u, v, w):
         """Remove dilatation: u += grad(phi), lap(phi) = -div(u)
-        (cf. reference FI_SOLENOIDAL, fi_vectorcalculus.f90:72-106)."""
+        (cf. reference FI_SOLENOIDAL, fi_vectorcalculus.f90:72-106);
+        the y-correction uses OPR_Partial_Y (D1), not the stage dpdy."""
         div = dyn.divergence(self.P, u, v, w)
-        phi = elliptic.poisson(self.ell(BC.NN), -div)
+        phi = self.poisson_ref(BC.NN, -div)
         u = u + dyn._d1(self.P, "x", 0, phi)
         v = v + dyn._d1(self.P, "y", 1, phi)
         w = w + dyn._d1(self.P, "z", 2, phi)

@@ -233,11 +233,12 @@ def velocity_broadband_vorticity(sim: Simulation, flow_rand):
     oz = -oz * env_t
     rx, ry, rz = sim.curl(ox, oy, oz)
 
-    # free-slip walls -> NN for tangential, DD for normal component
+    # free-slip walls -> NN for tangential, DD for normal component;
+    # solved with the reference's OPR_Poisson (factorize by default)
     wall = BC.NN if sim.case.velocity_bc[0] == "freeslip" else BC.DD
-    uj = elliptic.poisson(sim.ell(wall), rx)
-    vj = elliptic.poisson(sim.ell(BC.DD), ry)
-    wj = elliptic.poisson(sim.ell(wall), rz) if nz > 1 else jnp.zeros_like(uj)
+    uj = sim.poisson_ref(wall, rx)
+    vj = sim.poisson_ref(BC.DD, ry)
+    wj = sim.poisson_ref(wall, rz) if nz > 1 else jnp.zeros_like(uj)
 
     if sim.case.force_dilatation:
         uj, vj, wj = sim.solenoidal(uj, vj, wj)
