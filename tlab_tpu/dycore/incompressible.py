@@ -434,9 +434,15 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
         bcs_t = h2_s[:, -1, :]
     if P.get("comm") is not None:
         from tlab_tpu.parallel import pencil
-        p, dpdy = pencil.pencil_poisson(P["ell"], div, P["comm"],
-                                        bcs_b=bcs_b, bcs_t=bcs_t,
-                                        d1y=P["d1y"])
+        if P.get("ell_fac") is not None and "kappa_pad" in P["ell_fac"]:
+            # distributed reference-exact factorize: multi-device runs
+            # match single-device dns.out to round-off
+            p, dpdy = pencil.pencil_poisson_factorize(
+                P["ell_fac"], div, P["comm"], bcs_b=bcs_b, bcs_t=bcs_t)
+        else:
+            p, dpdy = pencil.pencil_poisson(P["ell"], div, P["comm"],
+                                            bcs_b=bcs_b, bcs_t=bcs_t,
+                                            d1y=P["d1y"])
     elif P.get("ell_fac") is not None:
         # reference-default factorized formulation: stage-consistent dpdy
         # removes divergence to round-off (opr_elliptic.f90:108-110); when

@@ -209,7 +209,7 @@ def _modal_solve(V, W, dnm, rhs):
                       precision=prec).astype(rhs.dtype)
 
 
-def build_tables(dev: dict, cd=None):
+def build_tables(dev: dict, cd=None, kap=None):
     """Per-mode denominators + the five homogeneous responses of the
     ODE2 composition (opr_odes.f90:266-380):
       em : 'min' response to bc = 1 (the discrete e^-)
@@ -223,8 +223,10 @@ def build_tables(dev: dict, cd=None):
     if cd is None:
         cd = jnp.complex64 if dev["kappa"].dtype == jnp.float32 \
             else jnp.complex128
-    kl = dev["kappa"].astype(cd)[None, :, :]               # (1,nkx,nz)
-    kap = dev["kappa"].astype(cd)                          # (nkx,nz)
+    if kap is None:
+        kap = dev["kappa"]
+    kap = jnp.asarray(kap).astype(cd)                      # (nkx,nz)
+    kl = kap[None, :, :]                                   # (1,nkx,nz)
     shift = dev["shift"]
     dmin = 1.0 + (kl - shift) * jnp.asarray(dev["lam_min"],
                                             cd)[:, None, None]
@@ -288,8 +290,70 @@ def materialize_tables(dev: dict, dtype=jnp.float32):
         return None
 
 
+def sing_column(dev: dict, fcol, gbs, gts, ibc: str = "nn"):
+    """Reference singular-mode (kappa = 0) column solve: NN via
+    DN_Sing(gb=0), DD via DD_Sing (opr_odes.f90:37-100,188-260).
+
+    fcol: (ny,) complex forcing column; gbs/gts scalars.
+    Returns (u, v) columns.  The kappa=0 sweep denominators are
+    mode-independent (1 -+ shift*lam), so no per-mode tables needed."""
+    cd = fcol.dtype
+    ny = dev["ny"]
+    Vmin = jnp.asarray(dev["Vmin"], cd)
+    Wmin = jnp.asarray(dev["Wmin"], cd)
+    Vmax = jnp.asarray(dev["Vmax"], cd)
+    Wmax = jnp.asarray(dev["Wmax"], cd)
+    shift = dev["shift"]
+    dmin0 = (1.0 - shift * jnp.asarray(dev["lam_min"], cd))[:, None, None]
+    dmax0 = (1.0 + shift * jnp.asarray(dev["lam_max"], cd))[:, None, None]
+    rB0_min = jnp.asarray(dev["rB_ft_min"], cd)
+    rAf0_min = jnp.asarray(dev["rAf_ft_min"], cd)
+    rB0_max = jnp.asarray(dev["rB_ft_max"], cd)
+    rAf0_max = jnp.asarray(dev["rAf_ft_max"], cd)
+
+    def smin0(fv, bc):
+        rhs = fv.at[0].set(bc)[None, :, None]
+        x = _modal_solve(Vmin, Wmin, dmin0, rhs)
+        return x[0, :, 0], rhs[0, :, 0]
+
+    def smax0(fv, bc):
+        rhs = fv.at[ny - 1].set(bc)[None, :, None]
+        x = _modal_solve(Vmax, Wmax, dmax0, rhs)
+        return x[0, :, 0], rhs[0, :, 0]
+
+    one = jnp.asarray(1.0, cd)
+    zero0 = jnp.asarray(0.0, cd)
+    zcol = jnp.zeros(ny, cd)
+    if ibc == "nn":
+        # DN_Sing(gb=0): v' = f with v_N = gts (max sweep), then
+        # u' = v with u_1 = 0 (min sweep); constraint adjusts the free
+        # bottom forcing f_1 of the max sweep
+        v0s, _ = smax0(fcol.at[0].set(0.0), gts)
+        v1s, _ = smax0(zcol.at[0].set(one), zero0)
+        u0s, r0 = smin0(v0s, zero0)
+        u1s, r1 = smin0(v1s, zero0)
+        du0 = jnp.sum(rB0_min * u0s) - jnp.sum(rAf0_min * r0)  # u'_1 = ft
+        du1 = jnp.sum(rB0_min * u1s) - jnp.sum(rAf0_min * r1)
+        coef = (v0s[0] - du0) / (du1 - v1s[0])
+        return u0s + coef * u1s, v0s + coef * v1s
+    # DD_Sing: v' = f with v_1 = 0 (min sweep), u' = v with u_N = gts
+    # (max sweep) + s^+ correction for u_1 = gbs
+    v0s, _ = smin0(fcol.at[ny - 1].set(0.0), zero0)
+    v1s, _ = smin0(zcol.at[ny - 1].set(one), zero0)
+    u0s, r0 = smax0(v0s, gts)
+    u1s, r1 = smax0(v1s, zero0)
+    sps, _ = smax0(jnp.ones(ny, cd), zero0)
+    du0 = jnp.sum(rB0_max * u0s) - jnp.sum(rAf0_max * r0)      # u'_N = ft
+    du1 = jnp.sum(rB0_max * u1s) - jnp.sum(rAf0_max * r1)
+    coef = (v0s[ny - 1] - du0) / (du1 - v1s[ny - 1])
+    q1s = (gbs - (u0s[0] + coef * u1s[0])) / sps[0]
+    us = (u0s + coef * u1s + q1s * sps).at[0].set(gbs)
+    vs = v0s + coef * v1s + q1s
+    return us, vs
+
+
 def solve_modal_factorize(dev: dict, f_hat, gb, gt, tables=None,
-                          ibc: str = "nn"):
+                          ibc: str = "nn", kap=None, sing_idx=None):
     """p and dpdy per mode for p'' - kappa^2 p = f (reference
     OPR_ODE2_Factorize_NN/DD + _Sing, opr_odes.f90).
 
@@ -300,10 +364,14 @@ def solve_modal_factorize(dev: dict, f_hat, gb, gt, tables=None,
     """
     cd = f_hat.dtype
     ny = dev["ny"]
-    kap3 = dev["kappa"][:, None, :].astype(cd)             # (nkx,1,nz)
-    kap = dev["kappa"].astype(cd)                          # (nkx,nz)
+    if kap is None:
+        kap = dev["kappa"]
+    if sing_idx is None:
+        sing_idx = dev["sing_idx"]
+    kap = jnp.asarray(kap).astype(cd)                      # (nkx,nz)
+    kap3 = kap[:, None, :]                                 # (nkx,1,nz)
     if tables is None:
-        tables = build_tables(dev, cd)
+        tables = build_tables(dev, cd, kap=kap)
     dmin = jax.lax.complex(tables["dmin_re"], tables["dmin_im"]).astype(cd)
     dmax = jax.lax.complex(tables["dmax_re"], tables["dmax_im"]).astype(cd)
     Vmin = jnp.asarray(dev["Vmin"], cd)
@@ -342,7 +410,10 @@ def solve_modal_factorize(dev: dict, f_hat, gb, gt, tables=None,
            - jnp.einsum("a,kaz->kz", rAf, rhs2s, precision=prec))
     du0_n = ft0 + kap * bc2
 
-    sing = jnp.asarray(dev["sing"]).astype(bool)
+    # the kappa = 0 modes (exactly the reference's singular index set for
+    # mwn-based kappa) are guarded against 0/0 here and overwritten by
+    # sing_column below
+    sing = jnp.real(kap) <= 0.0
 
     def safe(x):
         return jnp.where(sing, jnp.ones_like(x), x)
@@ -393,64 +464,9 @@ def solve_modal_factorize(dev: dict, f_hat, gb, gt, tables=None,
         v = v0 + fn[:, None, :] * v1 + q1[:, None, :] * em + kap3 * u
 
     # ---- reference singular modes (kappa = 0 at {0,Nyq} x {0,Nyq}) ----
-    # NN_Sing -> DN_Sing with gb=0 (opr_odes.f90:170-185,37-100);
-    # DD_Sing (opr_odes.f90:188-260). Few static modes: per-mode vectors.
-    rB0_min = jnp.asarray(dev["rB_ft_min"], cd)
-    rAf0_min = jnp.asarray(dev["rAf_ft_min"], cd)
-    rB0_max = jnp.asarray(dev["rB_ft_max"], cd)
-    rAf0_max = jnp.asarray(dev["rAf_ft_max"], cd)
-    for (i, k) in dev["sing_idx"]:
-        fcol = f_hat[i, :, k]                              # (ny,)
+    for (i, k) in sing_idx:
         gbs = zero[i, k] if ibc == "nn" else gb[i, k]
-        gts = gt[i, k]
-
-        def smin0(fv, bc):
-            rhs = fv.at[0].set(bc)[None, :, None]
-            d0 = dmin[:, i, k][:, None, None]
-            x = _modal_solve(Vmin, Wmin, d0, rhs)
-            return x[0, :, 0], rhs[0, :, 0]
-
-        def smax0(fv, bc):
-            rhs = fv.at[ny - 1].set(bc)[None, :, None]
-            d0 = dmax[:, i, k][:, None, None]
-            x = _modal_solve(Vmax, Wmax, d0, rhs)
-            return x[0, :, 0], rhs[0, :, 0]
-
-        one = jnp.asarray(1.0, cd)
-        zero0 = jnp.asarray(0.0, cd)
-        zcol = jnp.zeros(ny, cd)
-        if ibc == "nn":
-            # DN_Sing(gb=0): v' = f with v_N = gts (max sweep), then
-            # u' = v with u_1 = 0 (min sweep); constraint adjusts the
-            # free bottom forcing f_1 of the max sweep
-            v0s, _ = smax0(fcol.at[0].set(0.0), gts)
-            v1s, _ = smax0(zcol.at[0].set(one), zero0)
-            u0s, r0 = smin0(v0s, zero0)
-            u1s, r1 = smin0(v1s, zero0)
-            du0 = jnp.vdot(jnp.conj(rB0_min), u0s) \
-                - jnp.vdot(jnp.conj(rAf0_min), r0)          # u'_1 = ft
-            du1 = jnp.vdot(jnp.conj(rB0_min), u1s) \
-                - jnp.vdot(jnp.conj(rAf0_min), r1)
-            coef = (v0s[0] - du0) / (du1 - v1s[0])
-            us = u0s + coef * u1s
-            vs = v0s + coef * v1s
-        else:
-            # DD_Sing: v' = f with v_1 = 0 (min sweep), u' = v with
-            # u_N = gts (max sweep) + s^+ correction for u_1 = gbs
-            v0s, _ = smin0(fcol.at[ny - 1].set(0.0), zero0)
-            v1s, _ = smin0(zcol.at[ny - 1].set(one), zero0)
-            u0s, r0 = smax0(v0s, gts)
-            u1s, r1 = smax0(v1s, zero0)
-            sps, _ = smax0(jnp.ones(ny, cd), zero0)
-            du0 = jnp.vdot(jnp.conj(rB0_max), u0s) \
-                - jnp.vdot(jnp.conj(rAf0_max), r0)          # u'_N = ft
-            du1 = jnp.vdot(jnp.conj(rB0_max), u1s) \
-                - jnp.vdot(jnp.conj(rAf0_max), r1)
-            coef = (v0s[ny - 1] - du0) / (du1 - v1s[ny - 1])
-            q1s = (gbs - (u0s[0] + coef * u1s[0])) / sps[0]
-            us = u0s + coef * u1s + q1s * sps
-            us = us.at[0].set(gbs)
-            vs = v0s + coef * v1s + q1s
+        us, vs = sing_column(dev, f_hat[i, :, k], gbs, gt[i, k], ibc)
         u = u.at[i, :, k].set(us)
         v = v.at[i, :, k].set(vs)
 

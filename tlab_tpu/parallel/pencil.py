@@ -163,21 +163,107 @@ def pencil_poisson(plan_dev, f, comm, bcs_b=None, bcs_t=None, d1y=None):
     return p
 
 
+def pencil_poisson_factorize(fac_dev, f, comm, bcs_b=None, bcs_t=None):
+    """Distributed factorized Poisson (NN) on local blocks inside
+    shard_map -- the same reference-exact ODE2 composition as the
+    single-device solver (ops/elliptic_factorize.py), so multi-device
+    runs match single-device dns.out to round-off.
+
+    fac_dev must carry 'kappa_pad' (nkx_pad, nz) -- the full per-mode
+    kappa table padded for the kx all-to-alls (make_pencil_step adds it).
+    Returns (p, dpdy) local blocks.
+    """
+    from tlab_tpu.ops import elliptic_factorize as fac
+
+    px, pz = comm["px"], comm["pz"]
+    nxl, ny, nzl = f.shape
+    nx = nxl * px
+    nz = nzl * pz
+
+    f = f.at[:, 0, :].set(0.0 if bcs_b is None else bcs_b)
+    f = f.at[:, -1, :].set(0.0 if bcs_t is None else bcs_t)
+
+    fg = gather_x(f)                              # (nx, ny, nzl/px)
+    fh = jnp.fft.rfft(fg, axis=0)                 # (nkx, ny, nzl/px)
+    nkx = nx // 2 + 1
+    nkx_pad = fac_dev["nkx_pad"]
+    fh = jnp.pad(fh, ((0, nkx_pad - nkx), (0, 0), (0, 0)))
+    fh = scatter_x(fh)                            # (nkx_pad/px, ny, nzl)
+    fh = gather_z(fh)                             # (nkx_pad/(px pz), ny, nz)
+    if nz > 1:
+        fh = jnp.fft.fft(fh, axis=2)
+
+    chunk = nkx_pad // (px * pz)
+    off = _kx_offset(nkx_pad, px, pz)
+    kap = lax.dynamic_slice(fac_dev["kappa_pad"],
+                            (off, jnp.zeros_like(off)), (chunk, nz))
+
+    gb = fh[:, 0, :]
+    gt = fh[:, -1, :]
+    uh, vh = fac.solve_modal_factorize(fac_dev, fh, gb, gt, kap=kap,
+                                       sing_idx=())
+
+    # reference singular modes: global (kx, kz) in {0, nx/2} x {0, nz/2}
+    # (a single (0,0) mode when staggered); fix the columns on the
+    # device that owns them after the kx re-split
+    for (gkx, kz) in fac_dev["sing_idx"]:
+        li = gkx - off
+        own = jnp.logical_and(li >= 0, li < chunk)
+        li_c = jnp.clip(li, 0, chunk - 1)
+        z0 = jnp.zeros_like(li_c)
+        kzi = z0 + kz
+        fcol = lax.dynamic_slice(fh, (li_c, z0, kzi), (1, ny, 1))[0, :, 0]
+        us, vs = fac.sing_column(fac_dev, fcol,
+                                 jnp.zeros((), fh.dtype), gt[li_c, kz],
+                                 "nn")
+        uh = jnp.where(own,
+                       lax.dynamic_update_slice(
+                           uh, us[None, :, None], (li_c, z0, kzi)), uh)
+        vh = jnp.where(own,
+                       lax.dynamic_update_slice(
+                           vh, vs[None, :, None], (li_c, z0, kzi)), vh)
+
+    def backward(ah):
+        if nz > 1:
+            ah = jnp.fft.ifft(ah, axis=2)
+        ah = scatter_z(ah)                        # (nkx_pad/px, ny, nzl)
+        ah = gather_x(ah)                         # (nkx_pad, ny, nzl/px)
+        ah = ah[:nkx]
+        ag = jnp.fft.irfft(ah, n=nx, axis=0)      # (nx, ny, nzl/px)
+        return scatter_x(ag).astype(f.dtype)      # (nxl, ny, nzl)
+
+    return backward(uh), backward(vh)
+
+
 # ---------------------------------------------------------------------------
 # Pencil step driver
 # ---------------------------------------------------------------------------
 
-def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None):
+def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
+                     return_p: bool = False):
     """Wrap the dycore rk_step in shard_map over the ('x','z') mesh.
 
-    Returns step(state, dtime) -> state operating on sharded State arrays.
-    The dycore's operator helpers consult P['comm'] to route x/z-direction
-    work through gather/scatter; y-direction work stays local.
+    Returns step(state, dtime) -> state (or (state, p) with return_p,
+    for the dns driver's stats pressure reuse) operating on sharded State
+    arrays.  The dycore's operator helpers consult P['comm'] to route
+    x/z-direction work through gather/scatter; y-direction work stays
+    local.
     """
     px = mesh.shape["x"]
     pz = mesh.shape["z"]
     Pp = dict(P)
     Pp["comm"] = {"px": px, "pz": pz, "wire": wire_dtype}
+    if P.get("ell_fac") is not None:
+        # pad the per-mode kappa table for the kx all-to-alls so the
+        # distributed solve is the same reference-exact composition
+        fd = dict(P["ell_fac"])
+        kapt = np.asarray(fd["kappa"])            # (nkx, nz)
+        nkx = kapt.shape[0]
+        nkx_pad = -(-nkx // (px * pz)) * (px * pz)
+        pad = np.full((nkx_pad - nkx, kapt.shape[1]), 1e3, kapt.dtype)
+        fd["kappa_pad"] = jnp.asarray(np.concatenate([kapt, pad], axis=0))
+        fd["nkx_pad"] = nkx_pad
+        Pp["ell_fac"] = fd
     ell = dict(P["ell"])
     ell.pop("shardings", None)
     # pad the horizontal eigenvalue table for the kx all-to-alls
@@ -200,6 +286,17 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None):
     sfc_spec = PSpec(None, None, "x", "z") \
         if P.get("surface_bc") is not None else None
     state_spec = State(u=fspec, v=fspec, w=fspec, s=sspec, sfc=sfc_spec)
+
+    if return_p:
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(state_spec, PSpec()),
+            out_specs=(state_spec, fspec),
+            check_vma=False)
+        def step_local_p(state, dtime):
+            return rk_step_fn(Pp, state, dtime)
+
+        return jax.jit(step_local_p)
 
     @functools.partial(
         shard_map, mesh=mesh,

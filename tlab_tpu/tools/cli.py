@@ -24,6 +24,10 @@ def main(argv=None):
     ap.add_argument("--nparticles", type=int, default=10000)
     ap.add_argument("--inner-steps", type=int, default=1,
                     help="RK steps per device dispatch (fixed dt within)")
+    ap.add_argument("--mesh", default="",
+                    help="PX,PZ device mesh for a multi-device dns run "
+                         "(the reference's per-task [Grid] Imax(*)/Kmax(*) "
+                         "analog); also read from [Parallel] Mesh")
     ap.add_argument("--ini", default="tlab.ini")
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--seed", type=int, default=None,
@@ -133,6 +137,15 @@ def main(argv=None):
         import jax.numpy as jnp
         import numpy as np
 
+        # multi-device mesh: --mesh PX,PZ or [Parallel] Mesh=PX,PZ
+        mesh = None
+        mesh_spec = args.mesh or (case.ini.get("Parallel", "Mesh", "")
+                                  if getattr(case, "ini", None) else "")
+        if mesh_spec:
+            from tlab_tpu.parallel.mesh import make_mesh
+            px, pz = (int(v) for v in mesh_spec.split(","))
+            mesh = make_mesh(px, pz)
+
         it0 = case.it_start
         if is_comp:
             from tlab_tpu.dycore.compressible import CompState
@@ -145,7 +158,7 @@ def main(argv=None):
                                rtime=float(rtime), n_steps=args.steps,
                                log_path=os.path.join(args.outdir,
                                                      "dns.out"),
-                               inner_steps=args.inner_steps)
+                               inner_steps=args.inner_steps, mesh=mesh)
             print("\n".join(run.log.lines[-3:]))
             return 0
         u, v, w, s, rtime, visc0 = fields_io.read_state(
@@ -171,7 +184,8 @@ def main(argv=None):
                            log_path=os.path.join(args.outdir, "dns.out"),
                            inner_steps=args.inner_steps,
                            pstate=pstate, particle_props=pprops,
-                           restart_visc=float(visc0) if visc0 else None)
+                           restart_visc=float(visc0) if visc0 else None,
+                           mesh=mesh)
         print("\n".join(run.log.lines[-3:]))
         return 0
 

@@ -76,14 +76,22 @@ class DnsRun:
 
 
 def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
-                        unsteady_inflow: bool = False):
+                        unsteady_inflow: bool = False, mesh=None):
     """inner_steps > 1 runs several RK steps per device dispatch (one
     lax.fori_loop) with a fixed dt, amortizing host-device latency; the
     CFL-based dt then updates every `inner_steps` steps instead of every
     step (the reference syncs each step, TIME_COURANT).
 
     unsteady_inflow=True makes step() take an extra aux pytree of per-step
-    inflow-strip references (spatial mode, reference boundary_inflow.f90)."""
+    inflow-strip references (spatial mode, reference boundary_inflow.f90).
+
+    mesh: a 2-D ('x','z') device mesh routes the RK step through the
+    explicit pencil all-to-all engine (parallel/pencil.py) -- the
+    production multi-device path, the analog of the reference's
+    transparent any-task-count dns.x (tlab_mpi_procs.f90:39-68).
+    Diagnostics (CFL, dilatation/extrema) run GSPMD-sharded on the
+    stepped state.  Particle and unsteady-inflow runs fall back to GSPMD
+    auto-parallelization of the single-device step."""
     P = sim.P
 
     if getattr(sim, "comp", None) is not None:
@@ -105,6 +113,47 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
                 vals.append(newton)
             return jnp.stack([v.astype(U.rho.dtype) for v in vals]
                              + [dden.astype(U.rho.dtype)])
+
+        if mesh is not None and aw is None:
+            from tlab_tpu.parallel import pencil as pcl
+            mix = c.get("mixture")
+
+            def _comp_rk(Pp, U, dtime):
+                return comp_mod.rk_step_compressible(
+                    Pp, U, dtime, c["gamma"], c["mach"], sim.nsp.visc,
+                    c["prandtl"], nscbc=c["nscbc"], ly=c["ly"], lx=c["lx"],
+                    gas=c["gas"], form=c["form"], energy=c["energy"],
+                    mix=mix, gvec=c.get("gvec", (0.0, 0.0, 0.0)),
+                    buffer=c.get("buffer"))
+
+            pstep = pcl.make_pencil_step_compressible(mesh, P, _comp_rk)
+
+            def _prim(U):
+                return (comp_mod.primitive(P, U, c["gamma"], c["mach"],
+                                           mix=mix)
+                        if c["energy"] == "total"
+                        else comp_mod.primitive_internal(
+                            P, U, c["gamma"], c["mach"], mix=mix))
+
+            @jax.jit
+            def _comp_diag(U):
+                cfl = comp_mod.acoustic_cfl_max(P, U, c["gamma"],
+                                                c["mach"], mix=mix)
+                p_f = _prim(U)[4]
+                return p_f, cfl, _diag(U, p_f, None)
+
+            def step(U, dtime, rtime=None, extra=None):
+                new_U = pstep(U, dtime)
+                p_f, cfl, dg = _comp_diag(new_U)
+                return new_U, p_f, cfl, dg
+
+            @jax.jit
+            def cfl_only(U):
+                cfl = comp_mod.acoustic_cfl_max(P, U, c["gamma"],
+                                                c["mach"], mix=mix)
+                return cfl, _diag(U, _prim(U)[4], None)
+
+            return step, cfl_only
 
         if aw is not None:
             @jax.jit
@@ -189,6 +238,35 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             from tlab_tpu.dycore import implicit as impl
             return impl.rk_step_implicit(P, state, dtime, aux=aux)
         return dyn.rk_step(P, state, dtime, aux=aux)
+
+    if mesh is not None and particles is None and not unsteady_inflow \
+            and not timed:
+        from tlab_tpu.parallel import pencil as pcl
+
+        def _rk_mesh(Pp, state, dtime):
+            if implicit_diff:
+                from tlab_tpu.dycore import implicit as impl
+                return impl.rk_step_implicit(Pp, state, dtime)
+            return dyn.rk_step(Pp, state, dtime)
+
+        pstep = pcl.make_pencil_step(mesh, P, _rk_mesh, return_p=True)
+
+        @jax.jit
+        def _mesh_diag(state):
+            cfl = dyn.cfl_advective_max(P, state)
+            dmin, dmax = dyn.dilatation_minmax(P, state)
+            return cfl, jnp.stack([dmin, dmax])
+
+        def step(state, dtime, rtime=None, extra=None):
+            new_state, p = pstep(state, dtime)
+            cfl, dil = _mesh_diag(new_state)
+            return new_state, p, cfl, dil
+
+        @jax.jit
+        def cfl_only(state):
+            return dyn.cfl_advective_max(P, state)
+
+        return step, cfl_only
 
     if particles is None and unsteady_inflow:
         @jax.jit
@@ -428,8 +506,18 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         checkpoint: bool = True, nan_abort: bool = True,
         opr_check: bool = False, pstate=None, particle_props=None,
         inner_steps: int = 1, inflow=None,
-        restart_visc: Optional[float] = None) -> DnsRun:
+        restart_visc: Optional[float] = None, mesh=None) -> DnsRun:
     case = sim.case
+    if mesh is not None:
+        # production multi-device run (VERDICT: the reference's dns.x runs
+        # the same binary at any task count, tlab_mpi_procs.f90:39-68)
+        px, pz = mesh.shape["x"], mesh.shape["z"]
+        nx, _, nz = sim.grid.shape
+        if (nx % px or nz % pz or (nz // pz) % px or (nx // px) % pz):
+            raise ValueError(
+                f"mesh ({px},{pz}) incompatible with grid ({nx},{nz}): "
+                "needs nx%px==0, nz%pz==0, (nz/pz)%px==0, (nx/px)%pz==0")
+        inner_steps = 1
     n_steps = n_steps if n_steps is not None else (case.it_end - itime)
     it_first = itime        # nitera_first for cadence offsets
     if inner_steps > 1 and (pstate is not None or case.flow_type == "spatial"
@@ -453,10 +541,30 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         sim.attach_buffer_compressible(state)
     if inflow is not None and pstate is not None:
         raise NotImplementedError("unsteady inflow with particles")
+    if mesh is not None:
+        from tlab_tpu.parallel import mesh as pmesh_mod
+        fs = pmesh_mod.field_sharding(mesh)
+        ss = pmesh_mod.scalar_field_sharding(mesh)
+        if is_comp:
+            state = state._replace(
+                rho=jax.device_put(state.rho, fs),
+                rhou=jax.device_put(state.rhou, fs),
+                rhov=jax.device_put(state.rhov, fs),
+                rhow=jax.device_put(state.rhow, fs),
+                rhoE=jax.device_put(state.rhoE, fs),
+                rhos=(jax.device_put(state.rhos, ss)
+                      if state.rhos is not None else None))
+        else:
+            state = state._replace(
+                u=jax.device_put(state.u, fs),
+                v=jax.device_put(state.v, fs),
+                w=jax.device_put(state.w, fs),
+                s=jax.device_put(state.s, ss))
     with _trace.trace("building step functions (jit)"):
         step, cfl_only = make_step_functions(
             sim, particles=particle_props if pstate is not None else None,
-            inner_steps=inner_steps, unsteady_inflow=inflow is not None)
+            inner_steps=inner_steps, unsteady_inflow=inflow is not None,
+            mesh=mesh)
 
     sponge_fn = None
     if getattr(sim, "filter_sponge", None) is not None:
