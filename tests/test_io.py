@@ -76,10 +76,16 @@ def test_planes_and_towers_in_dns_loop(tmp_path):
     state = initial_state(sim, seed=7)
     dns_tool.run(sim, state, outdir=str(tmp_path), n_steps=4)
     import glob
-    pl = glob.glob(str(tmp_path / "planesJ.u.*"))
-    assert len(pl) == 2                      # it=2 and it=4
+    # ONE reference-format file per direction per itime (planes.f90 +
+    # IO_Write_Subarray): [u v w s1 p] x 2 planes, float32
+    pl = sorted(glob.glob(str(tmp_path / "planesJ.*")))
+    assert len(pl) == 2, pl                  # it=2 and it=4
+    from tlab_tpu.io.reference_formats import read_planes_file
+    a = read_planes_file(pl[0], "j", (128, 64, 1), nvars=5, nplanes=2)
+    assert a.shape == (5, 2, 128, 1)
+    assert np.isfinite(a).all()
     # tower flushed only at restart cadence (10); none yet -> buffer held
-    tw = glob.glob(str(tmp_path / "tower.*.npz"))
+    tw = glob.glob(str(tmp_path / "tower.*"))
     assert len(tw) == 0
 
 

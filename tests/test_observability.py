@@ -256,11 +256,14 @@ def test_pressure_planes(tmp_path):
     sim, st = _mk_inc(tmp_path, iter_extra="SavePlanes=2",
                       extra="[SavePlanes]\nPlanesJ=7\nPressureJ=yes\n")
     dns_tool.run(sim, st, outdir=out, n_steps=4)
-    files = [n for n in os.listdir(out) if n.startswith("planesJ.p.")]
+    files = [n for n in os.listdir(out) if n.startswith("planesJ.")]
     assert files, os.listdir(out)
-    a = np.fromfile(os.path.join(out, sorted(files)[0]), "<f4")
-    assert a.size == 32 * 1                   # (nx, nz) j-plane
-    assert np.isfinite(a).all()
+    # reference layout: [u v w s1 p] x 1 plane, pressure = last var block
+    from tlab_tpu.io.reference_formats import read_planes_file
+    a = read_planes_file(os.path.join(out, sorted(files)[0]), "j",
+                         (32, 48, 1), nvars=5, nplanes=1)
+    assert a.shape == (5, 1, 32, 1)
+    assert np.isfinite(a[4]).all()
 
 
 def test_viscchange_ramp(tmp_path):

@@ -1,9 +1,12 @@
 """Plane and tower extraction (reference src/tools/dns/planes.f90,
-dns_tower.f90).
+dns_tower.f90), written in the REFERENCE binary layouts
+(io/reference_formats.py) so scripts/python/{Planes2nc,tower2nc,
+PlotTowers}.py consume them unmodified.
 
-Planes: strided i/j/k-plane slices of selected fields written every
-nitera_pln steps. Towers: strided (i,k) columns accumulated every step and
-flushed with the restart cadence.
+Planes: strided i/j/k-plane slices of [u, v, w, scalars..., pressure]
+stacked var-major into ONE planesI/J/K.<it> float32 file per direction.
+Towers: strided (i, j, k) columns + horizontal means accumulated every
+step, flushed with the restart cadence into per-column raw files.
 """
 from __future__ import annotations
 
@@ -12,11 +15,13 @@ import os
 
 import numpy as np
 
+from tlab_tpu.io import reference_formats as rf
+
 
 @dataclasses.dataclass
 class PlaneSpec:
     axis: str              # 'i' | 'j' | 'k'
-    indices: tuple         # node indices
+    indices: tuple         # node indices (0-based)
 
 
 def extract_plane(field: np.ndarray, spec: PlaneSpec) -> np.ndarray:
@@ -26,48 +31,60 @@ def extract_plane(field: np.ndarray, spec: PlaneSpec) -> np.ndarray:
 
 def write_planes(outdir: str, itime: int, state, specs,
                  pressure=None) -> None:
-    """Field planes + (as the reference, which sizes every plane set as
-    flow + scalars + PRESSURE, planes.f90 PLANES_INITIALIZE) the
-    pressure plane when given."""
+    """Reference planesI/J/K.<it> subarray files: every plane set carries
+    flow + scalars + PRESSURE (planes.f90 PLANES_INITIALIZE var count)."""
+    fields = [np.asarray(state.u), np.asarray(state.v), np.asarray(state.w)]
+    fields += [np.asarray(state.s[i]) for i in range(state.s.shape[0])]
+    if pressure is not None:
+        fields.append(np.asarray(pressure))
     for spec in specs:
-        comps = [("u", state.u), ("v", state.v), ("w", state.w)]
-        comps += [(f"s{i+1}", state.s[i]) for i in range(state.s.shape[0])]
-        if pressure is not None:
-            comps.append(("p", pressure))
-        for name, comp in comps:
-            pl = extract_plane(np.asarray(comp), spec)
-            path = os.path.join(outdir,
-                                f"planes{spec.axis.upper()}.{name}.{itime}")
-            pl.astype("<f4").tofile(path)
+        rf.write_planes_file(outdir, itime, spec.axis, fields, spec.indices)
 
 
 @dataclasses.dataclass
 class TowerAccumulator:
     """Strided-column time series, buffered in memory and flushed with
-    restarts (reference dns_tower.f90:22-34)."""
+    restarts (reference dns_tower.f90:22-34).  stride = (si, sj, sk) --
+    ALL three components of [SaveTowers] Stride, including the y stride
+    the tower records are subsampled with."""
 
-    stride: tuple          # (si, sk)
+    stride: tuple          # (si, sj, sk)
     buffer: list = dataclasses.field(default_factory=list)
 
     def accumulate(self, itime: int, rtime: float, state, pressure=None):
-        si, sk = self.stride
+        si, sj, sk = self.stride[:3]
         cols = {}
-        for name, comp in (("u", state.u), ("v", state.v), ("w", state.w)):
-            cols[name] = np.asarray(comp)[::si, :, ::sk].copy()
+        cols[1] = np.asarray(state.u)[::si, ::sj, ::sk].copy()
+        cols[2] = np.asarray(state.v)[::si, ::sj, ::sk].copy()
+        cols[3] = np.asarray(state.w)[::si, ::sj, ::sk].copy()
         if pressure is not None:
-            cols["p"] = np.asarray(pressure)[::si, :, ::sk].copy()
-        for i in range(state.s.shape[0]):
-            cols[f"s{i+1}"] = np.asarray(state.s[i])[::si, :, ::sk].copy()
-        self.buffer.append((itime, rtime, cols))
+            cols[4] = np.asarray(pressure)[::si, ::sj, ::sk].copy()
+        if state.s.shape[0]:
+            cols[5] = np.asarray(state.s[0])[::si, ::sj, ::sk].copy()
+        means = {}
+        means[1] = np.asarray(state.u)[:, ::sj, :].mean(axis=(0, 2))
+        means[2] = np.asarray(state.v)[:, ::sj, :].mean(axis=(0, 2))
+        means[3] = np.asarray(state.w)[:, ::sj, :].mean(axis=(0, 2))
+        if pressure is not None:
+            means[4] = np.asarray(pressure)[:, ::sj, :].mean(axis=(0, 2))
+        if state.s.shape[0]:
+            means[5] = np.asarray(state.s[0])[:, ::sj, :].mean(axis=(0, 2))
+        self.buffer.append((itime, rtime, cols, means))
+        self._nx = state.u.shape[0]
+        self._nz = state.u.shape[2]
 
     def flush(self, outdir: str) -> None:
         if not self.buffer:
             return
-        it0, itN = self.buffer[0][0], self.buffer[-1][0]
-        path = os.path.join(outdir, f"tower.{it0}-{itN}.npz")
-        packed = {"itimes": np.array([b[0] for b in self.buffer]),
-                  "rtimes": np.array([b[1] for b in self.buffer])}
-        for name in self.buffer[0][2]:
-            packed[name] = np.stack([b[2][name] for b in self.buffer])
-        np.savez_compressed(path, **packed)
+        si, sj, sk = self.stride[:3]
+        times = [b[1] for b in self.buffer]
+        itimes = [b[0] for b in self.buffer]
+        columns = {iv: np.stack([b[2][iv] for b in self.buffer])
+                   for iv in self.buffer[0][2]}
+        means = {iv: np.stack([b[3][iv] for b in self.buffer])
+                 for iv in self.buffer[0][3]}
+        ipos = tuple(range(1, self._nx + 1, si))       # 1-based global
+        kpos = tuple(range(1, self._nz + 1, sk))
+        rf.write_tower_files(outdir, times, itimes, columns, means,
+                             ipos, kpos)
         self.buffer.clear()

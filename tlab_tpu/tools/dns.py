@@ -350,12 +350,17 @@ def _inrun_pdfs_spectra(sim: Simulation, state: State, outdir: str,
     y = sim.grid.y.nodes
     ini = getattr(sim.case, "ini", None)
     if ini is not None and ini.get_bool("Statistics", "Pdfs", False):
-        # in-run PDFs (reference DNS_STATISTICS_TEMPORAL pdf branch)
-        from tlab_tpu.stats import pdfs as pdfmod
-        for name, a in (("u", state.u), ("v", state.v), ("w", state.w)):
-            counts, edges = pdfmod.pdf_per_plane(a)
-            pdfmod.write_pdf(os.path.join(outdir, f"pdf{itime}.{name}"),
-                             counts, edges, itime)
+        # in-run PDFs (reference DNS_STATISTICS_TEMPORAL pdf branch):
+        # nbins=32, adaptive two-pass range (ibc=2), per-plane rows +
+        # volume row, REFERENCE binary layout (pdf<it>.<tag>)
+        from tlab_tpu.io import reference_formats as rf
+        fields = [("u", state.u), ("v", state.v), ("w", state.w)]
+        fields += [(f"s{i + 1}", state.s[i])
+                   for i in range(state.s.shape[0])]
+        for name, a in fields:
+            rows = rf.pdf1v_plane_table(np.asarray(a), nbins=32, ibc=2)
+            rf.write_pdf_file(outdir, f"pdf{itime}.{name}", rtime, y,
+                              rows, 32)
     if ini is not None and state.s.shape[0] \
             and ini.get_bool("Statistics", "Intermittency", False):
         gate_level = ini.get_float("Statistics", "GateLevel", 0.5)
@@ -369,23 +374,28 @@ def _inrun_pdfs_spectra(sim: Simulation, state: State, outdir: str,
         fields = {"u": state.u, "v": state.v, "w": state.w}
         for i in range(state.s.shape[0]):
             fields[f"s{i + 1}"] = state.s[i]
+        from tlab_tpu.io import reference_formats as rf
+        nx = sim.grid.x.size
+        nz = sim.grid.z.size
         want_corr = ini.get_bool("Statistics", "Correlations", False)
         for name, a in fields.items():
-            spmod.write_spectra(
-                os.path.join(outdir, f"xsp{itime}.{name}"),
-                np.asarray(spmod.spectrum_x(a)), itime)
-            if sim.grid.z.size > 1:
-                spmod.write_spectra(
-                    os.path.join(outdir, f"zsp{itime}.{name}"),
-                    np.asarray(spmod.spectrum_z(a)), itime)
+            t2 = "E" + 2 * (name[1:] if name.startswith("s") else name)
+            rf.write_spectrum_file(
+                outdir, "xsp", itime, t2,
+                0.5 * np.asarray(spmod.spectrum_x(a))[: nx // 2])
+            if nz > 1:
+                rf.write_spectrum_file(
+                    outdir, "zsp", itime, t2,
+                    0.5 * np.asarray(spmod.spectrum_z(a))[: nz // 2])
             if want_corr:
-                spmod.write_spectra(
-                    os.path.join(outdir, f"xcr{itime}.{name}"),
-                    np.asarray(spmod.correlation_x(a)), itime)
-                if sim.grid.z.size > 1:
-                    spmod.write_spectra(
-                        os.path.join(outdir, f"zcr{itime}.{name}"),
-                        np.asarray(spmod.correlation_z(a)), itime)
+                c2 = "C" + t2[1:]
+                rf.write_spectrum_file(
+                    outdir, "xcr", itime, c2,
+                    np.asarray(spmod.correlation_x(a))[: nx // 2])
+                if nz > 1:
+                    rf.write_spectrum_file(
+                        outdir, "zcr", itime, c2,
+                        np.asarray(spmod.correlation_z(a))[: nz // 2])
 
 
 def write_statistics_compressible(sim: Simulation, U, outdir: str,
@@ -626,8 +636,11 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     tower_acc = None
     if towers_cfg.get("stride"):
         from tlab_tpu.io.planes import TowerAccumulator
-        st = towers_cfg["stride"]
-        tower_acc = TowerAccumulator(stride=(st[0], st[-1]))
+        st = tuple(int(v) for v in towers_cfg["stride"])
+        # [SaveTowers] Stride is (si, sj, sk) -- ALL three, including the
+        # y subsampling (dns_tower.f90:4-8); pad short lists like LIST_INT
+        st = (st + st[-1:] * 3)[:3]
+        tower_acc = TowerAccumulator(stride=st)
     ph_stride = case.ini.get_int("Iteration", "PhaseAvg", 0) \
         if (getattr(case, "ini", None) and not is_comp) else 0
     phavg = None

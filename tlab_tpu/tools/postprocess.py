@@ -131,67 +131,93 @@ def _snapshot_fields(sim, st):
 def run_spectra(sim: Simulation, outdir: str, iterations,
                 cross: bool = False, correlations: bool = False,
                 y_blocks: int = 0) -> None:
-    """xsp/zsp auto-spectra of u,v,w,s; cross=True adds the velocity and
-    velocity-scalar pair cross-spectra with pow/pha decomposition;
-    correlations=True writes xcr/zcr two-point correlations; y_blocks>0
-    writes the 2-D (kx,kz) spectral density averaged in y blocks
-    (reference spectra.f90 opt_main=1..4 + opt_block)."""
+    """xsp/zsp/rsp auto-spectra of u,v,w,s in the REFERENCE binary format
+    (spectra.f90:730-787 + IO_Write_Subarray: float32 (nk, ny) files named
+    xsp<it>.E<ab>, holding HALF the folded spectrum, as
+    scripts/python/PlotSpectra.py consumes); cross=True adds pair
+    cross-spectra with pow/pha decomposition; correlations=True writes
+    xcr/zcr two-point correlations (xcr<it>.C<ab>); y_blocks>0 writes the
+    2-D (kx,kz) spectral density averaged in y blocks (opt_block)."""
+    from tlab_tpu.io import reference_formats as rf
+
+    def tag(name):
+        # reference tag_var: scalars are numbered (spectra.f90:473)
+        return name[1:] if name.startswith("s") else name
+
+    nx = sim.grid.x.size
+    nz = sim.grid.z.size
     for it in iterations:
         st, _ = load_snapshot(sim, outdir, it)
         comps = _snapshot_fields(sim, st)
         for name, a in comps.items():
-            ex = spectra.spectrum_x(a)
-            spectra.write_spectra(os.path.join(outdir, f"xsp{it}.{name}"),
-                                  np.asarray(ex), it)
-            if sim.grid.z.size > 1:
-                ez = spectra.spectrum_z(a)
-                spectra.write_spectra(os.path.join(outdir, f"zsp{it}.{name}"),
-                                      np.asarray(ez), it)
+            t2 = tag(name) + tag(name)
+            ex = np.asarray(spectra.spectrum_x(a))
+            rf.write_spectrum_file(outdir, "xsp", it, "E" + t2,
+                                   0.5 * ex[: nx // 2])
+            if nz > 1:
+                ez = np.asarray(spectra.spectrum_z(a))
+                rf.write_spectrum_file(outdir, "zsp", it, "E" + t2,
+                                       0.5 * ez[: nz // 2])
+                er = np.asarray(spectra.radial_spectrum(
+                    a, sim.grid.x.scale, sim.grid.z.scale))
+                nk = min(nx // 2, nz // 2)
+                out = np.zeros((nk, er.shape[1]), er.dtype)
+                out[: min(nk, er.shape[0])] = er[: nk]
+                rf.write_spectrum_file(outdir, "rsp", it, "E" + t2, 0.5 * out)
             if correlations:
-                cx = spectra.correlation_x(a)
-                spectra.write_spectra(os.path.join(outdir, f"xcr{it}.{name}"),
-                                      np.asarray(cx), it)
-                if sim.grid.z.size > 1:
-                    cz = spectra.correlation_z(a)
-                    spectra.write_spectra(
-                        os.path.join(outdir, f"zcr{it}.{name}"),
-                        np.asarray(cz), it)
+                cx = np.asarray(spectra.correlation_x(a))
+                rf.write_spectrum_file(outdir, "xcr", it, "C" + t2,
+                                       cx[: nx // 2])
+                if nz > 1:
+                    cz = np.asarray(spectra.correlation_z(a))
+                    rf.write_spectrum_file(outdir, "zcr", it, "C" + t2,
+                                           cz[: nz // 2])
             if y_blocks > 0:
                 e2 = spectra.spectrum_2d(a, y_blocks=y_blocks)
                 np.savez(os.path.join(outdir, f"sp2d{it}.{name}.npz"),
                          e=np.asarray(e2), itime=it)
         if cross:
             names = list(comps)
-            pairs = [("u", "v"), ("u", "w"), ("v", "w")] +                 [("v", n) for n in names if n.startswith("s")]
+            pairs = [("u", "v"), ("u", "w"), ("v", "w")] + \
+                [("v", n) for n in names if n.startswith("s")]
             for na, nb in pairs:
-                ex = spectra.spectrum_x(comps[na], comps[nb])
-                spectra.write_spectra(
-                    os.path.join(outdir, f"xsp{it}.{na}{nb}"),
-                    np.asarray(ex), it)
+                tp = tag(na) + tag(nb)
+                ex = np.asarray(spectra.spectrum_x(comps[na], comps[nb]))
+                rf.write_spectrum_file(outdir, "xsp", it, "E" + tp,
+                                       0.5 * ex[: nx // 2])
                 power, phase = spectra.cross_phase_x(comps[na], comps[nb])
-                spectra.write_spectra(
-                    os.path.join(outdir, f"pow{it}.{na}{nb}"),
-                    np.asarray(power), it)
-                spectra.write_spectra(
-                    os.path.join(outdir, f"pha{it}.{na}{nb}"),
-                    np.asarray(phase), it)
+                rf.write_spectrum_file(outdir, "pow", it, "E" + tp,
+                                       np.asarray(power)[: nx // 2])
+                rf.write_spectrum_file(outdir, "pha", it, "E" + tp,
+                                       np.asarray(phase)[: nx // 2])
                 if correlations:
-                    cx = spectra.correlation_x(comps[na], comps[nb])
-                    spectra.write_spectra(
-                        os.path.join(outdir, f"xcr{it}.{na}{nb}"),
-                        np.asarray(cx), it)
+                    cx = np.asarray(spectra.correlation_x(comps[na],
+                                                          comps[nb]))
+                    rf.write_spectrum_file(outdir, "xcr", it, "C" + tp,
+                                           cx[: nx // 2])
 
 
-def run_pdfs(sim: Simulation, outdir: str, iterations, nbins=64) -> None:
+def run_pdfs(sim: Simulation, outdir: str, iterations, nbins=32) -> None:
+    """pdfs.x equivalent: [PostProcessing] ParamPdfs = mode, block,
+    gate_level, nbins1[, nbins2] (pdfs.f90:130-173); default mode 1
+    (main variables).  Outputs in the reference pdf binary layout."""
+    ini = getattr(sim.case, "ini", None)
+    pvec = ini.get_floats("PostProcessing", "ParamPdfs", ()) \
+        if ini is not None else ()
+    opt_main = int(pvec[0]) if pvec else 1
+    gate_level = float(pvec[2]) if len(pvec) > 2 else 0.0
+    nb = (int(pvec[3]) if len(pvec) > 3 else nbins,
+          int(pvec[4]) if len(pvec) > 4 else
+          (int(pvec[3]) if len(pvec) > 3 else nbins))
     for it in iterations:
-        st, _ = load_snapshot(sim, outdir, it)
-        comps = {"u": st.u, "v": st.v, "w": st.w}
-        for i in range(sim.nsp.n_scalars):
-            comps[f"s{i + 1}"] = st.s[i]
-        for name, a in comps.items():
-            counts, edges = pdfs.pdf_per_plane(a, nbins=nbins)
-            pdfs.write_pdf(os.path.join(outdir, f"pdf{it}.{name}"),
-                           counts, edges, it)
+        st, rtime = load_snapshot(sim, outdir, it)
+        pres = None
+        if getattr(sim, "comp", None) is None:
+            from tlab_tpu.dycore.pressure import pressure_boussinesq
+            pres = pressure_boussinesq(sim.P, st)
+        pdfs.run_pdf_mode(sim, st, pres, outdir, it, float(rtime),
+                          opt_main=opt_main, nbins=nb,
+                          gate_level=gate_level)
 
 
 _VISUAL_FIELDS = ("VelocityX", "VelocityY", "VelocityZ", "Scalar1",
