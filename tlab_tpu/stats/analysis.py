@@ -217,6 +217,68 @@ def strain_eigenvalues(P, state):
             "Lam2Pos": _pavg((l2 > 0).astype(l1.dtype))}
 
 
+def eigenframe_cosines(P, state):
+    """Mode 11 (reference averages.f90:805-845, avgCos<it>): direction
+    cosines of the vorticity vector and of the scalar-gradient vector in
+    the local eigenframe of the rate-of-strain tensor.
+
+    Eigenvectors from a vectorized symmetric eigendecomposition with the
+    reference's global orientation (TENSOR_EIGENFRAME, tensor.f90:79-80:
+    e1 toward +Ox, e2 toward +Oy; e3 = e1 x e2), eigenvalues descending
+    (lambda1 >= lambda2 >= lambda3)."""
+    g = _grad9(P, state.u, state.v, state.w)
+    sxx, syy, szz = g["ux"], g["vy"], g["wz"]
+    sxy = 0.5 * (g["uy"] + g["vx"])
+    sxz = 0.5 * (g["uz"] + g["wx"])
+    syz = 0.5 * (g["vz"] + g["wy"])
+    S = jnp.stack([jnp.stack([sxx, sxy, sxz], -1),
+                   jnp.stack([sxy, syy, syz], -1),
+                   jnp.stack([sxz, syz, szz], -1)], -2)   # (...,3,3)
+    _, V = jnp.linalg.eigh(S)                 # ascending eigenvalues
+    e1 = V[..., :, 2]                         # lambda1 (largest)
+    e2 = V[..., :, 1]
+    # reference orientation: e1 . ex > 0, e2 . ey > 0
+    e1 = e1 * jnp.sign(jnp.where(e1[..., 0] == 0, 1.0, e1[..., 0]))[..., None]
+    e2 = e2 * jnp.sign(jnp.where(e2[..., 1] == 0, 1.0, e2[..., 1]))[..., None]
+    e3 = jnp.cross(e1, e2)
+
+    wx = g["wy"] - g["vz"]
+    wy = g["uz"] - g["wx"]
+    wz = g["vx"] - g["uy"]
+    vort = jnp.stack([wx, wy, wz], -1)
+    tiny = jnp.finfo(vort.dtype).tiny
+    vn = vort / jnp.maximum(
+        jnp.linalg.norm(vort, axis=-1, keepdims=True), tiny)
+    out = {"cosWL1": _pavg(jnp.sum(vn * e1, -1)),
+           "cosWL2": _pavg(jnp.sum(vn * e2, -1)),
+           "cosWL3": _pavg(jnp.sum(vn * e3, -1))}
+    if state.s.shape[0]:
+        s0 = state.s[0]
+        gr = jnp.stack([dyn._d1(P, "x", 0, s0), dyn._d1(P, "y", 1, s0),
+                        dyn._d1(P, "z", 2, s0)], -1)
+        gn = gr / jnp.maximum(
+            jnp.linalg.norm(gr, axis=-1, keepdims=True), tiny)
+        out.update({"cosGL1": _pavg(jnp.sum(gn * e1, -1)),
+                    "cosGL2": _pavg(jnp.sum(gn * e2, -1)),
+                    "cosGL3": _pavg(jnp.sum(gn * e3, -1))})
+    return out
+
+
+def pressure_partition(P, state, p=None):
+    """Mode 14 (reference averages.f90:907-922, avgP<it>): total
+    Boussinesq diagnostic pressure, the static part (velocities zeroed --
+    sources only), and their difference (dynamic pressure)."""
+    from tlab_tpu.dycore.pressure import pressure_boussinesq
+    p_tot = p if p is not None else pressure_boussinesq(P, state)
+    zero = jnp.zeros_like(state.u)
+    st0 = state._replace(u=zero, v=zero, w=zero)
+    p_sta = pressure_boussinesq(P, st0)
+    return {"P": _pavg(p_tot), "Psta": _pavg(p_sta),
+            "Pdyn": _pavg(p_tot - p_sta),
+            "P2": _pavg(_fluct(p_tot) ** 2),
+            "Pdyn2": _pavg(_fluct(p_tot - p_sta) ** 2)}
+
+
 def longitudinal_derivatives(P, state):
     """Mode 12: skewness/flatness of the longitudinal derivatives
     du/dx, dv/dy, dw/dz (isotropy diagnostics)."""
@@ -317,10 +379,14 @@ MODES = {
         scalar_gradient_components(P, st)),
     10: ("eigenvalues", lambda P, st, visc, diff, p:
          strain_eigenvalues(P, st)),
+    11: ("eigenframe", lambda P, st, visc, diff, p:
+         eigenframe_cosines(P, st)),
     12: ("longderiv", lambda P, st, visc, diff, p:
          longitudinal_derivatives(P, st)),
     13: ("fluxes", lambda P, st, visc, diff, p:
          vertical_fluxes(P, st, visc, diff)),
+    14: ("pressurepart", lambda P, st, visc, diff, p:
+         pressure_partition(P, st, p=p)),
     15: ("dissipation", lambda P, st, visc, diff, p:
          dissipation_profiles(P, st, visc)),
     16: ("scalcov3", lambda P, st, visc, diff, p:

@@ -115,9 +115,15 @@ def run_averages(sim: Simulation, outdir: str, iterations,
                                     diff=[sim.nsp.diffusivity(i)
                                           for i in
                                           range(sim.nsp.n_scalars)])
-            name = analysis.MODES[mode][0]
+            # reference file names per mode (averages.f90:561-959)
+            ref_names = {3: "avgMom", 4: "avgMain", 5: "avgW2",
+                         6: "avgS2", 7: "avgG2", 8: "avgInv", 9: "avgGi",
+                         10: "avgEig", 11: "avgCos", 12: "avgDer",
+                         13: "avgFluxY", 14: "avgP", 15: "avgEps",
+                         16: "avgSiCov", 17: "avgPV"}
+            name = ref_names.get(mode, analysis.MODES[mode][0])
             averages.write_table(
-                os.path.join(outdir, f"avg{it}_{name}"),
+                os.path.join(outdir, f"{name}{it}"),
                 sim.grid.y.nodes, tab, it, rtime)
 
 
