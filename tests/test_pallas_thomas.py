@@ -100,3 +100,25 @@ def test_thomas_production_selection(monkeypatch):
     got = np.asarray(dyn._d1(P, "y", 1, a))
     dense = np.einsum("ab,ibk->iak", P["d1y"], np.asarray(a))
     assert np.max(np.abs(got - dense)) < 1e-11
+
+
+def test_partitioned_solve_exact():
+    """The substructured solve is EXACT algebra: matches a dense solve to
+    round-off for the compact-scheme A, any segment split, f64."""
+    from tlab_tpu.ops.pallas_thomas import partitioned_plan, partitioned_solve
+    rng = np.random.default_rng(3)
+    for n, L in ((256, 64), (384, 128), (1024, 128)):
+        # compact-C6-like tri with biased wall rows
+        A = np.zeros((n, n))
+        idx = np.arange(n)
+        A[idx, idx] = 1.0
+        A[idx[1:], idx[:-1]] = 1.0 / 3.0
+        A[idx[:-1], idx[1:]] = 1.0 / 3.0
+        A[0, 1] = 2.0
+        A[-1, -2] = 2.0
+        plan = partitioned_plan(A, L=L, dtype=jnp.float64)
+        rhs = rng.standard_normal((5, n))
+        u = np.asarray(partitioned_solve(plan, jnp.asarray(rhs)))
+        u_ref = np.linalg.solve(A, rhs.T).T
+        err = np.max(np.abs(u - u_ref)) / np.max(np.abs(u_ref))
+        assert err < 1e-12, (n, L, err)

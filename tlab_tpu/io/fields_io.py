@@ -20,31 +20,53 @@ except ImportError:                     # pure-NumPy fallback
     _tlabio = None
 
 _HDR = struct.Struct("<5i")
+_HDR_BE = struct.Struct(">5i")
+
+
+def _header_sane(offset, nx, ny, nz, nt) -> bool:
+    return (20 <= offset <= 20 + 8 * 64
+            and 0 < nx < 2 ** 24 and 0 < ny < 2 ** 24 and 0 < nz < 2 ** 24
+            and 0 <= nt < 2 ** 30)
 
 
 def write_field(path: str, arr: np.ndarray, itime: int = 0,
-                params=(0.0, 0.0), dtype="<f8") -> None:
+                params=(0.0, 0.0), dtype="<f8", byteorder: str = "<") -> None:
+    """byteorder '>' writes the big-endian layout of the reference's
+    -fconvert=big builds (config/mpipc.cmake BIG, SURVEY 7f)."""
     arr = np.asarray(arr)
     nx, ny, nz = arr.shape
-    params = np.asarray(params, dtype="<f8")
-    if _tlabio is not None and dtype == "<f8":
+    params = np.asarray(params, dtype=byteorder + "f8")
+    if _tlabio is not None and dtype == "<f8" and byteorder == "<":
         a = np.ascontiguousarray(arr, dtype=np.float64)
         _tlabio.write_field(path, a, nx, ny, nz, int(itime),
                             params.tobytes())
         return
-    offset = _HDR.size + params.nbytes
+    hdr = _HDR if byteorder == "<" else _HDR_BE
+    dt = byteorder + dtype[1:]
+    offset = hdr.size + params.nbytes
     with open(path, "wb") as fh:
-        fh.write(_HDR.pack(offset, nx, ny, nz, itime))
+        fh.write(hdr.pack(offset, nx, ny, nz, itime))
         fh.write(params.tobytes())
-        fh.write(np.ascontiguousarray(arr.transpose(2, 1, 0)).astype(dtype).tobytes())
+        fh.write(np.ascontiguousarray(arr.transpose(2, 1, 0)).astype(dt)
+                 .tobytes())
 
 
 def read_field(path: str, dtype="<f8"):
-    """Returns (arr (nx, ny, nz) float64, params array, itime)."""
-    if _tlabio is not None and dtype == "<f8":
-        with open(path, "rb") as fh:
-            offset, nx, ny, nz, nt = _HDR.unpack(fh.read(_HDR.size))
-        nbytes = 0
+    """Returns (arr (nx, ny, nz) float64, params array, itime).
+
+    Endianness is AUTODETECTED from the 5-int32 header sanity check
+    (offset/shape ranges): the reference's example fixtures were written
+    by per-machine -fconvert builds in either byte order."""
+    with open(path, "rb") as fh:
+        head = fh.read(_HDR.size)
+    byteorder = "<"
+    offset, nx, ny, nz, nt = _HDR.unpack(head)
+    if not _header_sane(offset, nx, ny, nz, nt):
+        vals = _HDR_BE.unpack(head)
+        if _header_sane(*vals):
+            byteorder = ">"
+            offset, nx, ny, nz, nt = vals
+    if _tlabio is not None and dtype == "<f8" and byteorder == "<":
         import os
         nbytes = os.path.getsize(path) - offset
         if nbytes == nx * ny * nz * 8:          # double-precision file
@@ -53,16 +75,17 @@ def read_field(path: str, dtype="<f8"):
             return out, np.frombuffer(praw, dtype="<f8"), it
     with open(path, "rb") as fh:
         data = fh.read()
-    offset, nx, ny, nz, nt = _HDR.unpack_from(data, 0)
     nparams = (offset - _HDR.size) // 8
-    params = np.frombuffer(data, dtype="<f8", count=nparams, offset=_HDR.size)
-    itemsize = np.dtype(dtype).itemsize
+    params = np.frombuffer(data, dtype=byteorder + "f8", count=nparams,
+                           offset=_HDR.size)
+    dt = byteorder + dtype[1:]
+    itemsize = np.dtype(dt).itemsize
     n = nx * ny * nz
     expected = offset + n * itemsize
     if len(data) < expected and itemsize == 8:
-        dtype = "<f4"  # single-precision restart file
+        dt = byteorder + "f4"  # single-precision restart file
         itemsize = 4
-    raw = np.frombuffer(data, dtype=dtype, count=n, offset=offset)
+    raw = np.frombuffer(data, dtype=dt, count=n, offset=offset)
     arr = raw.reshape(nz, ny, nx).transpose(2, 1, 0).astype(np.float64)
     return arr, params, nt
 

@@ -101,59 +101,159 @@ def device_factors(a, b, c, dtype=jnp.float32):
 
 
 # ---------------------------------------------------------------------------
-# Production banded D1 path: B u via shifted diagonal adds + Thomas solve
-# of A -- the O(N) alternative to the dense A^{-1}B matmul for very long
-# lines. Selected by build_device_plans when the line length reaches
-# TLAB_TPU_THOMAS_MIN_N (default 4096; dense wins below -- measured on
-# TPU v5e at N=1024).
+# Partitioned (substructured) tridiagonal solve -- the TPU-native O(N L)
+# backend.  The sequential Thomas recurrence cannot use the 8x128 VPU
+# efficiently (one sublane row per step); instead the line is split into
+# S segments of length L, each segment solved by a PRECOMPUTED dense
+# L x L inverse (an MXU matmul), with the 2S interface unknowns closed by
+# a small precomputed 2S x 2S inverse.  Exact algebra (a block LU of the
+# same matrix), flops/point = 2L instead of the dense path's 2N -- a
+# N/L speedup at N >> L that stays entirely on the MXU with XLA-scheduled
+# einsums (no hand-written kernel, no sequential loop).
+# Cf. Wang 1981 partition method; PAPERS.md PaScaL_TDMA.
+# ---------------------------------------------------------------------------
+
+def partitioned_plan(A: np.ndarray, L: int = 128, dtype=jnp.float32):
+    """Host-side substructuring of a shared (quasi-)tridiagonal A.
+
+    A may carry arbitrary boundary ROWS (the compact schemes' biased
+    rows live inside the first/last segment blocks); only the
+    off-segment couplings must be the single sub/superdiagonal elements,
+    true for tridiagonal A away from the wall rows."""
+    A = np.asarray(A, np.float64)
+    n = A.shape[0]
+    if n % L:
+        # choose the largest power-of-two-ish block that divides n
+        for cand in (256, 128, 64, 32, 16, 8):
+            if n % cand == 0 and cand < n:
+                L = cand
+                break
+        else:
+            raise ValueError(f"n={n} has no usable segment size")
+    S = n // L
+    Tinv = np.zeros((S, L, L))
+    xL = np.zeros((S, L))
+    xR = np.zeros((S, L))
+    for s in range(S):
+        sl = slice(s * L, (s + 1) * L)
+        Ts = A[sl, sl]
+        Tinv[s] = np.linalg.inv(Ts)
+        if s > 0:
+            a_edge = A[s * L, s * L - 1]          # coupling to prev last
+            xL[s] = Tinv[s, :, 0] * a_edge
+        if s < S - 1:
+            c_edge = A[(s + 1) * L - 1, (s + 1) * L]  # coupling to next
+            xR[s] = Tinv[s, :, L - 1] * c_edge
+
+    # interface system M z = v_edges over z = [u_s[0], u_s[L-1]]_s
+    M = np.eye(2 * S)
+    for s in range(S):
+        i0, i1 = 2 * s, 2 * s + 1
+        if s > 0:
+            M[i0, 2 * (s - 1) + 1] += xL[s, 0]
+            M[i1, 2 * (s - 1) + 1] += xL[s, L - 1]
+        if s < S - 1:
+            M[i0, 2 * (s + 1)] += xR[s, 0]
+            M[i1, 2 * (s + 1)] += xR[s, L - 1]
+    Minv = np.linalg.inv(M)
+    nt = np.dtype(jnp.dtype(dtype))
+    return {"Tinv": np.asarray(Tinv, nt), "xL": np.asarray(xL, nt),
+            "xR": np.asarray(xR, nt), "Minv": np.asarray(Minv, nt),
+            "S": S, "L": L, "n": n}
+
+
+def partitioned_solve(plan: dict, rhs):
+    """Solve A u = rhs for all lines: rhs (m, N) -> u (m, N)."""
+    from tlab_tpu.ops.derivative import op_precision
+    S, L, n = plan["S"], plan["L"], plan["n"]
+    m = rhs.shape[0]
+    prec = op_precision(rhs.dtype)
+    d = rhs.reshape(m, S, L)
+    Tinv = jnp.asarray(plan["Tinv"])
+    v = jnp.einsum("slk,msk->msl", Tinv, d, precision=prec)
+    # interface solve
+    v_edges = jnp.stack([v[:, :, 0], v[:, :, L - 1]],
+                        axis=2).reshape(m, 2 * S)
+    z = jnp.einsum("ab,mb->ma", jnp.asarray(plan["Minv"]), v_edges,
+                   precision=prec).reshape(m, S, 2)
+    # corrections: u_s = v_s - xL_s z_{s-1,last} - xR_s z_{s+1,first}
+    zprev = jnp.concatenate([jnp.zeros((m, 1), z.dtype), z[:, :-1, 1]],
+                            axis=1)                       # (m, S)
+    znext = jnp.concatenate([z[:, 1:, 0], jnp.zeros((m, 1), z.dtype)],
+                            axis=1)
+    u = v - jnp.asarray(plan["xL"])[None] * zprev[:, :, None] \
+        - jnp.asarray(plan["xR"])[None] * znext[:, :, None]
+    return u.reshape(m, n)
+
+
+# ---------------------------------------------------------------------------
+# Production banded D1 path: B u via shifted diagonal adds + partitioned
+# solve of A -- the O(N L) alternative to the dense A^{-1}B matmul for
+# long lines. Selected by build_device_plans when the line length reaches
+# TLAB_TPU_THOMAS_MIN_N.
 # ---------------------------------------------------------------------------
 
 def banded_plan(A1: np.ndarray, B1: np.ndarray, dtype=jnp.float32,
-                band: int = 3):
-    """Factor the tridiagonal A and extract B's diagonals -band..band;
-    rows with out-of-band entries (the biased boundary rows) are applied
-    densely on top."""
+                band: int = 8, seg: int = 128):
+    """Fused substructured derivative: per segment s the stage-1 result
+    of the partitioned solve of A with rhs = B u is
+
+        v_s = (Tinv_s @ B[rows_s, slab_s]) u[slab_s]
+
+    with slab_s = [sL - band, (s+1)L + band) (B is banded; boundary
+    biased rows live inside the first/last slab).  One matmul pass total
+    -- flops/point 2(L + 2 band) instead of the dense path's 2N."""
     A1 = np.asarray(A1, np.float64)
     B1 = np.asarray(B1, np.float64)
     n = A1.shape[0]
-    a = np.concatenate([[0.0], np.diagonal(A1, -1)])
-    b = np.diagonal(A1).copy()
-    c = np.concatenate([np.diagonal(A1, 1), [0.0]])
-    factors = device_factors(a, b, c, dtype)
-
-    diags = {}
-    mask_in = np.zeros_like(B1, bool)
-    for k in range(-band, band + 1):
-        d = np.zeros(n)
-        idx = np.arange(max(0, -k), min(n, n - k))
-        d[idx] = B1[idx, idx + k]
-        diags[k] = jnp.asarray(d, dtype)
-        mask_in[idx, idx + k] = True
-    resid = np.where(mask_in, 0.0, B1)
-    rows = np.nonzero(np.abs(resid).sum(axis=1) > 0)[0]
-    dense_rows = (jnp.asarray(rows, jnp.int32),
-                  jnp.asarray(B1[rows], dtype)) if rows.size else None
-    return {"factors": factors, "diags": diags, "dense_rows": dense_rows,
+    part = partitioned_plan(A1, L=seg, dtype=dtype)
+    S, L = part["S"], part["L"]
+    pad = band
+    W = L + 2 * pad
+    # validate that B is within the slab bandwidth everywhere
+    Bp = np.zeros((n, n + 2 * pad))
+    Bp[:, pad:pad + n] = B1
+    F = np.zeros((S, L, W))
+    Tinv = np.asarray(part["Tinv"], np.float64)
+    for s in range(S):
+        rows = slice(s * L, (s + 1) * L)
+        cols = slice(s * L, s * L + W)            # in padded coordinates
+        blk = Bp[rows, cols]
+        out_of_slab = np.abs(Bp[rows]).sum() - np.abs(blk).sum()
+        if out_of_slab > 1e-12:
+            raise ValueError("B bandwidth exceeds the slab pad")
+        F[s] = Tinv[s] @ blk
+    nt = np.dtype(jnp.dtype(dtype))
+    return {"part": part, "F": np.asarray(F, nt), "pad": pad,
             "n": n, "band": band}
 
 
 def banded_der1(plan: dict, u, axis: int):
-    """D1 u along `axis` via banded matvec + Thomas solve; u any rank."""
-    n = plan["n"]
+    """D1 u along `axis` via the fused substructured solve; u any rank."""
+    from tlab_tpu.ops.derivative import op_precision
+    part = plan["part"]
+    n, S, L = plan["n"], part["S"], part["L"]
+    pad = plan["pad"]
     u_m = jnp.moveaxis(u, axis, -1)
     lead = u_m.shape[:-1]
     u2 = u_m.reshape(-1, n)
+    m = u2.shape[0]
+    prec = op_precision(u2.dtype)
 
-    rhs = jnp.zeros_like(u2)
-    for k, d in plan["diags"].items():
-        if k == 0:
-            rhs = rhs + d[None, :] * u2
-        elif k > 0:
-            rhs = rhs.at[:, :n - k].add(d[None, :n - k] * u2[:, k:])
-        else:
-            rhs = rhs.at[:, -k:].add(d[None, -k:] * u2[:, :n + k])
-    if plan["dense_rows"] is not None:
-        idx, Brows = plan["dense_rows"]
-        rhs = rhs.at[:, idx].set(u2 @ Brows.T)
-    out = thomas_solve(plan["factors"], rhs)
+    up = jnp.pad(u2, ((0, 0), (pad, pad)))
+    slabs = jnp.stack([up[:, s * L:s * L + L + 2 * pad] for s in range(S)],
+                      axis=1)                      # (m, S, L+2p)
+    v = jnp.einsum("slw,msw->msl", jnp.asarray(plan["F"]), slabs,
+                   precision=prec)
+    # interface closure + corrections (same algebra as partitioned_solve)
+    v_edges = jnp.stack([v[:, :, 0], v[:, :, L - 1]],
+                        axis=2).reshape(m, 2 * S)
+    z = jnp.einsum("ab,mb->ma", jnp.asarray(part["Minv"]), v_edges,
+                   precision=prec).reshape(m, S, 2)
+    zprev = jnp.concatenate([jnp.zeros((m, 1), z.dtype), z[:, :-1, 1]],
+                            axis=1)
+    znext = jnp.concatenate([z[:, 1:, 0], jnp.zeros((m, 1), z.dtype)],
+                            axis=1)
+    out = v - jnp.asarray(part["xL"])[None] * zprev[:, :, None] \
+        - jnp.asarray(part["xR"])[None] * znext[:, :, None]
     return jnp.moveaxis(out.reshape(*lead, n), -1, axis)

@@ -215,7 +215,7 @@ def pencil_poisson_factorize(fac_dev, f, comm, bcs_b=None, bcs_t=None):
         fcol = lax.dynamic_slice(fh, (li_c, z0, kzi), (1, ny, 1))[0, :, 0]
         us, vs = fac.sing_column(fac_dev, fcol,
                                  jnp.zeros((), fh.dtype), gt[li_c, kz],
-                                 "nn")
+                                 "nn", mean_mode=(gkx == 0 and kz == 0))
         uh = jnp.where(own,
                        lax.dynamic_update_slice(
                            uh, us[None, :, None], (li_c, z0, kzi)), uh)
