@@ -125,12 +125,102 @@ def main():
     npts = nx * ny * nz
     pts_per_s_per_substep = npts / (dt_wall / n_sub)
     baseline = 0.8e6                             # pts/s/node/substep (ref best)
+
+    # ---- secondary configurations (stderr lines; VERDICT r2 #8) ----------
+    # each guarded: a failed variant must not cost the headline
+    import os
+    if os.environ.get("TLAB_TPU_BENCH_EXTRAS", "1") != "0":
+        _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline)
+
     print(json.dumps({
         "metric": "grid-points/s/chip per RK substep (512x256x256 shear layer, fp32, RK4-5)",
         "value": round(pts_per_s_per_substep, 1),
         "unit": "points/s/chip/substep",
         "vs_baseline": round(pts_per_s_per_substep / baseline, 3),
     }))
+
+
+def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
+    """Compressible and stretched-grid/semi-implicit datapoints at the
+    same 512x256x256 size, printed to stderr (one JSON headline rule)."""
+    import jax.numpy as jnp
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import make_axis, Grid
+    import numpy as np
+
+    nx, ny, nz = grid.shape
+    npts = nx * ny * nz
+    n_steps = 3
+
+    def time_variant(name, fn, st, n_sub):
+        try:
+            out = fn(st)
+            jax.block_until_ready(out)
+            val = float(jnp.sum(out[0] if isinstance(out, tuple) else
+                                getattr(out, "u", getattr(out, "rho", out))))
+            if not np.isfinite(val):
+                raise RuntimeError("non-finite warmup")
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = fn(st)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            float(jnp.sum(getattr(out, "u", getattr(out, "rho", out))))
+            rate = npts / (best / n_steps / n_sub)
+            print(f"bench-extra: {name}: {rate:.3e} pts/s/chip/substep "
+                  f"({rate / baseline:.0f}x baseline)", file=sys.stderr)
+        except Exception as e:
+            print(f"bench-extra: {name} failed: "
+                  f"{type(e).__name__}: {str(e)[:160]}", file=sys.stderr)
+
+    # compressible internal-energy core (acoustic CFL, no Poisson)
+    try:
+        from tlab_tpu.dycore import compressible as comp
+        Pc = dyn.build_device_plans(build_fdm_plan(grid), nsp, bcs,
+                                    dtype=dtype, with_elliptic=False)
+        one = jnp.ones_like(state0.u)
+        U0 = comp.from_primitive(one, state0.u, state0.v, state0.w, one,
+                                 1.4, 0.3, s=state0.s)
+
+        @jax.jit
+        def comp_n(U):
+            return jax.lax.fori_loop(
+                0, n_steps,
+                lambda i, u: comp.rk_step_compressible(
+                    Pc, u, 1e-5, 1.4, 0.3, nsp.visc, 0.7,
+                    energy="internal"), U)
+
+        time_variant("compressible-internal 512x256x256 fp32 RK4-5",
+                     comp_n, U0, 5)
+    except Exception as e:
+        print(f"bench-extra: compressible setup failed: {e!r}",
+              file=sys.stderr)
+
+    # stretched y grid + SMR91 semi-implicit diffusion
+    try:
+        from tlab_tpu.dycore import implicit as impl
+        from tlab_tpu.ops import elliptic_factorize as fac
+        s = np.linspace(0.0, 1.0, ny)
+        ynodes = s + 0.25 * (1.0 - np.cos(2 * np.pi * s)) / (2 * np.pi)
+        gs = Grid(grid.x, make_axis(ynodes, False), grid.z)
+        fdms = build_fdm_plan(gs)
+        Ps = dyn.build_device_plans(fdms, nsp, bcs, dtype=dtype)
+        Ps["ell_fac"] = fac.device_factorize_plan(
+            fac.build_factorize_plan(fdms), dtype)
+
+        @jax.jit
+        def impl_n(st):
+            return jax.lax.fori_loop(
+                0, n_steps,
+                lambda i, s_: impl.rk_step_implicit(Ps, s_, 5e-4)[0], st)
+
+        time_variant("stretched-y semi-implicit 512x256x256 fp32 SMR91",
+                     impl_n, state0, 3)
+    except Exception as e:
+        print(f"bench-extra: semi-implicit setup failed: {e!r}",
+              file=sys.stderr)
 
 
 def wait_for_backend(max_wait_s: float = 600.0, probe_timeout: float = 90.0):

@@ -43,13 +43,18 @@ def op_precision(dtype):
     TPU f32 matmuls default to one-pass bf16, which loses ~2 digits per
     derivative -- measured per-RK-step relative error vs float64:
     default 2.5e-2 (unusable), high (3-pass) 5.9e-5, highest (6-pass)
-    8.8e-7. HIGHEST is the default; export TLAB_TPU_MATMUL_PRECISION=high
-    to trade ~1.5x step speed for accuracy still below the spatial
-    truncation error of resolved DNS.
+    8.8e-7.  HIGH is the production default: its 5.9e-5 per-step relative
+    error sits ~20x below the compact-C6 spatial truncation error of a
+    resolved DNS at production resolutions (k h ~ 1 modes carry O(1e-3)
+    relative derivative error), and it runs the fused step ~1.25x faster
+    (864x vs 675x the reference baseline, PARITY perf study).  Export
+    TLAB_TPU_MATMUL_PRECISION=highest for f32 validation work against
+    f64, or when running marginally-resolved spectra studies where the
+    truncation floor is pushed below 1e-5.
     """
     if dtype in (jnp.float32,):
         import os
-        name = os.environ.get("TLAB_TPU_MATMUL_PRECISION", "highest").lower()
+        name = os.environ.get("TLAB_TPU_MATMUL_PRECISION", "high").lower()
         return _PRECISION_BY_NAME.get(name, jax.lax.Precision.HIGHEST)
     return None
 

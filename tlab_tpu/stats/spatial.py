@@ -44,6 +44,10 @@ class SpatialStats:
     # MA_RTT, MA_TU.. families of avgij_map.h:5-58,70,231-242 as raw
     # (z,t)-sums: (len(COMP_NAMES), nx, ny)
     comp_sums: np.ndarray = None
+    # the FULL reference register set (238 MA_* sums, avgij_map.h;
+    # stats/spatial_registers.py): (len(NAMES), nx, ny), engaged when
+    # accumulate() receives reg_base
+    reg_sums: np.ndarray = None
 
     GRAD_NAMES = ("ux", "uy", "uz", "vx", "vy", "vz", "wx", "wy", "wz")
     # first 6: vorticity/dilatation pairs; last 9: dissipation pairs
@@ -82,7 +86,8 @@ class SpatialStats:
                    triple_sums=np.zeros((len(cls.TRIPLES), nx, ny)))
 
     def accumulate(self, fields: dict, grads: dict = None,
-                   p=None, comp_fields: dict = None) -> None:
+                   p=None, comp_fields: dict = None,
+                   reg_base: dict = None) -> None:
         """fields: name -> (nx, ny, nz); adds z-mean moments 1..4 and the
         cross products. grads (optional): name in GRAD_NAMES -> field;
         p (optional): pressure field. comp_fields (optional):
@@ -156,6 +161,12 @@ class SpatialStats:
             }
             for k, nm in enumerate(self.COMP_NAMES):
                 self.comp_sums[k] += prods[nm].mean(axis=2)
+        if reg_base is not None:
+            from tlab_tpu.stats import spatial_registers as sreg
+            if self.reg_sums is None:
+                self.reg_sums = np.zeros((len(sreg.NAMES),)
+                                         + self.sums.shape[2:])
+            sreg.accumulate(self.reg_sums, reg_base)
         self.n_samples += 1
 
     def mean(self, name: str) -> np.ndarray:
@@ -435,7 +446,7 @@ class SpatialStats:
     def save(self, path: str, itime: int) -> None:
         extra = {}
         for key in ("grad_sums", "gradx_sums", "p_sums", "triple_sums",
-                    "comp_sums"):
+                    "comp_sums", "reg_sums"):
             v = getattr(self, key)
             if v is not None:
                 extra[key] = v
@@ -456,7 +467,7 @@ class SpatialStats:
             if "pairs" in d else ()
         opt = {k: d[k] if k in d else None
                for k in ("grad_sums", "gradx_sums", "p_sums",
-                         "triple_sums", "comp_sums")}
+                         "triple_sums", "comp_sums", "reg_sums")}
         return cls(names=tuple(str(n) for n in d["names"]), sums=d["sums"],
                    pairs=pairs,
                    pair_sums=d["pair_sums"] if "pair_sums" in d else None,
@@ -467,6 +478,19 @@ class SpatialStats:
         d = np.load(path, allow_pickle=False)
         return cls(names=tuple(str(n) for n in d["names"]),
                    sums=d["sums"], n_samples=int(d["n"]))
+
+
+def register_station_table(stats: "SpatialStats", stations) -> dict:
+    """The full MA_* register table at the x-stations, keyed by station
+    for write_station_budgets: {station: {MA_name: (ny,)}} -- the
+    AVG_FLOW_ZT raw-register output with the reference's names
+    (avgij_map.h)."""
+    if stats.reg_sums is None:
+        return {}
+    from tlab_tpu.stats import spatial_registers as sreg
+    tab = sreg.as_table(stats.reg_sums, stats.n_samples)
+    return {int(ix): {name: v[int(ix)] for name, v in tab.items()}
+            for ix in stations}
 
 
 def write_station_budgets(path: str, x_nodes, y_nodes, tables: dict,

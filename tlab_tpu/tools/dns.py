@@ -862,13 +862,21 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             if spatial_stats is not None and spatial_stats.n_samples:
                 # compressible spatial mode: Favre station tables from the
                 # density-weighted (z,t) sums (avg_flow_zt_reduce.f90)
-                from tlab_tpu.stats.spatial import write_station_budgets
-                tabs = spatial_stats.favre_station_table(
-                    _stations(case, sim.grid.shape[0]))
+                from tlab_tpu.stats.spatial import (
+                    write_station_budgets, register_station_table)
+                sta = _stations(case, sim.grid.shape[0])
+                tabs = spatial_stats.favre_station_table(sta)
                 if tabs:
                     write_station_budgets(
                         os.path.join(outdir, f"avg_zt{itime}"),
                         sim.grid.x.nodes, sim.grid.y.nodes, tabs,
+                        itime, rtime)
+                # the full MA_* register table (avgij_map.h families)
+                rtab = register_station_table(spatial_stats, sta)
+                if rtab:
+                    write_station_budgets(
+                        os.path.join(outdir, f"avgMA_zt{itime}"),
+                        sim.grid.x.nodes, sim.grid.y.nodes, rtab,
                         itime, rtime)
         if case.it_stats > 0 and itime % case.it_stats == 0 and not is_comp:
             write_statistics(sim, state, outdir, itime, rtime,
@@ -977,9 +985,47 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                     vis_ = eos.viscosity(gas, T_)
                 gst = _St(u=u_, v=v_, w=w_,
                           s=_jnp.zeros((0,) + u_.shape, u_.dtype))
+                grads_ = spatial_grads_fn(gst)
+                # full MA_* register base (avgij_map.h): scalar-field
+                # gradients, T Laplacian, stress divergences
+                from tlab_tpu.stats import spatial_registers as sreg
+                P_ = sim.P
+                sg = {}
+                for nm_, fld_ in (("r", state.rho), ("p", p_), ("T", T_)):
+                    for an_, ax_ in (("x", 0), ("y", 1), ("z", 2)):
+                        sg[nm_ + an_] = np.asarray(
+                            dyn._d1(P_, an_, ax_, fld_))
+                tkk_ = (np.asarray(dyn._d1(P_, "x", 0, jnp.asarray(sg["Tx"])))
+                        + np.asarray(dyn._d1(P_, "y", 1, jnp.asarray(sg["Ty"])))
+                        + np.asarray(dyn._d1(P_, "z", 2, jnp.asarray(sg["Tz"]))))
+                grads_np = {k: np.asarray(v_g) for k, v_g in grads_.items()}
+                base = sreg.build_base(
+                    np.asarray(u_), np.asarray(v_), np.asarray(w_),
+                    np.asarray(p_), np.asarray(state.rho), np.asarray(T_),
+                    grads_np, sg,
+                    vis=np.asarray(vis_) if vis_ is not None else None,
+                    visc=sim.nsp.visc,
+                    z1=np.asarray(state.rhos[0] / state.rho)
+                    if (state.rhos is not None and state.rhos.shape[0])
+                    else None,
+                    Tkk=tkk_)
+                # stress-row divergences with the production derivatives
+                base["tauxkk"] = (
+                    np.asarray(dyn._d1(P_, "x", 0, jnp.asarray(base["tauxx"])))
+                    + np.asarray(dyn._d1(P_, "y", 1, jnp.asarray(base["tauxy"])))
+                    + np.asarray(dyn._d1(P_, "z", 2, jnp.asarray(base["tauxz"]))))
+                base["tauykk"] = (
+                    np.asarray(dyn._d1(P_, "x", 0, jnp.asarray(base["tauxy"])))
+                    + np.asarray(dyn._d1(P_, "y", 1, jnp.asarray(base["tauyy"])))
+                    + np.asarray(dyn._d1(P_, "z", 2, jnp.asarray(base["tauyz"]))))
+                base["tauzkk"] = (
+                    np.asarray(dyn._d1(P_, "x", 0, jnp.asarray(base["tauxz"])))
+                    + np.asarray(dyn._d1(P_, "y", 1, jnp.asarray(base["tauyz"])))
+                    + np.asarray(dyn._d1(P_, "z", 2, jnp.asarray(base["tauzz"]))))
                 spatial_stats.accumulate(
-                    flds, grads=spatial_grads_fn(gst), p=p_,
-                    comp_fields={"rho": state.rho, "T": T_, "vis": vis_})
+                    flds, grads=grads_, p=p_,
+                    comp_fields={"rho": state.rho, "T": T_, "vis": vis_},
+                    reg_base=base)
             else:
                 spatial_stats.accumulate(state_fields(state),
                                          grads=spatial_grads_fn(state),
