@@ -34,3 +34,9 @@ if not glob.glob(str(_repo / "tlab_tpu" / "_nrrand*.so")) \
                        check=False, capture_output=True, timeout=120)
     except Exception:
         pass
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long end-to-end reference-case subprocess runs; "
+        "deselect with -m 'not slow' for the quick gate (~5 min)")

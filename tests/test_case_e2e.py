@@ -17,6 +17,8 @@ from tlab_tpu.runtime import Simulation
 from tlab_tpu.tools import dns as dns_tool
 from tlab_tpu.tools.initialize import initial_state
 
+pytestmark = pytest.mark.slow
+
 INI = os.path.join(os.path.dirname(__file__), "data", "case01_small.ini")
 
 

@@ -16,6 +16,8 @@ from tlab_tpu.physics.params import NSParams
 from tlab_tpu.parallel import make_mesh, field_sharding, pencil
 from tlab_tpu.parallel.mesh import scalar_field_sharding
 
+pytestmark = pytest.mark.slow
+
 
 def _setup(nx, ny, nz, dtype=jnp.float32):
     grid = uniform_grid(nx, ny, nz, 2 * np.pi, 1.0, np.pi)

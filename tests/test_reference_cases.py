@@ -15,8 +15,9 @@ import pytest
 REF = "/root/reference/examples"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference examples not mounted")
+pytestmark = [pytest.mark.skipif(not os.path.isdir(REF),
+                                 reason="reference examples not mounted"),
+              pytest.mark.slow]
 
 
 def test_all_example_inis_parse_and_grid():

@@ -270,8 +270,11 @@ def solve_modal(plan_dev: dict, f_hat, alpha: float | jnp.ndarray = 0.0,
     lam = plan_dev["lam_xz"]                      # (nkx, nz)
     shift = plan_dev["shift"]
     lam_eff = lam - alpha                          # (nkx, nz)
-    from tlab_tpu.ops.derivative import op_precision
-    prec = op_precision(jnp.float32 if f_hat.dtype == jnp.complex64 else None)
+    # eigen recombination needs full f32 passes regardless of the
+    # global derivative-precision default (cond(V) amplification)
+    import jax as _jax
+    prec = _jax.lax.Precision.HIGHEST \
+        if f_hat.dtype == jnp.complex64 else None
     # G = W @ f along y
     G = jnp.einsum("ab,kbz->kaz", W.astype(f_hat.dtype), f_hat, precision=prec)
     denom = 1.0 - (lam_eff[:, None, :] - shift) * lam_eig[None, :, None]

@@ -44,6 +44,15 @@ from tlab_tpu.fdm.plan import DerivPlan, FdmPlan
 from tlab_tpu.ops.derivative import op_precision
 
 
+def _ell_precision(is_f32: bool):
+    """The eigen-pencil recombinations carry cond(V) up to ~1e7: the
+    3-pass HIGH mode (the production default for derivatives) amplifies
+    its ~1e-4 pass error into garbage/NaN here, so the elliptic modal
+    einsums always run HIGHEST for f32."""
+    import jax
+    return jax.lax.Precision.HIGHEST if is_f32 else None
+
+
 # ---------------------------------------------------------------------------
 # Int1 pencils (legacy helper kept for the grid builder's cumulative
 # integral, grid.py:101)
@@ -202,7 +211,7 @@ def device_factorize_plan(plan: FactorizePlan, dtype=jnp.float32) -> dict:
 
 def _modal_solve(V, W, dnm, rhs):
     """x = V [(W rhs) / dnm] batched over modes; rhs (nkx, n+1, nz)."""
-    prec = op_precision(jnp.float32 if rhs.dtype == jnp.complex64 else None)
+    prec = _ell_precision(rhs.dtype == jnp.complex64)
     G = jnp.einsum("ab,kbz->kaz", W, rhs.astype(W.dtype), precision=prec)
     G = G / jnp.moveaxis(dnm, 0, 1)
     return jnp.einsum("ab,kbz->kaz", V, G,
@@ -236,7 +245,7 @@ def build_tables(dev: dict, cd=None, kap=None):
     Wmin = jnp.asarray(dev["Wmin"], cd)
     Vmax = jnp.asarray(dev["Vmax"], cd)
     Wmax = jnp.asarray(dev["Wmax"], cd)
-    prec = op_precision(jnp.float32 if cd == jnp.complex64 else None)
+    prec = _ell_precision(cd == jnp.complex64)
     ny = dev["ny"]
 
     def s_col(V, W, dnm, col):
@@ -397,7 +406,7 @@ def solve_modal_factorize(dev: dict, f_hat, gb, gt, tables=None,
     Wmin = jnp.asarray(dev["Wmin"], cd)
     Vmax = jnp.asarray(dev["Vmax"], cd)
     Wmax = jnp.asarray(dev["Wmax"], cd)
-    prec = op_precision(jnp.float32 if cd == jnp.complex64 else None)
+    prec = _ell_precision(cd == jnp.complex64)
 
     em = jnp.moveaxis(tables["em"], 0, 1).astype(cd)       # (nkx,ny,nz)
     v1 = jnp.moveaxis(tables["v1"], 0, 1).astype(cd)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+import jax
 from tlab_tpu.ops.derivative import op_precision
 
 
@@ -65,7 +66,9 @@ def _mm(M, a, axis):
     eins = {0: "ab,bjk->ajk", 2: "ab,ijb->ija"}[axis]
     pref = jnp.float32 if a.dtype in (jnp.bfloat16, jnp.float16) else a.dtype
     return jnp.einsum(eins, M, a, preferred_element_type=pref,
-                      precision=op_precision(a.dtype)).astype(a.dtype)
+                      precision=(jax.lax.Precision.HIGHEST
+                                 if a.dtype == jnp.float32
+                                 else op_precision(a.dtype))).astype(a.dtype)
 
 
 def forward_parts(plan: dict, f):

@@ -126,8 +126,9 @@ def pencil_poisson(plan_dev, f, comm, bcs_b=None, bcs_t=None, d1y=None):
 
     V, W, lam_eig = plan_dev["V"], plan_dev["W"], plan_dev["lam_eig"]
     shift = plan_dev["shift"]
-    from tlab_tpu.ops.derivative import op_precision
-    prec = op_precision(jnp.float32 if fh.dtype == jnp.complex64 else None)
+    # eigen recombination needs full f32 passes (cond(V) amplification)
+    prec = (jax.lax.Precision.HIGHEST
+            if fh.dtype == jnp.complex64 else None)
     G = jnp.einsum("ab,kbz->kaz", W.astype(fh.dtype), fh, precision=prec)
     denom = 1.0 - (lam[:, None, :] - shift) * lam_eig[None, :, None]
     G = G / denom.astype(fh.dtype)
