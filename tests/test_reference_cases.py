@@ -771,11 +771,12 @@ def test_case84_ekman3d_towers_end_to_end(tmp_path):
 def test_compressible_internal_vs_reference_log(tmp_path, case):
     """Case02/04: single-species COMPRESSIBLE shear layer (internal-energy
     + skewsymmetric, RHS_FLOW_GLOBAL_2; Case04 on the two-sided
-    tanh-stretched y grid; VorticityBroadband IC so only tolerance-level
-    agreement is possible).  CFL/visc exact; dt within 2%
-    (acoustic-limited, insensitive to the RNG velocity field at
-    Mach 0.6); the density-weighted diffusion-number ratio D#/dt to 2%;
-    p/rho extrema within 5% of the reference's."""
+    tanh-stretched y grid).  With the reference-exact RNG + factorize IC
+    chain, time/dt/CFL/visc match to print precision and D# to one unit
+    in the last digit; the p/rho extrema (NormalizeP pressure
+    fluctuation) agree to ~1% -- the residual is the DD_Sing pressure
+    solve's high-k content, which also decays our p-extrema slightly
+    faster over the 10 steps."""
     out = str(tmp_path)
     ini = f"{REF}/{case}/tlab.ini"
     for cmd in (["ini"], ["dns"]):
@@ -787,15 +788,14 @@ def test_compressible_internal_vs_reference_log(tmp_path, case):
     ours = _parse_dns_out(os.path.join(out, "dns.out"))
     ref = _parse_dns_out(f"{REF}/{case}/dns.out.ref")
     assert ours.shape[0] == ref.shape[0] == 11
-    assert np.all(np.abs(ours[:, 3] / ref[:, 3] - 1.0) < 0.02)   # dt
+    assert np.allclose(ours[:, 2], ref[:, 2], rtol=1e-5,
+                       atol=1e-12)                               # time
+    assert np.allclose(ours[:, 3], ref[:, 3], rtol=1e-6)         # dt
     assert np.allclose(ours[:, 4], ref[:, 4])                    # CFL
     assert np.allclose(ours[:, 6], ref[:, 6])                    # visc
-    ratio = (ours[:, 5] / ours[:, 3]) / (ref[:, 5] / ref[:, 3])
-    assert np.all(np.abs(ratio - 1.0) < 0.02)                    # D#/dt
-    # p/rho extrema carry the RNG-realization pressure fluctuation
-    # (NormalizeP=1): envelope agreement only
+    assert np.allclose(ours[:, 5], ref[:, 5], rtol=5e-3)         # D#
     for col in (7, 8, 9, 10):       # PMin PMax RMin RMax
-        assert np.all(np.abs(ours[:, col] / ref[:, col] - 1.0) < 0.08), col
+        assert np.all(np.abs(ours[:, col] / ref[:, col] - 1.0) < 0.02), col
 
 
 def test_case14_compressible_airwater_end_to_end(tmp_path):

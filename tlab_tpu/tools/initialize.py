@@ -647,7 +647,9 @@ def compressible_initial_state(sim: Simulation, seed: int | None = None):
                 + 2.0 * dyn._d1(P, "z", 2, rv * st.w)
             rhs = rhs + dyn._d1(P, "y", 1, ty)
             rhs = rhs + dyn._d1(P, "z", 2, dyn._d1(P, "z", 2, rw * st.w))
-            pprime = elliptic.poisson(sim.ell(BC.DD), -rhs)
+            # reference OPR_Poisson ibc=0 = BCS_DD through the factorize
+            # solver (flow_local.f90:600-603)
+            pprime = sim.poisson_ref(BC.DD, -rhs)
             rho = (norm_p * pprime / p / gamma + 1.0) * rho
             p = p + norm_p * pprime
     s = st.s if st.s.shape[0] else None
