@@ -198,17 +198,84 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
         print(f"bench-extra: compressible setup failed: {e!r}",
               file=sys.stderr)
 
-    # stretched y grid + SMR91 semi-implicit diffusion
+    # banded-vs-dense D1 crossover at long lines (VERDICT r2 item 3:
+    # both paths logged on chip)
+    try:
+        from tlab_tpu.ops.pallas_thomas import banded_plan, banded_der1
+        from tlab_tpu.ops.derivative import op_precision
+
+        def _compact(nl):
+            A = np.zeros((nl, nl)); B = np.zeros((nl, nl))
+            i = np.arange(nl)
+            A[i, i] = 1.0
+            A[i[1:], i[:-1]] = 1.0 / 3.0
+            A[i[:-1], i[1:]] = 1.0 / 3.0
+            a_, b_ = 14.0 / 9.0 / 2.0, 1.0 / 9.0 / 4.0
+            for k_, c_ in ((1, a_), (2, b_)):
+                B[i[:-k_], i[:-k_] + k_] = c_
+                B[i[k_:], i[k_:] - k_] = -c_
+            A[0, 1] = 2.0; A[-1, -2] = 2.0
+            B[0, :3] = [-2.5, 2.0, 0.5]; B[-1, -3:] = [-0.5, -2.0, 2.5]
+            return A, B
+
+        nl, m = 4096, 4096
+        A, B = _compact(nl)
+        d1m = jnp.asarray(np.linalg.solve(A, B), dtype)
+        uu = jnp.asarray(np.random.default_rng(1)
+                         .standard_normal((m, nl)), dtype)
+        prec = op_precision(dtype)
+        REPS = 10
+
+        @jax.jit
+        def dense_chain(x):
+            return jax.lax.fori_loop(
+                0, REPS, lambda i, y: jnp.einsum(
+                    "ab,mb->ma", d1m, y, precision=prec) * 1e-3, x)
+
+        bp = banded_plan(A, B, dtype)
+
+        @jax.jit
+        def banded_chain(x):
+            return jax.lax.fori_loop(
+                0, REPS, lambda i, y: banded_der1(bp, y, 1) * 1e-3, x)
+
+        for name, fn in (("dense-D1 N=4096", dense_chain),
+                         ("banded-D1 N=4096 (partitioned)", banded_chain)):
+            out = fn(uu); jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            out = fn(uu); jax.block_until_ready(out)
+            t = (time.perf_counter() - t0) / REPS
+            float(jnp.sum(out))
+            print(f"bench-extra: {name}: {t*1e3:.3f} ms "
+                  f"({m*nl/t/1e9:.2f} Gpt/s)", file=sys.stderr)
+    except Exception as e:
+        print(f"bench-extra: thomas crossover failed: {e!r}",
+              file=sys.stderr)
+
+    # stretched y grid + SMR91 semi-implicit diffusion.  Smaller than the
+    # headline: the implicit Helmholtz plans embed per-mode tables as HLO
+    # constants (axon cannot device_put complex arrays) and the full-size
+    # module exceeds the tunnel's remote-compile payload limit (HTTP 413)
     try:
         from tlab_tpu.dycore import implicit as impl
         from tlab_tpu.ops import elliptic_factorize as fac
-        s = np.linspace(0.0, 1.0, ny)
+        from tlab_tpu.grid import uniform_grid as _ug
+        nxs, nys, nzs = 256, 192, 128
+        s = np.linspace(0.0, 1.0, nys)
         ynodes = s + 0.25 * (1.0 - np.cos(2 * np.pi * s)) / (2 * np.pi)
-        gs = Grid(grid.x, make_axis(ynodes, False), grid.z)
+        gu = _ug(nxs, nys, nzs, 2.0 * np.pi, 1.0, np.pi)
+        gs = Grid(gu.x, make_axis(ynodes, False), gu.z)
         fdms = build_fdm_plan(gs)
         Ps = dyn.build_device_plans(fdms, nsp, bcs, dtype=dtype)
         Ps["ell_fac"] = fac.device_factorize_plan(
             fac.build_factorize_plan(fdms), dtype)
+        from tlab_tpu.dycore.state import State as _State
+        key = jax.random.PRNGKey(1)
+        sts = _State(
+            u=jax.random.normal(key, (nxs, nys, nzs), dtype) * 0.01,
+            v=jnp.zeros((nxs, nys, nzs), dtype),
+            w=jnp.zeros((nxs, nys, nzs), dtype),
+            s=jnp.zeros((1, nxs, nys, nzs), dtype))
 
         @jax.jit
         def impl_n(st):
@@ -216,8 +283,23 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
                 0, n_steps,
                 lambda i, s_: impl.rk_step_implicit(Ps, s_, 5e-4)[0], st)
 
-        time_variant("stretched-y semi-implicit 512x256x256 fp32 SMR91",
-                     impl_n, state0, 3)
+        npts_s = nxs * nys * nzs
+
+        def time_small(name, fn, st, n_sub):
+            out = fn(st); jax.block_until_ready(out)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = fn(st)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            float(jnp.sum(out.u))
+            rate = npts_s / (best / n_steps / n_sub)
+            print(f"bench-extra: {name}: {rate:.3e} pts/s/chip/substep "
+                  f"({rate / baseline:.0f}x baseline)", file=sys.stderr)
+
+        time_small("stretched-y semi-implicit 256x192x128 fp32 SMR91",
+                   impl_n, sts, 3)
     except Exception as e:
         print(f"bench-extra: semi-implicit setup failed: {e!r}",
               file=sys.stderr)

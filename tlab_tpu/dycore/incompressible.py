@@ -126,7 +126,10 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
     # fetched D2H at jit-lowering time, which the axon tunnel cannot do
     nt = np.dtype(jnp.dtype(dtype))
     import os
-    thomas_min_n = int(os.environ.get("TLAB_TPU_THOMAS_MIN_N", "4096"))
+    # banded-vs-dense crossover measured on v5e fp32 m=4096 (dispatch-
+    # amortized): N=1024 banded 1.42 ms vs dense 1.51 ms, N=4096 5.0 vs
+    # 5.7 ms -- the partitioned path wins from ~1k lines
+    thomas_min_n = int(os.environ.get("TLAB_TPU_THOMAS_MIN_N", "2048"))
     for name, plan in (("x", fdm.x), ("y", fdm.y), ("z", fdm.z)):
         if plan.size > 1:
             P[f"d1{name}"] = np.asarray(plan.d1[BC.DD], nt)

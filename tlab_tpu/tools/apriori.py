@@ -62,3 +62,18 @@ def apriori_statistics(P, mats, state, delta: float):
     s3 = _pavg(smag2 ** 3)
     out["Cs2"] = out["EpsSgs"] / (jnp.maximum(s3, 1e-30) * delta ** 2)
     return out
+
+
+def filtered_gradients(P, mats, state):
+    """ParamStructure mode 2 (apriori.f90:296-340): the nine filtered
+    velocity derivatives G(du_i/dx_j) as plane profiles (mean + variance),
+    tagged Ux..Wz as the reference's gradU<it> table."""
+    g = mappings.velocity_gradient(P, state.u, state.v, state.w)
+    out = {}
+    for tag, key in (("Ux", "ux"), ("Uy", "uy"), ("Uz", "uz"),
+                     ("Vx", "vx"), ("Vy", "vy"), ("Vz", "vz"),
+                     ("Wx", "wx"), ("Wy", "wy"), ("Wz", "wz")):
+        f = apply_filter(mats, g[key])
+        out[tag] = _pavg(f)
+        out[tag + "2"] = _pavg(f * f)
+    return out

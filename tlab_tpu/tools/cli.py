@@ -18,7 +18,7 @@ def main(argv=None):
                                         "iniscal", "ini", "inipart", "dns",
                                         "averages", "spectra", "pdfs", "superlayer",
                                         "visuals", "transfields",
-                                        "transgrid"])
+                                        "transgrid", "apriori"])
     ap.add_argument("--ini2", default="",
                     help="target-case ini for transfields remeshing")
     ap.add_argument("--nparticles", type=int, default=10000)
@@ -255,7 +255,8 @@ def main(argv=None):
         print(f"remeshed {its} onto {grid2.shape}")
         return 0
 
-    if args.command in ("averages", "spectra", "pdfs", "superlayer", "visuals"):
+    if args.command in ("averages", "spectra", "pdfs", "superlayer",
+                        "visuals", "apriori"):
         from tlab_tpu.tools import postprocess as pp
         its = [int(t) for t in args.files.split(",") if t]
         if not its:
@@ -307,6 +308,8 @@ def main(argv=None):
             pp.run_pdfs(sim, args.outdir, its)
         elif args.command == "superlayer":
             pp.run_superlayer(sim, args.outdir, its)
+        elif args.command == "apriori":
+            pp.run_apriori(sim, args.outdir, its)
         else:
             pp.run_visuals(sim, args.outdir, its, which=fields)
         print(f"{args.command} done for {its}")

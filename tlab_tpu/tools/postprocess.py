@@ -203,6 +203,42 @@ def run_spectra(sim: Simulation, outdir: str, iterations,
                                            cx[: nx // 2])
 
 
+def run_apriori(sim: Simulation, outdir: str, iterations) -> None:
+    """apriori.x equivalent: [PostProcessing] ParamStructure = 1 (subgrid
+    stress statistics, avgEps<it>-style table) or 2 (filtered velocity
+    derivatives, gradU<it>) using the [Filter] domain filter as the test
+    filter (apriori.f90:156-340)."""
+    from tlab_tpu.tools import apriori as ap
+    ini = getattr(sim.case, "ini", None)
+    pvec = ini.get_floats("PostProcessing", "ParamStructure", (1,)) \
+        if ini is not None else (1,)
+    mode = int(pvec[0]) if pvec else 1
+    mats = sim.filter_matrices()
+    if mats is None:
+        from tlab_tpu.ops.filter import build_filter_matrices
+        import dataclasses as _dc
+        spec = getattr(sim.case, "filter", None)
+        if spec is None or spec.type == "none":
+            # default test filter: top-hat (the reference requires an
+            # active [Filter] block; fall back to compact cutoff)
+            from tlab_tpu.config import FilterSpec
+            spec = FilterSpec(type="compact", parameters=(0.49,),
+                              active=(True, True, True),
+                              bcs=("freeslip", "freeslip"), step=0)
+        mats = build_filter_matrices(sim.fdm, spec, sim.dtype)
+    dx = sim.grid.x.scale / max(sim.grid.x.size, 1)
+    for it in iterations:
+        st, rtime = load_snapshot(sim, outdir, it)
+        if mode == 2:
+            tab = ap.filtered_gradients(sim.P, mats, st)
+            name = f"gradU{it}"
+        else:
+            tab = ap.apriori_statistics(sim.P, mats, st, delta=2.0 * dx)
+            name = f"sgs{it}"
+        averages.write_table(os.path.join(outdir, name),
+                             sim.grid.y.nodes, tab, it, float(rtime))
+
+
 def run_pdfs(sim: Simulation, outdir: str, iterations, nbins=32) -> None:
     """pdfs.x equivalent: [PostProcessing] ParamPdfs = mode, block,
     gate_level, nbins1[, nbins2] (pdfs.f90:130-173); default mode 1
