@@ -126,23 +126,29 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
     # fetched D2H at jit-lowering time, which the axon tunnel cannot do
     nt = np.dtype(jnp.dtype(dtype))
     import os
-    # banded-vs-dense crossover measured on v5e fp32 m=4096 (dispatch-
-    # amortized): N=1024 banded 1.42 ms vs dense 1.51 ms, N=4096 5.0 vs
-    # 5.7 ms -- the partitioned path wins from ~1k lines
+    # banded-vs-dense crossover measured on the chip, fp32, dispatch-
+    # amortized single-D1 m=4096: N=4096 banded 2.88 ms vs dense 4.65 ms
+    # -- but the FUSED [D1;D2] Burgers stack at N=512 is faster dense
+    # (headline 631M pts/s dense vs 482M banded, r3): the one big MXU
+    # matmul beats two slab passes until lines get long.  Both paths
+    # therefore default on only from 2048 lines; tune via the env vars.
     thomas_min_n = int(os.environ.get("TLAB_TPU_THOMAS_MIN_N", "2048"))
+    part_min_n = int(os.environ.get("TLAB_TPU_PARTITION_MIN_N", "2048"))
     for name, plan in (("x", fdm.x), ("y", fdm.y), ("z", fdm.z)):
         if plan.size > 1:
             P[f"d1{name}"] = np.asarray(plan.d1[BC.DD], nt)
             P[f"d12{name}"] = np.asarray(plan.d12[BC.DD], nt)
             P[f"iod{name}"] = np.asarray(1.0 / plan.jac, nt)
+            from tlab_tpu.ops import pallas_thomas as pthomas
             if plan.size >= thomas_min_n and not plan.periodic:
-                # O(N) Thomas backend for very long lines (dense MXU
-                # matmuls win below ~2k, measured; TLAB_TPU_THOMAS_MIN_N
-                # selects the crossover). Periodic lines would need the
-                # Sherman-Morrison corner correction -- dense there.
-                from tlab_tpu.ops import pallas_thomas as pthomas
                 P[f"d1{name}_banded"] = pthomas.banded_plan(
                     plan.A1, plan.B1, dtype)
+            elif plan.size >= part_min_n and plan.periodic \
+                    and plan.uniform:
+                P[f"d1{name}_banded"] = pthomas.banded_plan(
+                    plan.A1, plan.B1, dtype, periodic=True)
+                P[f"d2{name}_banded"] = pthomas.banded_plan(
+                    plan.A2, plan.B2, dtype, periodic=True)
 
     # wall-tendency BC rows along y (meaningless on periodic y)
     def rows_for(pair):
@@ -207,7 +213,9 @@ def _d1(P, axis_name: str, axis: int, a):
     bp = P.get(f"d1{axis_name}_banded")
     if bp is not None and P.get("comm") is None:
         from tlab_tpu.ops.pallas_thomas import banded_der1
-        return banded_der1(bp, a, axis if a.ndim == 3 else axis + 1)
+        # callers always pass the axis index valid for `a` itself
+        # (4-D stacks pass 1/2/3), so no ndim adjustment here
+        return banded_der1(bp, a, axis)
     comm = _axis_comm(P, axis_name)
     if comm is not None:
         from tlab_tpu.parallel import pencil
@@ -264,6 +272,30 @@ def _apply_wall_rows(h, rows):
 # RHS of one substep (explicit, combined formulation)
 # ---------------------------------------------------------------------------
 
+
+def _d12_apply(P, axis_name: str, axis: int, arr, pref, prec):
+    """(d1 arr, d2 arr) along axis+1 of a 4-D stack: the partitioned
+    circulant plans when present (periodic long lines -- 2(L+2b) instead
+    of 2N flops/point), else one fused dense [D1;D2] matmul."""
+    b1 = P.get(f"d1{axis_name}_banded")
+    b2 = P.get(f"d2{axis_name}_banded")
+    if b1 is not None and b2 is not None and b1.get("periodic"):
+        from tlab_tpu.ops.pallas_thomas import banded_der1
+        return (banded_der1(b1, arr, axis + 1),
+                banded_der1(b2, arr, axis + 1))
+    d12 = P[f"d12{axis_name}"]
+    n = arr.shape[axis + 1]
+    eins = {0: "ab,fbjk->fajk", 1: "ab,fibk->fiak",
+            2: "ab,fijb->fija"}[axis]
+    both = jnp.einsum(eins, d12, arr, preferred_element_type=pref,
+                      precision=prec).astype(arr.dtype)
+    sl1 = [slice(None)] * 4
+    sl2 = [slice(None)] * 4
+    sl1[axis + 1] = slice(0, n)
+    sl2[axis + 1] = slice(n, 2 * n)
+    return both[tuple(sl1)], both[tuple(sl2)]
+
+
 def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
     """Fused Burgers for ALL prognostic fields along one direction.
 
@@ -318,12 +350,11 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
     if form in ("divergence", "skewsymmetric"):
         F = fields_t.shape[0]
         big = jnp.concatenate([fields_t, conv_t[None] * fields_t], axis=0)
-        both = jnp.einsum(eins, d12, big, preferred_element_type=pref,
-                          precision=op_precision(fields.dtype)
-                          ).astype(fields.dtype)
-        da = both[:F][tuple(sl1)]
-        d2a = both[:F][tuple(sl2)]
-        dprod = both[F:][tuple(sl1)]
+        dall, d2all = _d12_apply(P, axis_name, axis, big, pref,
+                                 op_precision(fields.dtype))
+        da = dall[:F]
+        d2a = d2all[:F]
+        dprod = dall[F:]
         if form == "divergence":
             adv = dprod
         else:
@@ -336,9 +367,8 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
             res = pencil.cast_on_wire(pencil.SCATTER[axis_name], res, 1,
                                       wire)
         return res
-    both = jnp.einsum(eins, d12, fields_t, preferred_element_type=pref,
-                      precision=op_precision(fields.dtype)).astype(fields.dtype)
-    da, d2a = both[tuple(sl1)], both[tuple(sl2)]
+    da, d2a = _d12_apply(P, axis_name, axis, fields_t, pref,
+                         op_precision(fields.dtype))
     ane = P.get("anelastic")
     if ane is not None:
         # mu-constant anelastic diffusion: nu_eff = nu / rho_bar(y); y stays

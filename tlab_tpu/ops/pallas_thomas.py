@@ -113,13 +113,16 @@ def device_factors(a, b, c, dtype=jnp.float32):
 # Cf. Wang 1981 partition method; PAPERS.md PaScaL_TDMA.
 # ---------------------------------------------------------------------------
 
-def partitioned_plan(A: np.ndarray, L: int = 128, dtype=jnp.float32):
+def partitioned_plan(A: np.ndarray, L: int = 128, dtype=jnp.float32,
+                     periodic: bool = False):
     """Host-side substructuring of a shared (quasi-)tridiagonal A.
 
     A may carry arbitrary boundary ROWS (the compact schemes' biased
     rows live inside the first/last segment blocks); only the
     off-segment couplings must be the single sub/superdiagonal elements,
-    true for tridiagonal A away from the wall rows."""
+    true for tridiagonal A away from the wall rows.  periodic=True adds
+    the circulant corner couplings A[0, n-1]/A[n-1, 0] (the
+    Sherman-Morrison analog lives in the interface system for free)."""
     A = np.asarray(A, np.float64)
     n = A.shape[0]
     if n % L:
@@ -144,22 +147,29 @@ def partitioned_plan(A: np.ndarray, L: int = 128, dtype=jnp.float32):
         if s < S - 1:
             c_edge = A[(s + 1) * L - 1, (s + 1) * L]  # coupling to next
             xR[s] = Tinv[s, :, L - 1] * c_edge
+    if periodic:
+        # wrap couplings: segment 0 first row <- u[n-1]; last segment's
+        # last row <- u[0]
+        xL[0] = Tinv[0, :, 0] * A[0, n - 1]
+        xR[S - 1] = Tinv[S - 1, :, L - 1] * A[n - 1, 0]
 
     # interface system M z = v_edges over z = [u_s[0], u_s[L-1]]_s
     M = np.eye(2 * S)
     for s in range(S):
         i0, i1 = 2 * s, 2 * s + 1
-        if s > 0:
-            M[i0, 2 * (s - 1) + 1] += xL[s, 0]
-            M[i1, 2 * (s - 1) + 1] += xL[s, L - 1]
-        if s < S - 1:
-            M[i0, 2 * (s + 1)] += xR[s, 0]
-            M[i1, 2 * (s + 1)] += xR[s, L - 1]
+        sp_ = (s - 1) % S if periodic else s - 1
+        sn_ = (s + 1) % S if periodic else s + 1
+        if s > 0 or periodic:
+            M[i0, 2 * sp_ + 1] += xL[s, 0]
+            M[i1, 2 * sp_ + 1] += xL[s, L - 1]
+        if s < S - 1 or periodic:
+            M[i0, 2 * sn_] += xR[s, 0]
+            M[i1, 2 * sn_] += xR[s, L - 1]
     Minv = np.linalg.inv(M)
     nt = np.dtype(jnp.dtype(dtype))
     return {"Tinv": np.asarray(Tinv, nt), "xL": np.asarray(xL, nt),
             "xR": np.asarray(xR, nt), "Minv": np.asarray(Minv, nt),
-            "S": S, "L": L, "n": n}
+            "S": S, "L": L, "n": n, "periodic": bool(periodic)}
 
 
 def partitioned_solve(plan: dict, rhs):
@@ -177,10 +187,14 @@ def partitioned_solve(plan: dict, rhs):
     z = jnp.einsum("ab,mb->ma", jnp.asarray(plan["Minv"]), v_edges,
                    precision=prec).reshape(m, S, 2)
     # corrections: u_s = v_s - xL_s z_{s-1,last} - xR_s z_{s+1,first}
-    zprev = jnp.concatenate([jnp.zeros((m, 1), z.dtype), z[:, :-1, 1]],
-                            axis=1)                       # (m, S)
-    znext = jnp.concatenate([z[:, 1:, 0], jnp.zeros((m, 1), z.dtype)],
-                            axis=1)
+    if plan.get("periodic"):
+        zprev = jnp.roll(z[:, :, 1], 1, axis=1)
+        znext = jnp.roll(z[:, :, 0], -1, axis=1)
+    else:
+        zprev = jnp.concatenate([jnp.zeros((m, 1), z.dtype), z[:, :-1, 1]],
+                                axis=1)                   # (m, S)
+        znext = jnp.concatenate([z[:, 1:, 0], jnp.zeros((m, 1), z.dtype)],
+                                axis=1)
     u = v - jnp.asarray(plan["xL"])[None] * zprev[:, :, None] \
         - jnp.asarray(plan["xR"])[None] * znext[:, :, None]
     return u.reshape(m, n)
@@ -194,38 +208,43 @@ def partitioned_solve(plan: dict, rhs):
 # ---------------------------------------------------------------------------
 
 def banded_plan(A1: np.ndarray, B1: np.ndarray, dtype=jnp.float32,
-                band: int = 8, seg: int = 128):
+                band: int = 8, seg: int = 128, periodic: bool = False):
     """Fused substructured derivative: per segment s the stage-1 result
     of the partitioned solve of A with rhs = B u is
 
         v_s = (Tinv_s @ B[rows_s, slab_s]) u[slab_s]
 
     with slab_s = [sL - band, (s+1)L + band) (B is banded; boundary
-    biased rows live inside the first/last slab).  One matmul pass total
-    -- flops/point 2(L + 2 band) instead of the dense path's 2N."""
+    biased rows live inside the first/last slab -- or wrap around for
+    periodic/circulant schemes).  One matmul pass total -- flops/point
+    2(L + 2 band) instead of the dense path's 2N."""
     A1 = np.asarray(A1, np.float64)
     B1 = np.asarray(B1, np.float64)
     n = A1.shape[0]
-    part = partitioned_plan(A1, L=seg, dtype=dtype)
+    part = partitioned_plan(A1, L=seg, dtype=dtype, periodic=periodic)
     S, L = part["S"], part["L"]
     pad = band
     W = L + 2 * pad
-    # validate that B is within the slab bandwidth everywhere
-    Bp = np.zeros((n, n + 2 * pad))
-    Bp[:, pad:pad + n] = B1
     F = np.zeros((S, L, W))
     Tinv = np.asarray(part["Tinv"], np.float64)
     for s in range(S):
-        rows = slice(s * L, (s + 1) * L)
-        cols = slice(s * L, s * L + W)            # in padded coordinates
-        blk = Bp[rows, cols]
-        out_of_slab = np.abs(Bp[rows]).sum() - np.abs(blk).sum()
-        if out_of_slab > 1e-12:
+        rows = np.arange(s * L, (s + 1) * L)
+        g0 = s * L - pad                          # slab's first column
+        blk = np.zeros((L, W))
+        placed = 0.0
+        for rl, r in enumerate(rows):
+            for c in np.nonzero(B1[r])[0]:
+                d = (c - g0) % n if periodic else c - g0
+                if 0 <= d < W:
+                    blk[rl, d] += B1[r, c]
+                    placed += abs(B1[r, c])
+        total = np.abs(B1[rows]).sum()
+        if total - placed > 1e-9 * max(total, 1.0):
             raise ValueError("B bandwidth exceeds the slab pad")
         F[s] = Tinv[s] @ blk
     nt = np.dtype(jnp.dtype(dtype))
     return {"part": part, "F": np.asarray(F, nt), "pad": pad,
-            "n": n, "band": band}
+            "n": n, "band": band, "periodic": bool(periodic)}
 
 
 def banded_der1(plan: dict, u, axis: int):
@@ -240,7 +259,10 @@ def banded_der1(plan: dict, u, axis: int):
     m = u2.shape[0]
     prec = op_precision(u2.dtype)
 
-    up = jnp.pad(u2, ((0, 0), (pad, pad)))
+    if plan.get("periodic"):
+        up = jnp.concatenate([u2[:, -pad:], u2, u2[:, :pad]], axis=1)
+    else:
+        up = jnp.pad(u2, ((0, 0), (pad, pad)))
     slabs = jnp.stack([up[:, s * L:s * L + L + 2 * pad] for s in range(S)],
                       axis=1)                      # (m, S, L+2p)
     v = jnp.einsum("slw,msw->msl", jnp.asarray(plan["F"]), slabs,
@@ -250,10 +272,14 @@ def banded_der1(plan: dict, u, axis: int):
                         axis=2).reshape(m, 2 * S)
     z = jnp.einsum("ab,mb->ma", jnp.asarray(part["Minv"]), v_edges,
                    precision=prec).reshape(m, S, 2)
-    zprev = jnp.concatenate([jnp.zeros((m, 1), z.dtype), z[:, :-1, 1]],
-                            axis=1)
-    znext = jnp.concatenate([z[:, 1:, 0], jnp.zeros((m, 1), z.dtype)],
-                            axis=1)
+    if part.get("periodic"):
+        zprev = jnp.roll(z[:, :, 1], 1, axis=1)
+        znext = jnp.roll(z[:, :, 0], -1, axis=1)
+    else:
+        zprev = jnp.concatenate([jnp.zeros((m, 1), z.dtype), z[:, :-1, 1]],
+                                axis=1)
+        znext = jnp.concatenate([z[:, 1:, 0], jnp.zeros((m, 1), z.dtype)],
+                                axis=1)
     out = v - jnp.asarray(part["xL"])[None] * zprev[:, :, None] \
         - jnp.asarray(part["xR"])[None] * znext[:, :, None]
     return jnp.moveaxis(out.reshape(*lead, n), -1, axis)
