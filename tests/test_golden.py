@@ -1,7 +1,10 @@
 """Self-golden regression: a fixed deterministic case must reproduce the
 recorded f64 statistics exactly (to tight tolerance) across refactors.
-Generated 2026-08-17 (round 1) on the CPU float64 path; any legitimate
-numerics change must regenerate these values deliberately."""
+Generated 2026-08-17 (round 1) on the CPU float64 path; regenerated
+2026-08-19 (round 3) after the reference-exact factorized elliptic swap
+(validated digit-exact against the reference's own dns.out on Case01).
+Any legitimate numerics change must regenerate these values
+deliberately."""
 import numpy as np
 import jax.numpy as jnp
 
@@ -63,10 +66,10 @@ scales_1=2.0
 """
 
 GOLDEN = {
-    'u_mean': -2.5604283855856387e-10, 'u_var': 0.20132195413770695,
-    'v_var': 3.3777512261666786e-05, 's_mean': -8.131766864810035e-15,
-    'u_probe': -0.018917006298662706, 'v_probe': 0.004876271375601671,
-    's_probe': -0.4963587083108184,
+    'u_mean': -2.55902874199718e-10, 'u_var': 0.20132193572283633,
+    'v_var': 3.376000578246628e-05, 's_mean': 2.8655147839298927e-13,
+    'u_probe': -0.0189268607193951, 'v_probe': 0.004875546004178572,
+    's_probe': -0.49635871276097443,
 }
 
 

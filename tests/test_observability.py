@@ -292,3 +292,32 @@ def test_profiling_and_watchdog(tmp_path):
     dns_tool.run(sim, U, outdir=out, n_steps=4)
     err = open(os.path.join(out, "tlab.err")).read()
     assert "walltime" in err.lower()
+
+
+def test_apriori_tool_modes(tmp_path):
+    """apriori.x equivalent: ParamStructure=1 writes the subgrid-stress
+    table sgs<it> (Ksgs/EpsSgs/Cs2), ParamStructure=2 the filtered
+    velocity-gradient table gradU<it> (apriori.f90:156-340), both from
+    restart files through the CLI menu path."""
+    from tlab_tpu.stats import averages as avg
+    from tlab_tpu.tools import postprocess as pp
+    out = str(tmp_path)
+    sim, st = _mk_inc(tmp_path, iter_extra="Restart=2")
+    dns_tool.run(sim, st, outdir=out, n_steps=2)
+    pp.run_apriori(sim, out, [2])              # default mode 1
+    tab = avg.read_table(os.path.join(out, "sgs2"))
+    assert {"Ksgs", "EpsSgs", "Cs2"} <= set(tab)
+    # compact-cutoff test filter is not positive-definite, so Ksgs may
+    # carry round-off-scale negatives; require finite + bounded only
+    assert np.all(np.isfinite(tab["Ksgs"]))
+    assert np.max(np.abs(tab["Ksgs"])) < 1.0
+
+    sim2 = Simulation.from_case(load_case(Ini(text=INC_SMALL.format(
+        control_extra="", iter_extra="",
+        extra="[PostProcessing]\nParamStructure=2\n"))))
+    pp.run_apriori(sim2, out, [2])
+    tab2 = avg.read_table(os.path.join(out, "gradU2"))
+    assert "Ux" in tab2 and "Wz2" in tab2
+    assert np.all(np.isfinite(tab2["Uy"]))
+    # filtered-gradient variance is non-negative by construction
+    assert np.all(tab2["Uy2"] >= -1e-12)

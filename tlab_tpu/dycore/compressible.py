@@ -157,13 +157,12 @@ def _d12_stack(P, axis_name: str, axis: int, stack):
 
 
 def _apply_visc_bc(P, dx2, dy2, dz2):
-    """[BoundaryConditions] ViscousI/J/K treatment of the second
-    derivatives in the (u, v, w, T/h) stack (reference bcs_inf/bcs_out
-    routing, rhs_flow_global_2.f90:250-290,347 + dns_read_local.f90:
-    564-580): 'outflow' zeroes the TANGENTIAL laps and the conduction
-    term at both boundary rows of that direction (bcs_out); 'inflow'
-    zeroes those at the max side and the DIAGONAL (normal-component)
-    lap at the min side (bcs_inf)."""
+    """[BoundaryConditions] ViscousI/J/K row zeroing.  NOTE: in the
+    CURRENT reference this flag is a legacy NO-OP (dns_read_local.f90
+    writes column 2 of bcs_inf/bcs_out but opr_partial.f90:91 only reads
+    column 1, and FDM_Der2_Solve takes no bc flag), so P['visc_bc'] is
+    never populated by the runtime and this returns unchanged; kept for
+    older-reference semantics behind an explicit plan entry."""
     vb = P.get("visc_bc")
     if not vb:
         return dx2, dy2, dz2
@@ -702,10 +701,16 @@ def rk_step_compressible(P, U: CompState, dtime, gamma: float, mach: float,
     return U
 
 
-def acoustic_cfl_max(P, U: CompState, gamma: float, mach: float, mix=None):
+def acoustic_cfl_max(P, U: CompState, gamma: float, mach: float, mix=None,
+                     energy: str = "total"):
     """max((|u|+c)/dx + ...) with c the sound speed (reference TIME_COURANT
-    compressible branch)."""
-    u, v, w, T, p = primitive(P, U, gamma, mach, mix=mix)
+    compressible branch).  `energy` must match the formulation the rhoE
+    slot is stored in, else c is ke-contaminated (the reference derives
+    p once per step from the matching conservative set, time.f90:429)."""
+    if energy == "internal":
+        u, v, w, T, p = primitive_internal(P, U, gamma, mach, mix=mix)
+    else:
+        u, v, w, T, p = primitive(P, U, gamma, mach, mix=mix)
     if mix is not None and U.rhos is not None:
         # c = sqrt(gama0 p/rho): the reference courant uses the CONSTANT
         # gama0 with the mixture pressure (time.f90:429)
@@ -723,7 +728,11 @@ def acoustic_cfl_max(P, U: CompState, gamma: float, mach: float, mix=None):
 
 
 def from_primitive(rho, u, v, w, T, gamma: float, mach: float,
-                   s=None, mix=None) -> CompState:
+                   s=None, mix=None, energy: str = "total") -> CompState:
+    """Conservative state from primitives.  `energy` selects the
+    formulation the 5th field is stored in: 'total' rho(e + ke) for
+    DNS_EQNS_TOTAL, 'internal' rho e for DNS_EQNS_INTERNAL (the
+    reference's conservative arrays differ the same way, dns_main)."""
     if mix is not None and s is not None:
         from tlab_tpu.physics import mixtures as mx
         Y = jnp.concatenate([s, (1.0 - jnp.sum(s, axis=0))[None]], axis=0)
@@ -733,7 +742,7 @@ def from_primitive(rho, u, v, w, T, gamma: float, mach: float,
         e = e_nd / ((g0 - 1.0) * mach ** 2)
     else:
         e = T / (gamma * (gamma - 1.0) * mach ** 2)
-    ke = 0.5 * (u * u + v * v + w * w)
+    ke = 0.5 * (u * u + v * v + w * w) if energy == "total" else 0.0
     return CompState(rho=rho, rhou=rho * u, rhov=rho * v, rhow=rho * w,
                      rhoE=rho * (e + ke),
                      rhos=rho[None] * s if s is not None else None)

@@ -164,7 +164,14 @@ def build_factorize_plan(fdm: FdmPlan, shift: float = 1.0,
         else:
             i_sing = [0] + ([nx // 2] if nkx > nx // 2 else [])
             k_sing = [0] + ([nz // 2] if nz > 1 else [])
-            sing_idx = tuple((i, k) for i in i_sing for k in k_sing)
+            # the reference index set {0, n/2} assumes EVEN grids, where
+            # the compact scheme's modified wavenumber vanishes exactly
+            # at Nyquist; on odd axes n//2 is a regular mode and the
+            # singular override would corrupt (then blow up) the
+            # projection -- keep only modes whose kappa is truly ~0
+            tol = 1e-8 * max(kappa.max(), 1.0)
+            sing_idx = tuple((i, k) for i in i_sing for k in k_sing
+                             if kappa[i, k] < tol)
     sing = np.zeros((nkx, nzm), bool)
     for (i, k) in sing_idx:
         sing[i, k] = True

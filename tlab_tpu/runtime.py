@@ -448,27 +448,13 @@ class Simulation:
                                        with_elliptic=False,
                                        wall_refs=wall_refs)
             P["y_periodic"] = grid.y.periodic
-            # [BoundaryConditions] ViscousI/J/K: boundary treatment of
-            # the viscous second derivatives (bcs_inf/bcs_out routing,
-            # dns_read_local.f90:564-580 + OPR_Partial "if 1, set to
-            # zero"): outflow zeroes the bcs_out-routed terms
-            # (cross/tangential laps + conduction) at BOTH sides;
-            # inflow additionally zeroes the bcs_inf-routed DIAGONAL
-            # lap at the min side. Applied component-wise inside
-            # _visc_terms via P['visc_bc'].
-            ini0 = getattr(case, "ini", None)
-            vkey = {"x": "ViscousI", "y": "ViscousJ", "z": "ViscousK"}
-            visc_bc = {}
-            for axn, per in (("x", grid.x.periodic), ("y", grid.y.periodic),
-                             ("z", grid.z.periodic)):
-                if per or ini0 is None:
-                    continue
-                kind = ini0.get("BoundaryConditions", vkey[axn],
-                                "none").lower()
-                if kind in ("outflow", "inflow"):
-                    visc_bc[axn] = kind
-            if visc_bc:
-                P["visc_bc"] = visc_bc
+            # [BoundaryConditions] ViscousI/J/K are ACCEPTED but inert,
+            # exactly like the current reference: dns_read_local.f90
+            # maps them into column 2 of bcs_inf/bcs_out, but
+            # OPR_Partial only ever reads column 1 (opr_partial.f90:91,
+            # ibc = bcs(1,1)+bcs(2,1)*2) and FDM_Der2_Solve takes no bc
+            # flag at all -- a legacy no-op.  (Verified on Case02: row
+            # zeroing on vs off is bit-identical through NSCBC.)
             nscbc = None
             vb = case.velocity_bc
             if any(k in ("outflow", "inflow") for k in vb):

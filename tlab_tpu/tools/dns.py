@@ -138,7 +138,8 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             @jax.jit
             def _comp_diag(U):
                 cfl = comp_mod.acoustic_cfl_max(P, U, c["gamma"],
-                                                c["mach"], mix=mix)
+                                                c["mach"], mix=mix,
+                                                energy=c["energy"])
                 p_f = _prim(U)[4]
                 return p_f, cfl, _diag(U, p_f, None)
 
@@ -150,7 +151,8 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             @jax.jit
             def cfl_only(U):
                 cfl = comp_mod.acoustic_cfl_max(P, U, c["gamma"],
-                                                c["mach"], mix=mix)
+                                                c["mach"], mix=mix,
+                                                energy=c["energy"])
                 return cfl, _diag(U, _prim(U)[4], None)
 
             return step, cfl_only
@@ -183,7 +185,8 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
                     mix=mix, gvec=c.get("gvec", (0.0, 0.0, 0.0)),
                     buffer=c.get("buffer"))
                 cfl = comp_mod.acoustic_cfl_max(P, new_U, c["gamma"],
-                                                c["mach"], mix=mix)
+                                                c["mach"], mix=mix,
+                                                energy=c["energy"])
                 prim = (comp_mod.primitive(P, new_U, c["gamma"], c["mach"],
                                            mix=mix)
                         if c["energy"] == "total"
@@ -196,7 +199,8 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             def cfl_only(U):
                 mix = c.get("mixture")
                 cfl = comp_mod.acoustic_cfl_max(P, U, c["gamma"],
-                                                c["mach"], mix=mix)
+                                                c["mach"], mix=mix,
+                                                energy=c["energy"])
                 prim = (comp_mod.primitive(P, U, c["gamma"], c["mach"],
                                            mix=mix)
                         if c["energy"] == "total"

@@ -662,5 +662,9 @@ def compressible_initial_state(sim: Simulation, seed: int | None = None):
     else:
         T = gamma * mach ** 2 * p / rho
         mix = None
+    # the conservative energy field matches the SOLVER formulation:
+    # rho e for Equations=internal, rho(e + ke) for total (the restart
+    # is interpreted by the dns driver accordingly)
     return from_primitive(rho, st.u, st.v, st.w, T,
-                          gamma, mach, s=s, mix=mix)
+                          gamma, mach, s=s, mix=mix,
+                          energy=sim.comp.get("energy", "total"))

@@ -215,16 +215,14 @@ def run_apriori(sim: Simulation, outdir: str, iterations) -> None:
     mode = int(pvec[0]) if pvec else 1
     mats = sim.filter_matrices()
     if mats is None:
-        from tlab_tpu.ops.filter import build_filter_matrices
-        import dataclasses as _dc
+        from tlab_tpu.ops.filter import FilterSpec, build_filter_matrices
         spec = getattr(sim.case, "filter", None)
         if spec is None or spec.type == "none":
-            # default test filter: top-hat (the reference requires an
-            # active [Filter] block; fall back to compact cutoff)
-            from tlab_tpu.config import FilterSpec
+            # default test filter when no [Filter] block is active
+            # (the reference apriori.x requires one; we fall back to the
+            # compact cutoff filter)
             spec = FilterSpec(type="compact", parameters=(0.49,),
-                              active=(True, True, True),
-                              bcs=("freeslip", "freeslip"), step=0)
+                              active=(True, True, True), step=0)
         mats = build_filter_matrices(sim.fdm, spec, sim.dtype)
     dx = sim.grid.x.scale / max(sim.grid.x.size, 1)
     for it in iterations:
