@@ -305,6 +305,10 @@ def test_apriori_tool_modes(tmp_path):
     sim, st = _mk_inc(tmp_path, iter_extra="Restart=2")
     dns_tool.run(sim, st, outdir=out, n_steps=2)
     pp.run_apriori(sim, out, [2])              # default mode 1
+    # reference tau<it> table (apriori.f90 AVG_N_XZ tags)
+    ttab = avg.read_table(os.path.join(out, "tau2"))
+    assert {"Tauxx", "Tauyy", "Tauzz", "Tauxy", "Tauxz", "Tauyz"} <= set(ttab)
+    assert np.all(np.isfinite(ttab["Tauxy"]))
     tab = avg.read_table(os.path.join(out, "sgs2"))
     assert {"Ksgs", "EpsSgs", "Cs2"} <= set(tab)
     # compact-cutoff test filter is not positive-definite, so Ksgs may

@@ -38,6 +38,11 @@ def main(argv=None):
                     help="force the CPU backend (env JAX_PLATFORMS is "
                          "overridden by the TPU sitecustomize; this uses "
                          "jax.config which is not)")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="trap the first NaN/Inf produced by any jit "
+                         "computation with a traceback (the reference's "
+                         "debug-build FPE trap, config/*.cmake "
+                         "-ffpe-trap); also [Main] DebugNans=yes")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--files", default="",
                     help="comma-separated snapshot iterations for postprocessing")
@@ -65,6 +70,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from tlab_tpu.config import load_case
     from tlab_tpu.runtime import Simulation, grid_from_case
@@ -95,6 +102,10 @@ def main(argv=None):
 
 
     case = load_case(args.ini)
+    ini0 = getattr(case, "ini", None)
+    if ini0 is not None and ini0.get("Main", "DebugNans",
+                                     "no").lower() in ("yes", "true"):
+        jax.config.update("jax_debug_nans", True)
     os.makedirs(args.outdir, exist_ok=True)
     from tlab_tpu.utils import trace
     trace.maybe_init(case, args.outdir)

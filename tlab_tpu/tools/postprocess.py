@@ -231,6 +231,17 @@ def run_apriori(sim: Simulation, outdir: str, iterations) -> None:
             tab = ap.filtered_gradients(sim.P, mats, st)
             name = f"gradU{it}"
         else:
+            # reference tau<it> table: plane profiles of the six subgrid
+            # stresses tagged Tauxx..Tauyz (apriori.f90:248-295 AVG_N_XZ)
+            tau, _ = ap.subgrid_stress(mats, st.u, st.v, st.w)
+            from tlab_tpu.stats.averages import _pavg
+            tab = {"Tau" + a + b: _pavg(tau[k]) for k, (a, b) in
+                   (("uu", "xx"), ("vv", "yy"), ("ww", "zz"),
+                    ("uv", "xy"), ("uw", "xz"), ("vw", "yz"))}
+            averages.write_table(os.path.join(outdir, f"tau{it}"),
+                                 sim.grid.y.nodes, tab, it, float(rtime))
+            # extra diagnostics (Smagorinsky-coefficient study) kept in a
+            # side table
             tab = ap.apriori_statistics(sim.P, mats, st, delta=2.0 * dx)
             name = f"sgs{it}"
         averages.write_table(os.path.join(outdir, name),
