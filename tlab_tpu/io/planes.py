@@ -32,13 +32,23 @@ def extract_plane(field: np.ndarray, spec: PlaneSpec) -> np.ndarray:
 def write_planes(outdir: str, itime: int, state, specs,
                  pressure=None) -> None:
     """Reference planesI/J/K.<it> subarray files: every plane set carries
-    flow + scalars + PRESSURE (planes.f90 PLANES_INITIALIZE var count)."""
-    fields = [np.asarray(state.u), np.asarray(state.v), np.asarray(state.w)]
-    fields += [np.asarray(state.s[i]) for i in range(state.s.shape[0])]
+    flow + scalars + PRESSURE (planes.f90 PLANES_INITIALIZE var count).
+
+    Plane slices are taken DEVICE-SIDE (jnp.take on the possibly-sharded
+    arrays) so a mesh run fetches only the planes, never the full
+    fields, across the host boundary."""
+    import jax.numpy as jnp
+    fields = [state.u, state.v, state.w]
+    fields += [state.s[i] for i in range(state.s.shape[0])]
     if pressure is not None:
-        fields.append(np.asarray(pressure))
+        fields.append(pressure)
     for spec in specs:
-        rf.write_planes_file(outdir, itime, spec.axis, fields, spec.indices)
+        ax = {"i": 0, "j": 1, "k": 2}[spec.axis]
+        idx = jnp.asarray(list(spec.indices))
+        small = [np.asarray(jnp.take(jnp.asarray(f), idx, axis=ax))
+                 for f in fields]
+        rf.write_planes_file(outdir, itime, spec.axis, small,
+                             range(len(spec.indices)))
 
 
 @dataclasses.dataclass
@@ -52,23 +62,19 @@ class TowerAccumulator:
     buffer: list = dataclasses.field(default_factory=list)
 
     def accumulate(self, itime: int, rtime: float, state, pressure=None):
+        """Strided columns + horizontal means, reduced DEVICE-SIDE so a
+        sharded run moves only the tower columns to host each step (the
+        per-step full-field D2H was the reference tower module's cost
+        too, dns_tower.f90 -- here the slice/mean stay on the mesh)."""
         si, sj, sk = self.stride[:3]
-        cols = {}
-        cols[1] = np.asarray(state.u)[::si, ::sj, ::sk].copy()
-        cols[2] = np.asarray(state.v)[::si, ::sj, ::sk].copy()
-        cols[3] = np.asarray(state.w)[::si, ::sj, ::sk].copy()
+        ordered = [(1, state.u), (2, state.v), (3, state.w)]
         if pressure is not None:
-            cols[4] = np.asarray(pressure)[::si, ::sj, ::sk].copy()
+            ordered.append((4, pressure))
         if state.s.shape[0]:
-            cols[5] = np.asarray(state.s[0])[::si, ::sj, ::sk].copy()
-        means = {}
-        means[1] = np.asarray(state.u)[:, ::sj, :].mean(axis=(0, 2))
-        means[2] = np.asarray(state.v)[:, ::sj, :].mean(axis=(0, 2))
-        means[3] = np.asarray(state.w)[:, ::sj, :].mean(axis=(0, 2))
-        if pressure is not None:
-            means[4] = np.asarray(pressure)[:, ::sj, :].mean(axis=(0, 2))
-        if state.s.shape[0]:
-            means[5] = np.asarray(state.s[0])[:, ::sj, :].mean(axis=(0, 2))
+            ordered.append((5, state.s[0]))
+        cols = {k: np.asarray(f[::si, ::sj, ::sk]) for k, f in ordered}
+        means = {k: np.asarray(f[:, ::sj, :].mean(axis=(0, 2)))
+                 for k, f in ordered}
         self.buffer.append((itime, rtime, cols, means))
         self._nx = state.u.shape[0]
         self._nz = state.u.shape[2]
