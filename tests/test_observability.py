@@ -325,3 +325,35 @@ def test_apriori_tool_modes(tmp_path):
     assert np.all(np.isfinite(tab2["Uy"]))
     # filtered-gradient variance is non-negative by construction
     assert np.all(tab2["Uy2"] >= -1e-12)
+
+
+def test_nc_converters(tmp_path):
+    """planes2nc/tower2nc/stats2nc (the reference's Planes2nc.py,
+    tower2nc.py, stats2nc.py script analogs): reference binaries ->
+    NetCDF with coordinates, values matching the raw readers."""
+    from scipy.io import netcdf_file
+    from tlab_tpu.io import reference_formats as rf
+    from tlab_tpu.tools import convert, postprocess as pp
+    out = str(tmp_path)
+    sim, st = _mk_inc(tmp_path, iter_extra="SavePlanes=2\nRestart=4",
+                      extra="[SavePlanes]\nPlanesJ=7,15\n"
+                            "[SaveTowers]\nStride=8,2,1\n")
+    dns_tool.run(sim, st, outdir=out, n_steps=4)
+    ncp = convert.planes_to_nc(sim, out, [2, 4])
+    assert len(ncp) == 2
+    with netcdf_file(ncp[0], "r", mmap=False) as f:
+        vx = np.array(f.variables["VelocityX"][:])
+        assert vx.shape == (2,) + (sim.grid.shape[0], sim.grid.shape[2])
+    raw = rf.read_planes_file(os.path.join(out, "planesJ.2"), "j",
+                              sim.grid.shape, 5, 2)
+    assert np.allclose(raw[0], vx)
+    nct = convert.towers_to_nc(sim, out)
+    with netcdf_file(nct, "r", mmap=False) as f:
+        u = np.array(f.variables["VelocityX"][:])
+        y = np.array(f.variables["y"][:])
+    assert u.shape[1] == len(y) == (sim.grid.shape[1] + 1) // 2
+    assert np.all(np.isfinite(u))
+    pp.run_averages(sim, out, [4])
+    nca = convert.stats_to_nc(out, [4])
+    with netcdf_file(nca[0], "r", mmap=False) as f:
+        assert "rU" in f.variables or len(f.variables) > 10

@@ -18,7 +18,9 @@ def main(argv=None):
                                         "iniscal", "ini", "inipart", "dns",
                                         "averages", "spectra", "pdfs", "superlayer",
                                         "visuals", "transfields",
-                                        "transgrid", "apriori"])
+                                        "transgrid", "apriori",
+                                        "planes2nc", "tower2nc",
+                                        "stats2nc"])
     ap.add_argument("--ini2", default="",
                     help="target-case ini for transfields remeshing")
     ap.add_argument("--nparticles", type=int, default=10000)
@@ -264,6 +266,24 @@ def main(argv=None):
                                   os.path.join(args.outdir, "scal_rm"),
                                   it, new, float(rtime), float(visc_))
         print(f"remeshed {its} onto {grid2.shape}")
+        return 0
+
+    if args.command in ("planes2nc", "tower2nc", "stats2nc"):
+        # scripts/python ecosystem converters (Planes2nc.py, tower2nc.py,
+        # stats2nc.py): reference binaries -> NetCDF
+        from tlab_tpu.tools import convert
+        its = [int(t) for t in args.files.split(",") if t]
+        if not its and args.command != "tower2nc":
+            its = [int(v) for v in
+                   case.ini.get_floats("PostProcessing", "Files", ())]
+        if args.command == "planes2nc":
+            out = convert.planes_to_nc(sim, args.outdir, its)
+        elif args.command == "tower2nc":
+            out = convert.towers_to_nc(sim, args.outdir)
+            out = [out] if out else []
+        else:
+            out = convert.stats_to_nc(args.outdir, its)
+        print(f"{args.command}: wrote {out}")
         return 0
 
     if args.command in ("averages", "spectra", "pdfs", "superlayer",
