@@ -351,7 +351,7 @@ def test_case16_stratocumulus_linear_end_to_end(tmp_path):
     ours, ref = _run_case_exact(tmp_path, "Case16", dil_factor=None, env_extra=_SING_LEGACY)
     dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
     dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
-    assert np.all(dil <= 12.0 * dil_ref)
+    assert np.all(dil <= 1.2 * dil_ref)   # legacy: 0.5-1.03x of ref
 
 
 def test_case42_homogeneous_forcing_end_to_end(tmp_path):
@@ -402,18 +402,22 @@ def test_case15_cloudtop_airwater_end_to_end(tmp_path):
     """Case15: evaporatively driven cloud-top mixing layer -- Boussinesq
     momentum + ANELASTIC AirWater thermodynamics ([Thermodynamics]
     Type=anelastic with Equations=incompressible, ScaleHeight=8700).
-    time/dt/CFL/D# exact; our dilatation is well below the reference's."""
-    ours, ref = _run_case_exact(tmp_path, "Case15", dil_factor=None, env_extra=_SING_LEGACY)
-    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
-    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
-    assert np.all(dil <= 1.6 * dil_ref + 1e-9)
+    With the literal NN_Sing convention every column incl. the
+    DilMin/DilMax projection signature matches dns.out.ref to print
+    precision (the NewtonRs saturation residual agrees in magnitude)."""
+    ours, ref = _run_case_exact(tmp_path, "Case15", dil_factor=None)
+    for col in (7, 8):
+        assert np.allclose(ours[1:, col], ref[1:, col], rtol=1e-6), col
+    assert np.all(ours[:, 9] < 1e-9)      # NewtonRs at round-off
 
 
 def test_case24_radiative_stratocumulus_end_to_end(tmp_path):
     """Case24: smoke-cloud layer with Bulk1dLocal infrared cooling
     (radiation.f90:186-199 backwards-compatibility conversion to
-    grayliquid) and strong buoyancy (Fr=1.7e-4). CFL matches the
-    reference within 0.5% at every step over the 10-step spin-up."""
+    grayliquid) and strong buoyancy (Fr=1.7e-4).  With the literal
+    NN_Sing singular convention (r3 default): every structural column
+    exact, DilMin/DilMax to 4 significant digits, and the NewtonRs
+    saturation-residual column present at the reference's magnitude."""
     out = str(tmp_path)
     ini = f"{REF}/Case24/tlab.ini"
     for cmd in (["ini"], ["dns"]):
@@ -425,12 +429,14 @@ def test_case24_radiative_stratocumulus_end_to_end(tmp_path):
     ours = _parse_dns_out(os.path.join(out, "dns.out"))
     ref = _parse_dns_out(f"{REF}/Case24/dns.out.ref")
     assert ours.shape[0] == ref.shape[0] == 11
+    assert ours.shape[1] == ref.shape[1] == 10    # incl. NewtonRs
     for col in (2, 3, 5, 6):
         assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6), col
-    assert np.allclose(ours[1:, 4], ref[1:, 4], rtol=5e-3)  # CFL 0.5%
-    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
-    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
-    assert np.all(dil <= 1.6 * dil_ref + 1e-9)
+    # CFL straddles its 3rd printed digit late in the run (0.594/0.595)
+    assert np.allclose(ours[:, 4], ref[:, 4], rtol=2e-3)
+    for col in (7, 8):                            # DilMin DilMax
+        assert np.allclose(ours[1:, col], ref[1:, col], rtol=2e-3), col
+    assert np.all(ours[:, 9] < 1e-9)              # NewtonRs round-off
 
 
 def test_case17_radiative_stratocumulus_linear_end_to_end(tmp_path):
@@ -439,11 +445,12 @@ def test_case17_radiative_stratocumulus_linear_end_to_end(tmp_path):
     increment on the active scalar (scal_main.f90:120-131). dt/CFL exact
     at every step; D# within one unit of the 3rd printed digit (a print-
     rounding boundary at step 4); our dilatation below the reference's."""
-    ours, ref = _run_case_exact(tmp_path, "Case17", dil_factor=None, env_extra=_SING_LEGACY,
+    ours, ref = _run_case_exact(tmp_path, "Case17", dil_factor=None,
                                 time_rtol=4e-4, col_rtol={5: 2e-3})
-    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
-    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
-    assert np.all(dil <= 1.6 * dil_ref + 1e-9)
+    for col in (7, 8):   # literal NN_Sing: dil to ~1% early, and to
+        # ~1e-5 absolute once the transient has decayed to ~3e-5
+        assert np.allclose(ours[1:, col], ref[1:, col], rtol=5e-2,
+                           atol=1e-5), col
 
 
 def test_case18_evaporative_buoyancy_end_to_end(tmp_path):
@@ -475,7 +482,7 @@ def test_case27_stratocumulus_airwater_end_to_end(tmp_path):
     are not compared: the reference logs the pre-projection anelastic
     constraint source while we log the post-projection residual (ours is
     ~1e-9, structurally below theirs)."""
-    ours, ref = _run_case_exact(tmp_path, "Case27", dil_factor=None, env_extra=_SING_LEGACY)
+    ours, ref = _run_case_exact(tmp_path, "Case27", dil_factor=None)
     dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
     dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
     assert np.all(dil <= 1.6 * dil_ref + 1e-9)
@@ -486,7 +493,7 @@ def test_case28_airwater_sedimentation_end_to_end(tmp_path):
     liquid static energy for the enthalpy scalar, microphysics.f90:
     141-158, thermo_anelastic.f90:258). time/dt/CFL/D# exact to every
     printed digit; dilatation not compared (see Case27)."""
-    ours, ref = _run_case_exact(tmp_path, "Case28", dil_factor=None, env_extra=_SING_LEGACY)
+    ours, ref = _run_case_exact(tmp_path, "Case28", dil_factor=None)
     dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
     dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
     assert np.all(dil <= 1.6 * dil_ref + 1e-9)
@@ -514,9 +521,8 @@ def test_case54_bil_cloud_four_particles_end_to_end(tmp_path):
     ours, ref = _run_case_exact(tmp_path, "Case54", dil_factor=None, env_extra=_SING_LEGACY,
                                 time_rtol=4e-4, with_particles=True,
                                 col_rtol={3: 5e-3, 5: 5e-3})
-    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
-    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
-    assert np.all(dil <= 1.6 * dil_ref + 1e-9)
+    for col in (7, 8):   # legacy convention matches to ~1%
+        assert np.allclose(ours[1:, col], ref[1:, col], rtol=3e-2), col
     # [Particles] CalculatePDF writes the reference-format histogram at
     # the statistics cadence (particle_pdf.f90)
     pdfs = [n for n in os.listdir(tmp_path)
@@ -537,9 +543,8 @@ def test_case55_three_scalar_chemistry_particles_end_to_end(tmp_path):
     reference's."""
     ours, ref = _run_case_exact(tmp_path, "Case55", dil_factor=None, env_extra=_SING_LEGACY,
                                 time_rtol=4e-4, col_rtol={3: 5e-3, 5: 5e-3})
-    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
-    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
-    assert np.all(dil <= 1.6 * dil_ref + 1e-9)
+    for col in (7, 8):   # legacy convention matches to ~1%
+        assert np.allclose(ours[1:, col], ref[1:, col], rtol=3e-2), col
 
 
 def test_case05_two_schmidt_diffusion_limited_dt(tmp_path):
@@ -847,7 +852,7 @@ def test_case29_dimensional_stbl_end_to_end(tmp_path):
     dilatation columns not compared (reference logs the pre-projection
     anelastic constraint source ~1e-5, ours is the post-projection
     residual ~1e-12)."""
-    ours, ref = _run_case_exact(tmp_path, "Case29", dil_factor=None, env_extra=_SING_LEGACY)
+    ours, ref = _run_case_exact(tmp_path, "Case29", dil_factor=None)
     dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
     dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
     assert np.all(dil <= 1.6 * dil_ref + 1e-9)
@@ -859,7 +864,7 @@ def test_case30_gray_emission_end_to_end(tmp_path):
     per-component absorption kappa_l ql + kappa_v qv and surface
     emissivity 0.99.  time/dt/CFL/D#/visc exact to every printed digit;
     dilatation as Case29."""
-    ours, ref = _run_case_exact(tmp_path, "Case30", dil_factor=None, env_extra=_SING_LEGACY)
+    ours, ref = _run_case_exact(tmp_path, "Case30", dil_factor=None)
     dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
     dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
     assert np.all(dil <= 1.6 * dil_ref + 1e-9)

@@ -250,7 +250,21 @@ def temperature_unsaturated(tp: ThermoParams, h, qt, ep):
     return (h - ep) / (tp.Cd + qt * tp.Cdv)
 
 
-def equilibrium_T_ql(tp: ThermoParams, h, qt, p, ep, n_newton: int = 8):
+def equilibrium_newton_error(tp: ThermoParams, s, bg: dict):
+    """The reference's NEWTONRAPHSON_ERROR for the dns.out NewtonRs
+    column (thermo_anelastic.f90:176, dns_main.f90:483-493): the final
+    Newton step ratio |F/F'|/T of the saturation adjustment, maxed over
+    the SATURATED points (unsaturated points never enter the Newton)."""
+    h = s[0]
+    qt = s[1] if s.shape[0] > 1 else jnp.zeros_like(h)
+    ep = jnp.asarray(bg["ep"])[None, :, None]
+    p = jnp.asarray(bg["p"])[None, :, None]
+    _, _, err = equilibrium_T_ql(tp, h, qt, p, ep, with_err=True)
+    return err
+
+
+def equilibrium_T_ql(tp: ThermoParams, h, qt, p, ep, n_newton: int = 8,
+                     with_err: bool = False):
     """(T, ql) from (h, qt) at pressure p: airwater saturation adjustment,
     the reference's Thermo_Anelastic_PH (thermo_anelastic.f90:75-200)
     vectorized as a masked Newton with the exact polynomial formulation:
@@ -261,6 +275,8 @@ def equilibrium_T_ql(tp: ThermoParams, h, qt, p, ep, n_newton: int = 8):
     """
     if tp.mixture in ("air", "airvapor"):
         T = temperature_unsaturated(tp, h, qt * (tp.mixture == "airvapor"), ep)
+        if with_err:
+            return T, jnp.zeros_like(T), jnp.zeros((), T.dtype)
         return T, jnp.zeros_like(T)
 
     H = h - ep
@@ -285,11 +301,13 @@ def equilibrium_T_ql(tp: ThermoParams, h, qt, p, ep, n_newton: int = 8):
         b = [jnp.broadcast_to(jnp.asarray(c, T0.dtype)
                               if not hasattr(c, "shape") else c,
                               T0.shape) for c in b]
-        T_sat, _ = _newton_psat_poly(b, T0, nr=max(n_newton, 5))
+        T_sat, nerr = _newton_psat_poly(b, T0, nr=max(n_newton, 5))
         ps = tp.psat(T_sat)
         ql_sat = qt - eps / (p / ps - 1.0) * (1.0 - qt)
         T = jnp.where(saturated, T_sat, T0)
         ql = jnp.where(saturated, jnp.clip(ql_sat, 0.0, qt), 0.0)
+        if with_err:
+            return T, ql, jnp.max(jnp.where(saturated, nerr, 0.0))
         return T, ql
 
     # legacy exponential-fit path: generic masked Newton
@@ -305,11 +323,16 @@ def equilibrium_T_ql(tp: ThermoParams, h, qt, p, ep, n_newton: int = 8):
         return F, dF
 
     T = T0
+    step = jnp.zeros_like(T)
     for _ in range(n_newton):
         F, dF = F_and_dF(T)
-        T = jnp.where(saturated, T - F / dF, T)
+        step = F / dF
+        T = jnp.where(saturated, T - step, T)
     qs = tp.qsat(T, p)
     ql = jnp.where(saturated, jnp.clip(qt - qs, 0.0, qt), 0.0)
+    if with_err:
+        err = jnp.max(jnp.where(saturated, jnp.abs(step) / jnp.abs(T), 0.0))
+        return T, ql, err
     return T, ql
 
 

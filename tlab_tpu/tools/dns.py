@@ -43,6 +43,13 @@ class RunLog:
                  "#  Itn.    time          dt         CFL#       D#      "
                  "   visc       PMin       PMax       RMin       RMax #\n"
                  + "#" * 93)
+        elif self.newton:
+            # anelastic equilibrium AirWater adds the saturation Newton
+            # residual (dns_main.f90:443, imixture==AIRWATER & Da3<=0)
+            h = ("#" * 106 + "\n"
+                 "#  Itn.    time          dt         CFL#       D#         "
+                 "visc       DilMin        DilMax        NewtonRs#\n"
+                 + "#" * 106)
         else:
             h = ("#" * 93 + "\n"
                  "#  Itn.    time          dt         CFL#       D#         "
@@ -54,6 +61,10 @@ class RunLog:
                 f"{fort_e(cfl, 3)}  {fort_e(dnum, 3)}  {fort_e(visc, 3)}")
         if self.comp:
             line += "".join(f" {fort_e(v, 3)}" for v in extra)
+        elif self.newton and len(extra) >= 3:
+            # DilMin DilMax at E13.6, NewtonRs at E10.3 (dns_main 200/400)
+            line += " " + "  ".join(fort_e(v, 6) for v in extra[:2])
+            line += "  " + fort_e(extra[2], 3)
         else:
             line += " " + "  ".join(fort_e(v, 6) for v in extra)
         self._write(line)
@@ -595,8 +606,28 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         filter_fn = None
 
     write_tlab_log(sim, outdir)
+    # anelastic equilibrium AirWater logs the saturation-adjustment
+    # Newton residual as an extra NewtonRs column (dns_main.f90:443-493,
+    # imixture == MIXT_TYPE_AIRWATER and damkohler(3) <= 0)
+    newton_fn = None
+    if not is_comp:
+        tcfg_n = getattr(case, "thermo", {}) or {}
+        if (case.equations == "anelastic"
+                or tcfg_n.get("type", "").lower() == "anelastic"):
+            from tlab_tpu.runtime import make_anelastic
+            ane_n = make_anelastic(case, sim.grid, sim.dtype)
+            ini_n = getattr(case, "ini", None)
+            da_n = tuple(ini_n.get_floats("Parameters", "Damkohler",
+                                          ())) if ini_n is not None else ()
+            da3 = da_n[2] if len(da_n) > 2 else 0.0
+            if ane_n["tp"].mixture == "airwater" and da3 <= 0.0:
+                from tlab_tpu.physics import thermo as _thermo_n
+                newton_fn = jax.jit(
+                    lambda st: _thermo_n.equilibrium_newton_error(
+                        ane_n["tp"], st.s, ane_n["bg"]))
     log = RunLog(path=log_path, comp=is_comp,
-                 newton=is_comp and sim.comp.get("aw") is not None)
+                 newton=(is_comp and sim.comp.get("aw") is not None)
+                 or newton_fn is not None)
     if opr_check:
         # startup operator self-test + micro-benchmark (reference OPR_CHECK)
         from tlab_tpu.ops.check import opr_check as run_check, format_report
@@ -737,6 +768,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         dnum0 = dtime * dconst
         dmin0, dmax0 = dyn.dilatation_minmax(sim.P, state)
         extra0 = (float(dmin0), float(dmax0))
+        if newton_fn is not None:
+            extra0 += (float(newton_fn(state)),)
     log.step(0, itime, rtime, dtime, dtime * cmax, dnum0, visc,
              *extra0)
 
@@ -781,6 +814,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             dden = float(vals[-1])
             vals = vals[:-1]
         extras = tuple(float(v) for v in vals)
+        if newton_fn is not None:
+            extras += (float(newton_fn(state)),)
         if profile:
             prof_samples.append(time.monotonic() - t_it)
         if nan_abort and not np.isfinite(cmax):
