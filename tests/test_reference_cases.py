@@ -564,9 +564,10 @@ def test_case05_two_schmidt_diffusion_limited_dt(tmp_path):
 
 def test_case44_channel_end_to_end(tmp_path):
     """Case44: plane channel (mirrored fixed_scale tanh grid,
-    PotentialBroadband IC). Diffusion-limited dt so time/dt/D#/visc are
-    exact; CFL (RNG max |u|) to 10%; dilatation envelope same order as
-    the reference's."""
+    PotentialBroadband IC).  With the exact RNG chain the IC dilatation
+    row matches dns.out.ref to every printed digit and time/dt/CFL/D#/
+    visc are exact; the projection residual then drifts <=4% per step
+    (converging to <0.1% as the physical dilatation grows)."""
     out = str(tmp_path)
     ini = f"{REF}/Case44/tlab.ini"
     for cmd in (["ini"], ["dns"]):
@@ -581,10 +582,11 @@ def test_case44_channel_end_to_end(tmp_path):
     for col in (2, 3, 5, 6):
         assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
                            atol=1e-12), col
-    assert np.all(np.abs(ours[:, 4] / ref[:, 4] - 1.0) < 0.10)
-    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
-    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
-    assert np.all(dil <= 4.0 * dil_ref)
+    assert np.allclose(ours[:, 4], ref[:, 4], rtol=1e-6)      # CFL exact
+    for col in (7, 8):      # IC row digit-exact, evolution to 4%
+        assert np.allclose(ours[0, col], ref[0, col], rtol=1e-6)
+        assert np.allclose(ours[1:, col], ref[1:, col], rtol=4e-2,
+                           atol=1e-4), col
 
 
 def test_case82_ekman3d_planes_end_to_end(tmp_path):
