@@ -347,11 +347,12 @@ def test_case11_delta_discrete_end_to_end(tmp_path):
 def test_case16_stratocumulus_linear_end_to_end(tmp_path):
     """Case16: linearized stratocumulus (MIXT_TYPE_AIRWATER_LINEAR,
     diagnostic liquid scalar, evaporative buoyancy). time/dt/CFL/D#
-    exact; dilatation stays at/below the reference truncation level."""
-    ours, ref = _run_case_exact(tmp_path, "Case16", dil_factor=None, env_extra=_SING_LEGACY)
-    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
-    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
-    assert np.all(dil <= 1.2 * dil_ref)   # legacy: 0.5-1.03x of ref
+    exact; dilatation DIGIT-EXACT with the literal NN_Sing convention
+    (enabled by the zero-liquid bbackground fix, tlab_background.f90:194)."""
+    ours, ref = _run_case_exact(tmp_path, "Case16", dil_factor=None)
+    for col in (7, 8):
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
+                           atol=1e-12), col
 
 
 def test_case42_homogeneous_forcing_end_to_end(tmp_path):
@@ -456,22 +457,22 @@ def test_case17_radiative_stratocumulus_linear_end_to_end(tmp_path):
 def test_case18_evaporative_buoyancy_end_to_end(tmp_path):
     """Case18: Case17 variant with the liquid scalar in the buoyancy
     (Gravity Linear c3 = 0.133 on the AirWaterLinear diagnostic liquid)
-    and a psi-dependent equilibrium. dt/CFL/D# exact."""
-    ours, ref = _run_case_exact(tmp_path, "Case18", dil_factor=None, env_extra=_SING_LEGACY,
-                                time_rtol=4e-4, col_rtol={3: 5e-3, 5: 5e-3})
-    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
-    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
-    assert np.all(dil <= 1.5 * dil_ref)
+    and a psi-dependent equilibrium. dt/CFL/D# exact to every printed
+    digit; dilatation to ~1% (literal NN_Sing convention)."""
+    ours, ref = _run_case_exact(tmp_path, "Case18", dil_factor=None,
+                                time_rtol=1e-4)
+    for col in (7, 8):
+        assert np.allclose(ours[1:, col], ref[1:, col], rtol=3e-2), col
 
 
 def test_case20_smoke_cloud_end_to_end(tmp_path):
     """Case20: bottom-up smoke-cloud convection (AirWaterLinear 2-scalar,
     PlaneDiscrete IC, fixed dt). time/dt/CFL/D# exact to every printed
     digit; dilatation within 1% of the reference's envelope."""
-    ours, ref = _run_case_exact(tmp_path, "Case20", dil_factor=None, env_extra=_SING_LEGACY)
-    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
-    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
-    assert np.all(dil <= 1.1 * dil_ref + 1e-9)
+    ours, ref = _run_case_exact(tmp_path, "Case20", dil_factor=None)
+    for col in (7, 8):   # DIGIT-EXACT incl. dilatation (NN_Sing default)
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
+                           atol=1e-12), col
 
 
 def test_case27_stratocumulus_airwater_end_to_end(tmp_path):
@@ -503,13 +504,12 @@ def test_case19_sedimentation_end_to_end(tmp_path):
     """Case19: smoke cloud with AirWaterSimplified sedimentation
     (settling-scaled per-scalar parameters, derivative-first form,
     microphysics.f90:162-180) + Bulk1dLocal cooling + NormalizeR IC.
-    dt/CFL/D# exact to every printed digit; dilatation below the
-    reference's envelope."""
-    ours, ref = _run_case_exact(tmp_path, "Case19", dil_factor=None, env_extra=_SING_LEGACY,
-                                time_rtol=4e-4, col_rtol={3: 5e-3, 5: 5e-3})
-    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
-    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
-    assert np.all(dil <= 2.0 * dil_ref)
+    dt/CFL/D# exact to every printed digit; dilatation to ~1%
+    (literal NN_Sing convention)."""
+    ours, ref = _run_case_exact(tmp_path, "Case19", dil_factor=None,
+                                time_rtol=1e-4)
+    for col in (7, 8):
+        assert np.allclose(ours[1:, col], ref[1:, col], rtol=3e-2), col
 
 
 def test_case54_bil_cloud_four_particles_end_to_end(tmp_path):
@@ -761,6 +761,33 @@ def test_case52_tracer_trajectories_end_to_end(tmp_path):
     d = np.load(os.path.join(out, traj[0]))
     assert d["x"].shape == (10, 2, 3)
     assert np.isfinite(d["x"]).all()
+
+
+def test_case21_potential_broadband_smoke_end_to_end(tmp_path):
+    """Case21: Case20's smoke cloud started from a PotentialBroadband
+    velocity IC (curl of a random potential, ForceDilatation=no) instead
+    of the discrete scalar mode. time/dt/CFL/D# exact to every printed
+    digit (reference-exact RNG realization); without the solenoidal
+    projection the initial discrete dilatation is construction noise, so
+    it is only envelope-bounded."""
+    ours, ref = _run_case_exact(tmp_path, "Case21", dil_factor=None)
+    dil = np.maximum(np.abs(ours[1:, 7]), np.abs(ours[1:, 8]))
+    dil_ref = np.maximum(np.abs(ref[1:, 7]), np.abs(ref[1:, 8]))
+    assert np.all(dil <= 2.0 * dil_ref)
+
+
+def test_case81_ekman_viscchange_end_to_end(tmp_path):
+    """Case81: laminar-start Ekman layer at Re=25000 with [ViscChange]
+    Time=0.01 viscosity ramp and ObsLog=Ekman. Every structural column
+    exact; dilatation converges to 4 significant digits after the
+    2-step IC transient; dns.obs written."""
+    ours, ref = _run_case_exact(tmp_path, "Case81", dil_factor=None)
+    for col in (7, 8):
+        assert np.allclose(ours[4:, col], ref[4:, col], rtol=5e-3), col
+    dil = np.maximum(np.abs(ours[1:4, 7]), np.abs(ours[1:4, 8]))
+    dil_ref = np.maximum(np.abs(ref[1:4, 7]), np.abs(ref[1:4, 8]))
+    assert np.all(dil <= 1.2 * dil_ref)
+    assert os.path.exists(os.path.join(str(tmp_path), "dns.obs"))
 
 
 def test_case84_ekman3d_towers_end_to_end(tmp_path):

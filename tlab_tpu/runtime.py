@@ -212,15 +212,18 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
         return jnp.concatenate([s, liq[None]], axis=0)
 
     if buo_on and not explicit:
+        # bbackground sees a ZERO liquid column for the linear mixture: the
+        # reference fills sbackground only for the prognostic scalars before
+        # computing bbackground (tlab_background.f90:194-221; the diagnostic
+        # column is a fresh allocation, never written in the non-anelastic
+        # path), so c3*ql_bg must NOT enter the reference profile.  Appending
+        # the equilibrium liquid here shifted Case18's step-1 buoyancy RHS by
+        # 0.3% and its dilatation by 10-30x.  The zero column is kept in the
+        # stack so the independent term stays at parameters(inb_scal_array+1)
+        # (gravity.f90:253).
         profs = case.scal_profiles
         if awl_on and profs:
-            from tlab_tpu.physics import thermo as _th
-            sp = np.stack([prof(grid.y.nodes) for prof in profs])
-            lp = np.asarray(_th.airwater_linear(awl_params,
-                                                jnp.asarray(sp)))
-            profs = list(profs) + [
-                (lambda yv, _l=lp, _y=grid.y.nodes:
-                 np.interp(yv, _y, _l))]
+            profs = list(profs) + [lambda yv: np.zeros_like(yv)]
         bback = grav.background_profile(buo, profs, grid.y.nodes)
         bback = np.asarray(bback, ntp)
 

@@ -121,8 +121,15 @@ def build_extras(sim, state):
             ex["b"] = thermo.buoyancy_explicit(anel["tp"], state.s,
                                                anel["bg"])
         elif state.s.shape[0] > 0:
-            bback = grav.background_profile(
-                buo, sim.case.scal_profiles, sim.grid.y.nodes)
+            # pad with a zero diagnostic-liquid column so the independent
+            # term keeps its parameters(inb_scal_array+1) slot while the
+            # liquid stays OUT of the reference profile (the reference's
+            # sbackground diagnostic column is uninitialized,
+            # tlab_background.f90:194-221)
+            profs = list(sim.case.scal_profiles)
+            profs += [lambda yv: np.zeros_like(yv)] * \
+                (state.s.shape[0] - len(profs))
+            bback = grav.background_profile(buo, profs, sim.grid.y.nodes)
             ex["b"] = grav.buoyancy_field(buo, state.s, bback)
         prof = sim.case.scal_profiles[-1] if sim.case.scal_profiles else None
         ex["ymean"] = float(getattr(prof, "ymean", 0.0) or 0.0) \
