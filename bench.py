@@ -163,11 +163,15 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
                 raise RuntimeError("non-finite warmup")
             best = float("inf")
             for _ in range(2):
+                # the scalar D2H fetch sits INSIDE the timed region: a
+                # degraded axon tunnel makes block_until_ready return
+                # without syncing (garbage timings, ADVICE r3) -- a real
+                # fetch cannot lie
                 t0 = time.perf_counter()
                 out = fn(st)
-                jax.block_until_ready(out)
+                float(jnp.sum(out[0] if isinstance(out, tuple) else
+                              getattr(out, "u", getattr(out, "rho", out))))
                 best = min(best, time.perf_counter() - t0)
-            float(jnp.sum(getattr(out, "u", getattr(out, "rho", out))))
             rate = npts / (best / n_steps / n_sub)
             print(f"bench-extra: {name}: {rate:.3e} pts/s/chip/substep "
                   f"({rate / baseline:.0f}x baseline)", file=sys.stderr)
@@ -243,9 +247,9 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
                          ("banded-D1 N=4096 (partitioned)", banded_chain)):
             out = fn(uu); jax.block_until_ready(out)
             t0 = time.perf_counter()
-            out = fn(uu); jax.block_until_ready(out)
+            out = fn(uu)
+            float(jnp.sum(out))     # fetch inside the timed region
             t = (time.perf_counter() - t0) / REPS
-            float(jnp.sum(out))
             print(f"bench-extra: {name}: {t*1e3:.3f} ms "
                   f"({m*nl/t/1e9:.2f} Gpt/s)", file=sys.stderr)
     except Exception as e:
@@ -289,11 +293,11 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
             out = fn(st); jax.block_until_ready(out)
             best = float("inf")
             for _ in range(2):
+                # scalar fetch inside the timed region (see time_variant)
                 t0 = time.perf_counter()
                 out = fn(st)
-                jax.block_until_ready(out)
+                float(jnp.sum(out.u))
                 best = min(best, time.perf_counter() - t0)
-            float(jnp.sum(out.u))
             rate = npts_s / (best / n_steps / n_sub)
             print(f"bench-extra: {name}: {rate:.3e} pts/s/chip/substep "
                   f"({rate / baseline:.0f}x baseline)", file=sys.stderr)

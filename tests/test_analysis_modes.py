@@ -107,3 +107,26 @@ def test_pressure_partition_consistency():
     st0 = st._replace(u=z, v=z, w=z)
     tab0 = analysis.run_mode(P, st0, 1e-3, 14, diff=(1e-3,))
     assert np.max(np.abs(np.asarray(tab0["Pdyn"]))) < 1e-10
+
+
+def test_strain2_exact_sij_contraction():
+    """mappings.strain2 equals s_ij s_ij built from the gradient tensor
+    (regression: the off-diagonal contribution carried a spurious 2x
+    through round 3; FI_STRAIN comment fi_strain.f90:4-5)."""
+    from tlab_tpu import mappings
+    P, st, grid = _setup()
+    got = np.asarray(mappings.strain2(P, st.u, st.v, st.w))
+    g = {k: np.asarray(v) for k, v in
+         mappings.velocity_gradient(P, st.u, st.v, st.w).items()}
+    s12 = 0.5 * (g["uy"] + g["vx"])
+    s13 = 0.5 * (g["uz"] + g["wx"])
+    s23 = 0.5 * (g["vz"] + g["wy"])
+    ref = (g["ux"] ** 2 + g["vy"] ** 2 + g["wz"] ** 2
+           + 2.0 * (s12 ** 2 + s13 ** 2 + s23 ** 2))
+    assert np.max(np.abs(got - ref)) < 1e-12 * max(1.0, np.max(np.abs(ref)))
+    # pure-shear sanity: u = y -> s_ij s_ij = 1/2
+    one = jnp.asarray(np.broadcast_to(
+        grid.y.nodes[None, :, None], grid.shape).copy())
+    z = jnp.zeros(grid.shape)
+    shear = np.asarray(mappings.strain2(P, one, z, z))
+    assert abs(np.median(shear) - 0.5) < 1e-6

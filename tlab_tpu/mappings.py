@@ -41,13 +41,14 @@ def vorticity_magnitude2(P, u, v, w):
 
 
 def strain2(P, u, v, w):
-    """s_ij s_ij (reference FI_STRAIN)."""
+    """s_ij s_ij (reference FI_STRAIN, fi_strain.f90:68-99):
+    u,x^2 + v,y^2 + w,z^2 + 1/2[(u,y+v,x)^2 + (u,z+w,x)^2 + (v,z+w,y)^2]."""
     g = velocity_gradient(P, u, v, w)
     diag = g["ux"] ** 2 + g["vy"] ** 2 + g["wz"] ** 2
-    off = (0.5 * (g["uy"] + g["vx"]) ** 2
-           + 0.5 * (g["uz"] + g["wx"]) ** 2
-           + 0.5 * (g["vz"] + g["wy"]) ** 2)
-    return diag + 2.0 * off
+    off = 0.5 * ((g["uy"] + g["vx"]) ** 2
+                 + (g["uz"] + g["wx"]) ** 2
+                 + (g["vz"] + g["wy"]) ** 2)
+    return diag + off
 
 
 def invariants(P, u, v, w):
