@@ -227,6 +227,25 @@ def _d1(P, axis_name: str, axis: int, a):
     return der1(M, a, axis)
 
 
+def _d2(P, axis_name: str, axis: int, a):
+    """Compact second derivative along one direction (the OPR_P2 analog):
+    the second half of the stacked [D1;D2] operator, with the same pencil
+    routing as _d1."""
+    d12 = P.get(f"d12{axis_name}")
+    if d12 is None:
+        return jnp.zeros_like(a)
+    from tlab_tpu.ops.derivative import der12
+    comm = _axis_comm(P, axis_name)
+    if comm is not None:
+        from tlab_tpu.parallel import pencil
+        wire = comm.get("wire")
+        off = a.ndim - 3
+        a_g = pencil.cast_on_wire(pencil.GATHER[axis_name], a, off, wire)
+        r = der12(d12, a_g, axis)[1]
+        return pencil.cast_on_wire(pencil.SCATTER[axis_name], r, off, wire)
+    return der12(d12, a, axis)[1]
+
+
 def divergence(P, u, v, w):
     return _d1(P, "x", 0, u) + _d1(P, "y", 1, v) + _d1(P, "z", 2, w)
 

@@ -217,10 +217,10 @@ def strain_eigenvalues(P, state):
             "Lam2Pos": _pavg((l2 > 0).astype(l1.dtype))}
 
 
-def eigenframe_cosines(P, state):
-    """Mode 11 (reference averages.f90:805-845, avgCos<it>): direction
-    cosines of the vorticity vector and of the scalar-gradient vector in
-    the local eigenframe of the rate-of-strain tensor.
+def eigenframe_cosine_fields(P, state):
+    """Pointwise direction cosines of the vorticity and of the
+    scalar-gradient vector in the local strain eigenframe (3-D fields,
+    shared by averages.x mode 11 and pdfs.x mode 12).
 
     Eigenvectors from a vectorized symmetric eigendecomposition with the
     reference's global orientation (TENSOR_EIGENFRAME, tensor.f90:79-80:
@@ -249,19 +249,26 @@ def eigenframe_cosines(P, state):
     tiny = jnp.finfo(vort.dtype).tiny
     vn = vort / jnp.maximum(
         jnp.linalg.norm(vort, axis=-1, keepdims=True), tiny)
-    out = {"cosWL1": _pavg(jnp.sum(vn * e1, -1)),
-           "cosWL2": _pavg(jnp.sum(vn * e2, -1)),
-           "cosWL3": _pavg(jnp.sum(vn * e3, -1))}
+    out = {"cosWL1": jnp.sum(vn * e1, -1),
+           "cosWL2": jnp.sum(vn * e2, -1),
+           "cosWL3": jnp.sum(vn * e3, -1)}
     if state.s.shape[0]:
         s0 = state.s[0]
         gr = jnp.stack([dyn._d1(P, "x", 0, s0), dyn._d1(P, "y", 1, s0),
                         dyn._d1(P, "z", 2, s0)], -1)
         gn = gr / jnp.maximum(
             jnp.linalg.norm(gr, axis=-1, keepdims=True), tiny)
-        out.update({"cosGL1": _pavg(jnp.sum(gn * e1, -1)),
-                    "cosGL2": _pavg(jnp.sum(gn * e2, -1)),
-                    "cosGL3": _pavg(jnp.sum(gn * e3, -1))})
+        out.update({"cosGL1": jnp.sum(gn * e1, -1),
+                    "cosGL2": jnp.sum(gn * e2, -1),
+                    "cosGL3": jnp.sum(gn * e3, -1)})
     return out
+
+
+def eigenframe_cosines(P, state):
+    """Mode 11 (reference averages.f90:805-845, avgCos<it>): plane
+    averages of the pointwise eigenframe cosines."""
+    return {k: _pavg(v) for k, v in
+            eigenframe_cosine_fields(P, state).items()}
 
 
 def pressure_partition(P, state, p=None):

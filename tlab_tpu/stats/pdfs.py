@@ -3,13 +3,25 @@ tools/statistics/pdfs.f90).
 
 Per-y-plane 1-D histograms with the reference's adaptive two-pass range
 (PDF_ANALIZE), joint 2-D histograms with per-u-bin adaptive v ranges
-(PDF2V), and the pdfs.x analysis-mode menu (ParamPdfs, pdfs.f90:234-730):
+(PDF2V), and the FULL pdfs.x analysis-mode menu (ParamPdfs,
+pdfs.f90:193-800):
   1  main variables (u, v, w, p, scalars)
-  2  scalar-gradient G_iG_i equation (GiGi, LnGiGi)
+  2  scalar-gradient G_iG_i equation (GiGi, LnGiGi, production,
+     diffusion, normal strain)
+  3  enstrophy equation (WiWi, LnWiWi, production, diffusion,
+     dilatation, baroclinic, rate)
+  4  strain equation (2SijSij, Ln2SijSij, production, diffusion,
+     pressure-strain)
   5  velocity-gradient invariants -> joint pdf (R, Q)      [pdf<it>.RQ]
+  6  chi-flamelet strain (StrainAGiGi, StrainA)
   7  joint enstrophy and strain (log W_iW_i, log 2S_ijS_ij) [pdf<it>.WS]
   9  joint scalar and scalar gradient (s, ln G_iG_i)       [pdf<it>.SLnG]
-  10 scalar-gradient components (Gx, Gy, Gz)
+  10 scalar-gradient components (Gx, Gy, Gz, Gtheta, Gphi) + GphiS joint
+  11 rate-of-strain eigenvalues (Lambda1/2/3)
+  12 eigenframe alignment cosines (cos(w,lambda_i), cos(G,lambda_i))
+  13 longitudinal velocity derivatives (Sxx, Syy, Szz)
+  14 potential vorticity (LnPotentialEnstrophy, CosPotentialEnstrophy)
+  15 joint buoyancy and v [pdf<it>.bv] + b/v marginals
 All outputs in the reference binary layout (io/reference_formats.py) so
 scripts/python/PlotPdfs.py reads them unmodified.  gate_level > 0
 conditions the 1-D pdfs on scalar1 > gate_level (the reference's
@@ -75,60 +87,194 @@ def _pdf2v_out(outdir, itime, rtime, y, tag, u, v, nbins2):
                       list(nbins2))
 
 
-def run_pdf_mode(sim, state, pressure, outdir: str, itime: int,
-                 rtime: float, opt_main: int = 1, nbins=(32, 32),
-                 gate_level: float = 0.0) -> None:
-    """One ParamPdfs analysis mode on a snapshot (pdfs.f90:234-730)."""
+def _buoyancy_field(sim, state):
+    """b(s) with zero background reference (the pdfs.x convention: the
+    reference zeroes bbackground/wrk1d before Gravity_Buoyancy,
+    pdfs.f90:404-409, 709-714); None without an active body force."""
+    props = getattr(sim.case, "buoyancy", None)
+    if props is None or getattr(props, "type", "none") == "none":
+        return None
+    from tlab_tpu.physics.gravity import buoyancy_field
+    ref = jnp.zeros(sim.grid.y.nodes.shape[0], state.u.dtype)
+    return buoyancy_field(props, state.s, ref)
+
+
+def mode_fields(sim, state, pressure, opt_main: int = 1):
+    """The 3-D fields of one ParamPdfs analysis mode
+    (pdfs.f90:193-800): (marginals [(tag, field)...],
+    joints [(tag, u_field, v_field)...]).  Separated from the histogram
+    writer so tests can assert the fields themselves."""
     from tlab_tpu import mappings as mp
+    from tlab_tpu.dycore import incompressible as dyn
     P = sim.P
-    y = sim.grid.y.nodes
-    nb = int(np.atleast_1d(nbins)[0])
-    nb2 = (int(np.atleast_1d(nbins)[0]),
-           int(np.atleast_1d(nbins)[-1]))
+    visc = sim.nsp.visc
     u, v, w = state.u, state.v, state.w
-    gate = None
-    if gate_level > 0.0 and state.s.shape[0]:
-        gate = np.asarray(state.s[0]) > gate_level
+    tiny = 1e-300
+    singles = []
+    joints = []
 
     if opt_main == 1:
-        fields = [("u", u), ("v", v), ("w", w)]
+        singles = [("u", u), ("v", v), ("w", w)]
         if pressure is not None:
-            fields.append(("p", pressure))
-        fields += [(f"s{i + 1}", state.s[i])
-                   for i in range(state.s.shape[0])]
-        for tag, a in fields:
-            _pdf1v_out(outdir, itime, rtime, y, tag, a, nb, gate=gate)
+            singles.append(("p", pressure))
+        singles += [(f"s{i + 1}", state.s[i])
+                    for i in range(state.s.shape[0])]
 
     elif opt_main == 2 and state.s.shape[0]:
-        gigi = mp.gradient_magnitude2(P, state.s[0])
-        _pdf1v_out(outdir, itime, rtime, y, "GiGi", gigi, nb, gate=gate)
-        _pdf1v_out(outdir, itime, rtime, y, "LnGiGi",
-                   jnp.log(gigi + 1e-300), nb, gate=gate)
+        # scalar-gradient equation (pdfs.f90:376-394)
+        s0 = state.s[0]
+        gigi = mp.gradient_magnitude2(P, s0)
+        prod = mp.gradient_production(P, s0, u, v, w)
+        diffu = sim.nsp.diffusivity(0) * mp.gradient_diffusion(P, s0)
+        singles = [("GiGi", gigi), ("LnGiGi", jnp.log(gigi + tiny)),
+                   ("ProductionMsGiGjSij", prod),
+                   ("DiffusionNuGiLapGi", diffu),
+                   ("StrainAMsNiNjSij", prod / (gigi + tiny))]
+
+    elif opt_main == 3:
+        # enstrophy equation (pdfs.f90:398-451)
+        wiwi = mp.vorticity_magnitude2(P, u, v, w)
+        prod = mp.vorticity_production(P, u, v, w)
+        diffu = visc * mp.vorticity_diffusion(P, u, v, w)
+        inv_p = -dyn.divergence(P, u, v, w)       # FI_INVARIANT_P
+        b = _buoyancy_field(sim, state)
+        ox, oy, oz = mp.curl(P, u, v, w)
+        if b is not None:
+            # curl of the buoyancy force (0, b g_y, 0):
+            # (-d(b gy)/dz, 0, d(b gy)/dx) dotted with the vorticity
+            gy_vec = sim.case.buoyancy.vector[1]
+            bf = b * gy_vec
+            baro = (ox * (-dyn._d1(P, "z", 2, bf))
+                    + oz * dyn._d1(P, "x", 0, bf))
+        else:
+            baro = jnp.zeros_like(wiwi)
+        singles = [("WiWi", wiwi), ("LnWiWi", jnp.log(wiwi + tiny)),
+                   ("ProductionWiWjSij", prod),
+                   ("DiffusionNuWiLapWi", diffu),
+                   ("DilatationMsWiWiDivU", inv_p * wiwi),
+                   ("Baroclinic", baro),
+                   ("RateANiNjSij", prod / (wiwi + tiny))]
+
+    elif opt_main == 4:
+        # strain equation (pdfs.f90:455-486); needs the diagnostic p
+        if pressure is None:
+            from tlab_tpu.dycore.pressure import pressure_boussinesq
+            pressure = pressure_boussinesq(P, state)
+        s2 = 2.0 * mp.strain2(P, u, v, w)
+        singles = [("2SijSij", s2), ("Ln2SijSij", jnp.log(s2 + tiny)),
+                   ("ProductionMs2SijSjkS_ki",
+                    2.0 * mp.strain_production(P, u, v, w)),
+                   ("DiffusionNuSijLapSij",
+                    2.0 * visc * mp.strain_diffusion(P, u, v, w)),
+                   ("Pressure2SijPij",
+                    2.0 * mp.strain_pressure(P, u, v, w, pressure))]
 
     elif opt_main == 5:
         _, Q, R = mp.invariants(P, u, v, w)
-        _pdf2v_out(outdir, itime, rtime, y, "RQ", R, Q, nb2)
+        joints = [("RQ", R, Q)]
+
+    elif opt_main == 6 and state.s.shape[0]:
+        # chi-flamelet strain (pdfs.f90:510-519)
+        strain1, strain2_, _ = mp.strain_a(P, state.s[0], u, v, w)
+        singles = [("StrainAGiGi", strain1), ("StrainA", strain2_)]
 
     elif opt_main == 7:
         ww = mp.vorticity_magnitude2(P, u, v, w)
         ss = 2.0 * mp.strain2(P, u, v, w)
-        _pdf2v_out(outdir, itime, rtime, y, "WS",
-                   jnp.log(ww + 1e-300), jnp.log(ss + 1e-300), nb2)
+        joints = [("WS", jnp.log(ww + tiny), jnp.log(ss + tiny))]
 
     elif opt_main == 9 and state.s.shape[0]:
         gigi = mp.gradient_magnitude2(P, state.s[0])
-        _pdf2v_out(outdir, itime, rtime, y, "SLnG", state.s[0],
-                   jnp.log(gigi + 1e-300), nb2)
+        joints = [("SLnG", state.s[0], jnp.log(gigi + tiny))]
 
     elif opt_main == 10 and state.s.shape[0]:
-        from tlab_tpu.dycore import incompressible as dyn
+        # scalar-gradient components + angles (pdfs.f90:566-591)
         s0 = state.s[0]
-        for tag, ax, i in (("Gx", "x", 0), ("Gy", "y", 1), ("Gz", "z", 2)):
-            _pdf1v_out(outdir, itime, rtime, y, tag,
-                       dyn._d1(P, ax, i, s0), nb, gate=gate)
+        gx = dyn._d1(P, "x", 0, s0)
+        gy = dyn._d1(P, "y", 1, s0)
+        gz = dyn._d1(P, "z", 2, s0)
+        mag = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+        gphi = jnp.arcsin(gy / jnp.maximum(mag, 1e-30))    # with Oy
+        gtheta = jnp.arctan2(gz, gx)                       # with Ox in xOz
+        singles = [("Gx", gx), ("Gy", gy), ("Gz", gz),
+                   ("Gtheta", gtheta), ("Gphi", gphi)]
+        joints = [("GphiS", gtheta, gphi)]
+
+    elif opt_main == 11:
+        # rate-of-strain eigenvalues (pdfs.f90:595-606)
+        from tlab_tpu.stats.analysis import _sym_eigenvalues, _grad9
+        g = _grad9(P, u, v, w)
+        l1, l2, l3 = _sym_eigenvalues(
+            g["ux"], g["vy"], g["wz"],
+            0.5 * (g["uy"] + g["vx"]), 0.5 * (g["uz"] + g["wx"]),
+            0.5 * (g["vz"] + g["wy"]))
+        singles = [("Lambda1", l1), ("Lambda2", l2), ("Lambda3", l3)]
+
+    elif opt_main == 12:
+        # eigenframe alignment (pdfs.f90:610-661)
+        from tlab_tpu.stats.analysis import eigenframe_cosine_fields
+        cf = eigenframe_cosine_fields(P, state)
+        names = {"cosWL1": "cos(w,lambda1)", "cosWL2": "cos(w,lambda2)",
+                 "cosWL3": "cos(w,lambda3)", "cosGL1": "cos(G,lambda1)",
+                 "cosGL2": "cos(G,lambda2)", "cosGL3": "cos(G,lambda3)"}
+        singles = [(tag, cf[k]) for k, tag in names.items() if k in cf]
+
+    elif opt_main == 13:
+        # longitudinal velocity derivatives (pdfs.f90:665-676)
+        singles = [("Sxx", dyn._d1(P, "x", 0, u)),
+                   ("Syy", dyn._d1(P, "y", 1, v)),
+                   ("Szz", dyn._d1(P, "z", 2, w))]
+
+    elif opt_main == 14 and state.s.shape[0]:
+        # potential vorticity w.grad(s1) (pdfs.f90:680-703)
+        ox, oy, oz = mp.curl(P, u, v, w)
+        wiwi = ox * ox + oy * oy + oz * oz
+        s0 = state.s[0]
+        gx = dyn._d1(P, "x", 0, s0)
+        gy = dyn._d1(P, "y", 1, s0)
+        gz = dyn._d1(P, "z", 2, s0)
+        pv = ox * gx + oy * gy + oz * gz
+        normb = jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-30)
+        normw = jnp.sqrt(wiwi + 1e-30)
+        singles = [("LnPotentialEnstrophy", jnp.log(pv * pv + 1e-30)),
+                   ("CosPotentialEnstrophy", pv / (normb * normw))]
+
+    elif opt_main == 15:
+        # joint analysis of buoyancy and vertical velocity
+        # (pdfs.f90:707-800): pdf<it>.bv + the two marginals
+        b = _buoyancy_field(sim, state)
+        if b is None:
+            raise ValueError("ParamPdfs mode 15 needs [BodyForce]")
+        ini = getattr(sim.case, "ini", None)
+        froude = ini.get_float("Parameters", "Froude", 1.0) \
+            if ini is not None else 1.0
+        b = b / froude
+        singles = [("b", b), ("v", v)]
+        joints = [("bv", b, v)]
 
     else:
         raise NotImplementedError(f"ParamPdfs mode {opt_main}")
+
+    return singles, joints
+
+
+def run_pdf_mode(sim, state, pressure, outdir: str, itime: int,
+                 rtime: float, opt_main: int = 1, nbins=(32, 32),
+                 gate_level: float = 0.0) -> None:
+    """One ParamPdfs analysis mode on a snapshot: compute the mode's
+    fields and write reference-layout pdf<it>.<tag> files."""
+    y = sim.grid.y.nodes
+    nb = int(np.atleast_1d(nbins)[0])
+    nb2 = (int(np.atleast_1d(nbins)[0]),
+           int(np.atleast_1d(nbins)[-1]))
+    gate = None
+    if gate_level > 0.0 and state.s.shape[0]:
+        gate = np.asarray(state.s[0]) > gate_level
+    singles, joints = mode_fields(sim, state, pressure, opt_main)
+    for tag, a in singles:
+        _pdf1v_out(outdir, itime, rtime, y, tag, a, nb, gate=gate)
+    for tag, a, b in joints:
+        _pdf2v_out(outdir, itime, rtime, y, tag, a, b, nb2)
 
 
 def write_pdf(path: str, counts, edges, itime: int) -> None:
