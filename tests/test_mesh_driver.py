@@ -32,6 +32,9 @@ def _cli(args, outdir, devices=1):
 @pytest.mark.parametrize("ini,comp", [
     ("case01_small3d.ini", False),
     ("case02_small3d.ini", True),
+    # mirrored-XBars IBM: spline fill on the gathered pencils + sliced
+    # direct forcing (reference ibm_spline.f90:30 under MPI)
+    ("case93_small3d.ini", False),
 ])
 def test_mesh_dns_matches_single_device(tmp_path, ini, comp):
     """ini -> dns single-device and on the 4x2 CPU mesh: dns.out files

@@ -84,6 +84,46 @@ def build_buffer(y: np.ndarray, spec: BufferSpec, ref_profiles: dict,
     return buf
 
 
+def localize(buf, comm):
+    """Device-local view of the buffer tables inside shard_map: slice the
+    x-profile tau_x to this device's x block and any x/z-extended
+    reference planes to the local block (y is never sharded).  Makes the
+    Imin/Imax strips and unsteady-inflow planes run on the pencil mesh
+    (the reference applies its buffers on rank-local strips,
+    boundary_buffer.f90)."""
+    if buf is None or comm is None:
+        return buf
+    px = comm.get("px", 1)
+    pz = comm.get("pz", 1)
+    if px == 1 and pz == 1:
+        return buf
+    from jax import lax
+    zero = jnp.zeros((), jnp.int32)
+    ix = lax.axis_index("x") if px > 1 else zero
+    iz = lax.axis_index("z") if pz > 1 else zero
+    out = dict(buf)
+    if "tau_x" in buf and px > 1:
+        t = jnp.asarray(buf["tau_x"])
+        nxl = t.shape[0] // px
+        out["tau_x"] = lax.dynamic_slice(t, (ix * nxl, zero, zero),
+                                         (nxl,) + t.shape[1:])
+    if "refs_x" in buf:
+        rx = {}
+        for k, v in buf["refs_x"].items():
+            v = jnp.asarray(v)
+            if v.shape[0] > 1 and px > 1:
+                nxl = v.shape[0] // px
+                v = lax.dynamic_slice(v, (ix * nxl, zero, zero),
+                                      (nxl,) + v.shape[1:])
+            if v.shape[2] > 1 and pz > 1:
+                nzl = v.shape[2] // pz
+                v = lax.dynamic_slice(v, (zero, zero, iz * nzl),
+                                      v.shape[:2] + (nzl,))
+            rx[k] = v
+        out["refs_x"] = rx
+    return out
+
+
 def relax(buf, name: str, q, h):
     """h -= tau (q - ref), over the active strips."""
     if buf is None:

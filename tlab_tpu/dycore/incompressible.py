@@ -335,17 +335,23 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
     if d12 is None:
         return jnp.zeros_like(fields)
     comm = _axis_comm(P, axis_name)
+    mesh_comm = P.get("comm")
     ibm = P.get("ibm")
-    if ibm is not None and comm is None and axis_name in ibm.get("fills", {}):
+    fill = ibm.get("fills", {}).get(axis_name) if ibm is not None else None
+
+    def _fill4(fl):
+        return {k: v[None] for k, v in fl.items()}
+
+    if fill is not None and comm is None:
         # replace solid regions by smooth interpolants before derivatives
-        # (reference ibm_burgers hook, opr_burgers.f90:468)
+        # (reference ibm_burgers hook, opr_burgers.f90:468); on the mesh
+        # this covers y (never sharded) and unsharded x/z axes, with the
+        # global tables sliced to the local block
         from tlab_tpu import ibm as ibmmod
-        fl = ibm["fills"][axis_name]
-        fl4 = {"idx": fl["idx"][None], "w": fl["w"][None],
-               "solid": fl["solid"][None]}
-        if "const" in fl:
-            fl4["const"] = fl["const"][None]
-        fields = ibmmod.apply_spline_fill(fields, fl4, axis + 1)
+        fl = ibmmod.localize_fill(fill, axis_name, mesh_comm,
+                                  gathered=False) \
+            if mesh_comm is not None else fill
+        fields = ibmmod.apply_spline_fill(fields, _fill4(fl), axis + 1)
         conv = ibmmod.apply_spline_fill(conv, fl, axis)
     if comm is not None:
         # the advecting velocity rides the same all-to-all as the fields
@@ -353,6 +359,12 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
         wire = comm.get("wire")
         stack = jnp.concatenate([fields, conv[None]], axis=0)
         stack = pencil.cast_on_wire(pencil.GATHER[axis_name], stack, 1, wire)
+        if fill is not None:
+            # spline fill on the GATHERED full lines -- exactly where the
+            # reference fills its MPI-gathered pencils (ibm_spline.f90:30)
+            from tlab_tpu import ibm as ibmmod
+            flg = ibmmod.localize_fill(fill, axis_name, comm, gathered=True)
+            stack = ibmmod.apply_spline_fill(stack, _fill4(flg), axis + 1)
         fields_t, conv_t = stack[:-1], stack[-1]
     else:
         fields_t, conv_t = fields, conv
@@ -447,6 +459,7 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
         buf["refs_x"] = aux["refs_x"]
     if buf is not None:
         from tlab_tpu.dycore import buffer as bufmod
+        buf = bufmod.localize(buf, P.get("comm"))
         h1 = bufmod.relax(buf, "u", u, h1)
         h2 = bufmod.relax(buf, "v", v, h2)
         h3 = bufmod.relax(buf, "w", w, h3)
@@ -643,7 +656,7 @@ def _rk_substep(P, state: State, hq, hs, dte, kco_i, aux=None):
         # direct forcing: zero state in solids after the substep
         # (reference dns_main.f90:254-257)
         from tlab_tpu import ibm as ibmmod
-        state = ibmmod.apply_ibm_state(P["ibm"], state)
+        state = ibmmod.apply_ibm_state(P["ibm"], state, comm=P.get("comm"))
     hq = (kco_i * hq[0], kco_i * hq[1], kco_i * hq[2])
     hs = kco_i * hs
     return state, hq, hs, p

@@ -181,12 +181,79 @@ def build_ibm_spline(eps: np.ndarray, grid, dtype=jnp.float64,
     return fills
 
 
-def apply_ibm_state(ibm, state):
-    """Zero velocity and pin scalars inside solids (direct forcing)."""
+# ---------------------------------------------------------------------------
+# Device-local views for the pencil engine: inside shard_map the blocks
+# are (nx/Px, ny, nz/Pz) and the x/z Burgers stacks are GATHERED to full
+# lines with a further split of the other horizontal axis (parallel/
+# pencil.py gather_x/gather_z) -- the global IBM tables must be sliced to
+# exactly the coordinates each device holds.  This is the TPU analog of
+# the reference running its spline fill on the gathered MPI pencils
+# (ibm_spline.f90:30 inside OPR_Burgers, opr_burgers.f90:468).
+# ---------------------------------------------------------------------------
+
+def _block_indices(comm):
+    from jax import lax
+    px = comm.get("px", 1)
+    pz = comm.get("pz", 1)
+    ix = lax.axis_index("x") if px > 1 else jnp.zeros((), jnp.int32)
+    iz = lax.axis_index("z") if pz > 1 else jnp.zeros((), jnp.int32)
+    return px, pz, ix, iz
+
+
+def localize_fill(fill, axis_name: str, comm, gathered: bool) -> dict:
+    """Slice a global fill plan to this device's view inside shard_map.
+
+    gathered=True: the layout AFTER the pencil gather along axis_name
+    (x: (nx, ny, nz/(Px Pz)); z: (nx/(Px Pz), ny, nz)).
+    gathered=False: the plain local block (nx/Px, ny, nz/Pz) -- used for
+    the y fill and for an x/z axis whose mesh extent is 1."""
+    from jax import lax
+    px, pz, ix, iz = _block_indices(comm)
+    if px == 1 and pz == 1:
+        return fill
+    nx, ny, nz = fill["solid"].shape
+    zero = jnp.zeros((), jnp.int32)
+    if gathered and axis_name == "x":
+        chunk = nz // (px * pz)
+        x0, xs = zero, nx
+        z0, zs = iz * (nz // pz) + ix * chunk, chunk
+    elif gathered and axis_name == "z":
+        chunk = nx // (px * pz)
+        x0, xs = ix * (nx // px) + iz * chunk, chunk
+        z0, zs = zero, nz
+    else:
+        x0, xs = ix * (nx // px), nx // px
+        z0, zs = iz * (nz // pz), nz // pz
+
+    def sl(a):
+        starts = (x0, zero, z0) + (zero,) * (a.ndim - 3)
+        sizes = (xs, ny, zs) + a.shape[3:]
+        return lax.dynamic_slice(a, starts, sizes)
+
+    return {k: sl(v) for k, v in fill.items()}
+
+
+def localize_block(arr, comm):
+    """Slice a global (nx, ny, nz) constant to the local block."""
+    from jax import lax
+    px, pz, ix, iz = _block_indices(comm)
+    if px == 1 and pz == 1:
+        return arr
+    nx, ny, nz = arr.shape
+    zero = jnp.zeros((), jnp.int32)
+    return lax.dynamic_slice(arr, (ix * (nx // px), zero, iz * (nz // pz)),
+                             (nx // px, ny, nz // pz))
+
+
+def apply_ibm_state(ibm, state, comm=None):
+    """Zero velocity and pin scalars inside solids (direct forcing).
+    comm: pencil descriptor when called inside shard_map (local blocks)."""
     if ibm is None:
         return state
     from tlab_tpu.dycore.state import State
     fluid = ibm["fluid"]             # 1 - eps
+    if comm is not None:
+        fluid = localize_block(fluid, comm)
     s = state.s
     if s.shape[0]:
         sval = ibm.get("scalar_values")

@@ -241,7 +241,7 @@ def pencil_poisson_factorize(fac_dev, f, comm, bcs_b=None, bcs_t=None):
 # ---------------------------------------------------------------------------
 
 def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
-                     return_p: bool = False):
+                     return_p: bool = False, aux_example=None):
     """Wrap the dycore rk_step in shard_map over the ('x','z') mesh.
 
     Returns step(state, dtime) -> state (or (state, p) with return_p,
@@ -249,6 +249,12 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
     arrays.  The dycore's operator helpers consult P['comm'] to route
     x/z-direction work through gather/scatter; y-direction work stays
     local.
+
+    aux_example: a pytree with the STRUCTURE of the per-step aux argument
+    (unsteady-inflow reference planes, wavemaker rtime, visc_scale ramp);
+    when given, the returned step takes (state, dtime, aux) with every
+    aux leaf replicated -- x/z-extended tables inside it are sliced to
+    the local block by the dycore (buffer.localize / localize_wavemaker).
     """
     px = mesh.shape["x"]
     pz = mesh.shape["z"]
@@ -287,6 +293,19 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
     sfc_spec = PSpec(None, None, "x", "z") \
         if P.get("surface_bc") is not None else None
     state_spec = State(u=fspec, v=fspec, w=fspec, s=sspec, sfc=sfc_spec)
+
+    if aux_example is not None:
+        aux_spec = jax.tree.map(lambda _: PSpec(), aux_example)
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(state_spec, PSpec(), aux_spec),
+            out_specs=(state_spec, fspec),
+            check_vma=False)
+        def step_local_aux(state, dtime, aux):
+            return rk_step_fn(Pp, state, dtime, aux)
+
+        return jax.jit(step_local_aux)
 
     if return_p:
         @functools.partial(

@@ -100,6 +100,35 @@ def wavemaker_fields(props: WavemakerProps, grid):
     return env, phases
 
 
+def localize_wavemaker(env, phases, comm):
+    """Slice the global (nx, ny, nz) envelope and (nw, nx, ny) phase
+    tables to this device's block inside shard_map (no-op without a
+    pencil mesh)."""
+    if comm is None:
+        return env, phases
+    px = comm.get("px", 1)
+    pz = comm.get("pz", 1)
+    if px == 1 and pz == 1:
+        return env, phases
+    from jax import lax
+    zero = jnp.zeros((), jnp.int32)
+    ix = lax.axis_index("x") if px > 1 else zero
+    iz = lax.axis_index("z") if pz > 1 else zero
+    env = jnp.asarray(env)
+    phases = jnp.asarray(phases)
+    nx, ny, nz = env.shape
+    nxl, nzl = nx // px, max(nz // pz, 1) if nz > 1 else 1
+    if nz > 1 and pz > 1:
+        env = lax.dynamic_slice(env, (ix * nxl, zero, iz * nzl),
+                                (nxl, ny, nzl))
+    else:
+        env = lax.dynamic_slice(env, (ix * nxl, zero, zero),
+                                (nxl, ny, nz))
+    phases = lax.dynamic_slice(phases, (zero, ix * nxl, zero),
+                               (phases.shape[0], nxl, ny))
+    return env, phases
+
+
 def wavemaker_source(props: WavemakerProps, env, phases, iq, q, t):
     """(target_wave - q) * envelope * coeff for momentum component iq
     (0=u, 1=v), the reference relaxation form

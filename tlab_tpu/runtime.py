@@ -285,11 +285,15 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
         if wm_on:
             # wavemaker relaxation toward the plane-wave field, phase at
             # the START-of-step rtime exactly as the reference (the
-            # dispatcher passes TLab_Time rtime, tlab_sources.f90:115)
+            # dispatcher passes TLab_Time rtime, tlab_sources.f90:115);
+            # on the pencil mesh the global envelope/phase tables are
+            # sliced to this device's block
             t = (aux or {}).get("rtime", 0.0)
-            h1 = h1 + forcmod.wavemaker_source(wm, wm_env, wm_phases, 0,
+            env_l, ph_l = forcmod.localize_wavemaker(
+                wm_env, wm_phases, P.get("comm"))
+            h1 = h1 + forcmod.wavemaker_source(wm, env_l, ph_l, 0,
                                                state.u, t)
-            h2 = h2 + forcmod.wavemaker_source(wm, wm_env, wm_phases, 1,
+            h2 = h2 + forcmod.wavemaker_source(wm, env_l, ph_l, 1,
                                                state.v, t)
         if cor_on:
             r1, r2, r3 = rot.coriolis_tendency(cor, state.u, state.v, state.w)

@@ -87,7 +87,8 @@ class DnsRun:
 
 
 def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
-                        unsteady_inflow: bool = False, mesh=None):
+                        unsteady_inflow: bool = False, mesh=None,
+                        aux_example=None):
     """inner_steps > 1 runs several RK steps per device dispatch (one
     lax.fori_loop) with a fixed dt, amortizing host-device latency; the
     CFL-based dt then updates every `inner_steps` steps instead of every
@@ -254,17 +255,29 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             return impl.rk_step_implicit(P, state, dtime, aux=aux)
         return dyn.rk_step(P, state, dtime, aux=aux)
 
-    if mesh is not None and particles is None and not unsteady_inflow \
-            and not timed:
+    if mesh is not None and particles is None:
+        # production pencil path: unsteady inflow, time-dependent forcing
+        # and the [ViscChange] ramp all ride as replicated aux leaves
+        # (sliced to local blocks inside the dycore)
         from tlab_tpu.parallel import pencil as pcl
 
-        def _rk_mesh(Pp, state, dtime):
-            if implicit_diff:
-                from tlab_tpu.dycore import implicit as impl
-                return impl.rk_step_implicit(Pp, state, dtime)
-            return dyn.rk_step(Pp, state, dtime)
+        if aux_example is not None:
+            def _rk_mesh_aux(Pp, state, dtime, aux):
+                if implicit_diff:
+                    from tlab_tpu.dycore import implicit as impl
+                    return impl.rk_step_implicit(Pp, state, dtime, aux=aux)
+                return dyn.rk_step(Pp, state, dtime, aux=aux)
 
-        pstep = pcl.make_pencil_step(mesh, P, _rk_mesh, return_p=True)
+            pstep = pcl.make_pencil_step(mesh, P, _rk_mesh_aux,
+                                         aux_example=aux_example)
+        else:
+            def _rk_mesh(Pp, state, dtime):
+                if implicit_diff:
+                    from tlab_tpu.dycore import implicit as impl
+                    return impl.rk_step_implicit(Pp, state, dtime)
+                return dyn.rk_step(Pp, state, dtime)
+
+            pstep = pcl.make_pencil_step(mesh, P, _rk_mesh, return_p=True)
 
         @jax.jit
         def _mesh_diag(state):
@@ -272,10 +285,29 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
             dmin, dmax = dyn.dilatation_minmax(P, state)
             return cfl, jnp.stack([dmin, dmax])
 
-        def step(state, dtime, rtime=None, extra=None):
-            new_state, p = pstep(state, dtime)
-            cfl, dil = _mesh_diag(new_state)
-            return new_state, p, cfl, dil
+        def _mesh_aux(extra, rtime):
+            aux = {k: v for k, v in (extra or {}).items()}
+            if timed:
+                aux["rtime"] = rtime
+            return aux
+
+        if unsteady_inflow:
+            def step(state, dtime, aux, rtime=None):
+                full = _mesh_aux(aux, rtime)
+                new_state, p = pstep(state, dtime, full)
+                cfl, dil = _mesh_diag(new_state)
+                return new_state, p, cfl, dil
+        elif aux_example is not None:
+            def step(state, dtime, rtime=None, extra=None):
+                full = _mesh_aux(extra, rtime)
+                new_state, p = pstep(state, dtime, full)
+                cfl, dil = _mesh_diag(new_state)
+                return new_state, p, cfl, dil
+        else:
+            def step(state, dtime, rtime=None, extra=None):
+                new_state, p = pstep(state, dtime)
+                cfl, dil = _mesh_diag(new_state)
+                return new_state, p, cfl, dil
 
         @jax.jit
         def cfl_only(state):
@@ -566,6 +598,47 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         sim.attach_buffer_compressible(state)
     if inflow is not None and pstate is not None:
         raise NotImplementedError("unsteady inflow with particles")
+
+    # [ViscChange] viscosity ramp: a restart whose stored viscosity
+    # differs from the INI's relaxes linearly over Time toward it
+    # (dns_main.f90:176-184, 261); rides into the step as the traced
+    # visc_scale factor. Unsupported combinations (particles/inflow)
+    # jump immediately, as Time=0 does.
+    cfla = case.time_cfl
+    cfld = case.time_cfl_diffusive
+    fixed_dt = case.time_step if case.time_step > 0 else None
+    visc = sim.nsp.visc
+    visc_ini = visc
+    ramp_rate = 0.0
+    if restart_visc is not None and restart_visc > 0.0 \
+            and abs(restart_visc - visc_ini) > 1e-14 * visc_ini:
+        vtime = case.ini.get_float("ViscChange", "Time", 0.0) \
+            if getattr(case, "ini", None) else 0.0
+        if vtime > 0.0 and pstate is None and inflow is None:
+            visc = restart_visc
+            ramp_rate = (visc_ini - restart_visc) / vtime
+
+    def _visc_extra():
+        if ramp_rate == 0.0:
+            return None
+        # structure stays stable across the whole run (the pencil step's
+        # aux spec tree is fixed at build time): 1.0 after ramp completion
+        return {"visc_scale": jnp.asarray(visc / visc_ini,
+                                          state.u.dtype)}
+
+    # aux structure for the pencil step (fixed at build time)
+    timed_f = bool(getattr(sim.P.get("bodyforce"), "time_dependent", False))
+    aux_example = None
+    if mesh is not None and not is_comp:
+        ex = {}
+        if inflow is not None:
+            ex["refs_x"] = inflow.refs_at(0.0, dtype=state.u.dtype,
+                                          ny=state.u.shape[1])
+        if timed_f:
+            ex["rtime"] = 0.0
+        if ramp_rate != 0.0:
+            ex["visc_scale"] = jnp.asarray(1.0, state.u.dtype)
+        aux_example = ex or None
     if mesh is not None:
         from tlab_tpu.parallel import mesh as pmesh_mod
         fs = pmesh_mod.field_sharding(mesh)
@@ -589,7 +662,7 @@ def run(sim: Simulation, state: State, outdir: str = ".",
         step, cfl_only = make_step_functions(
             sim, particles=particle_props if pstate is not None else None,
             inner_steps=inner_steps, unsteady_inflow=inflow is not None,
-            mesh=mesh)
+            mesh=mesh, aux_example=aux_example)
 
     sponge_fn = None
     if getattr(sim, "filter_sponge", None) is not None:
@@ -701,32 +774,7 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 for aname, ax in (("x", 0), ("y", 1), ("z", 2)):
                     g[cname + aname] = dyn._d1(sim.P, aname, ax, comp)
             return g
-    cfla = case.time_cfl
-    cfld = case.time_cfl_diffusive
-    fixed_dt = case.time_step if case.time_step > 0 else None
     dconst = sim.P["diffusion_constant"]
-    visc = sim.nsp.visc
-
-    # [ViscChange] viscosity ramp: a restart whose stored viscosity
-    # differs from the INI's relaxes linearly over Time toward it
-    # (dns_main.f90:176-184, 261); rides into the step as the traced
-    # visc_scale factor. Unsupported combinations (particles/inflow)
-    # jump immediately, as Time=0 does.
-    visc_ini = visc
-    ramp_rate = 0.0
-    if restart_visc is not None and restart_visc > 0.0 \
-            and abs(restart_visc - visc_ini) > 1e-14 * visc_ini:
-        vtime = case.ini.get_float("ViscChange", "Time", 0.0) \
-            if getattr(case, "ini", None) else 0.0
-        if vtime > 0.0 and pstate is None and inflow is None:
-            visc = restart_visc
-            ramp_rate = (visc_ini - restart_visc) / vtime
-
-    def _visc_extra():
-        if ramp_rate == 0.0 or visc == visc_ini:
-            return None
-        return {"visc_scale": jnp.asarray(visc / visc_ini,
-                                          state.u.dtype)}
 
     # lagged-dt pipelining: compute the next dt from the PREVIOUS step's
     # CFL (already materialized on the host) so the next device dispatch
