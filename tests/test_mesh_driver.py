@@ -29,14 +29,18 @@ def _cli(args, outdir, devices=1):
     assert r.returncode == 0, (args, r.stderr[-2000:])
 
 
-@pytest.mark.parametrize("ini,comp", [
-    ("case01_small3d.ini", False),
-    ("case02_small3d.ini", True),
+@pytest.mark.parametrize("ini,comp,atol", [
+    ("case01_small3d.ini", False, 0.0),
+    ("case02_small3d.ini", True, 0.0),
     # mirrored-XBars IBM: spline fill on the gathered pencils + sliced
     # direct forcing (reference ibm_spline.f90:30 under MPI)
-    ("case93_small3d.ini", False),
+    ("case93_small3d.ini", False, 0.0),
+    # compressible AirWater (Case14-class): dimensional p ~ 8e4 sets an
+    # absolute round-off floor ~1e-9 on the (tiny) momentum fields --
+    # dns.out stays digit-exact, fields compared at that floor
+    ("case14_small3d.ini", True, 1e-8),
 ])
-def test_mesh_dns_matches_single_device(tmp_path, ini, comp):
+def test_mesh_dns_matches_single_device(tmp_path, ini, comp, atol):
     """ini -> dns single-device and on the 4x2 CPU mesh: dns.out files
     and restart fields must be identical (the pencil factorize Poisson /
     compressible pencil core are the same arithmetic as single-device up
@@ -66,7 +70,7 @@ def test_mesh_dns_matches_single_device(tmp_path, ini, comp):
     tag = "flow.10.1"
     a, _, _ = fields_io.read_field(os.path.join(d1, tag))
     b, _, _ = fields_io.read_field(os.path.join(d8, tag))
-    assert np.max(np.abs(a - b)) < 1e-13 * max(1.0, np.max(np.abs(a)))
+    assert np.max(np.abs(a - b)) < atol + 1e-13 * max(1.0, np.max(np.abs(a)))
 
 
 def test_mesh_rejects_bad_decomposition():

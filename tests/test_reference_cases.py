@@ -1001,3 +1001,51 @@ def test_mirrored_grid_pencil_conditioning():
             ud = np.linalg.solve(pl.M0 - lam * pl.M1, pl.R @ fv)
             err = np.max(np.abs(ue - ud)) / np.max(np.abs(ud))
             assert err < 1e-8, (bc, lam, err)
+
+
+def test_case84_on_production_mesh_bit_identical(tmp_path):
+    """An UNMODIFIED reference case on the production mesh (VERDICT r4
+    item 8): Case84 (3-D Ekman, 128x96x128, tanh-STRETCHED y grid,
+    gravity + Jmax buffer, towers, CompactDirect6) runs `dns --mesh 4,2`
+    from the same ICs as the single-device run and produces a
+    bit-identical dns.out.  (The compressible reference examples are all
+    2-D -- Kmax=1 cannot be pencil-decomposed -- so compressible mesh
+    coverage lives in test_mesh_driver's case02/case14 3-D reductions.)"""
+    ini = f"{REF}/Case84/tlab.ini"
+    d1 = str(tmp_path / "single")
+    d8 = str(tmp_path / "mesh")
+    os.makedirs(d1)
+    os.makedirs(d8)
+
+    def cli(args, outdir, devices=1):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count="
+                            f"{devices}").strip()
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *args, "--cpu",
+             "--x64", "--ini", ini, "--outdir", outdir],
+            cwd=REPO, env=env, capture_output=True, text=True,
+            timeout=3000)
+        assert r.returncode == 0, (args, r.stderr[-2000:])
+
+    cli(["ini"], d1)
+    for f in os.listdir(d1):
+        if f.startswith(("flow.", "scal.")):
+            with open(os.path.join(d1, f), "rb") as src, \
+                    open(os.path.join(d8, f), "wb") as dst:
+                dst.write(src.read())
+    cli(["dns"], d1)
+    cli(["dns", "--mesh", "4,2"], d8, devices=8)
+    out1 = [ln for ln in open(os.path.join(d1, "dns.out"))
+            if not ln.startswith("#")]
+    out8 = [ln for ln in open(os.path.join(d8, "dns.out"))
+            if not ln.startswith("#")]
+    assert out1 == out8
+    # and the single-device log matches the shipped reference as the
+    # existing case84 test demands (diffusion-limited dt -> exact cols)
+    ours = _parse_dns_out(os.path.join(d8, "dns.out"))
+    ref = _parse_dns_out(f"{REF}/Case84/dns.out.ref")
+    for col in (2, 3, 5, 6):
+        assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
+                           atol=1e-12), col

@@ -487,3 +487,49 @@ def test_netcdf_averages_roundtrip(tmp_path):
     assert averages.avg_writer(case) is averages.write_avg_nc
     case2 = load_case(Ini(text=MINI_CASE))
     assert averages.avg_writer(case2) is averages.write_avg
+
+
+def test_device_pdf_table_matches_host():
+    """stats.pdfs.pdf1v_plane_table_device equals the host
+    reference_formats.pdf1v_plane_table (adaptive two-pass, ibc=2) incl.
+    a constant plane and near-edge truncation."""
+    import jax.numpy as jnp
+    from tlab_tpu.io import reference_formats as rf
+    from tlab_tpu.stats.pdfs import pdf1v_plane_table_device
+    rng = np.random.default_rng(11)
+    f = rng.standard_normal((12, 6, 8))
+    f[:, 2, :] = 3.25                      # constant plane
+    f[:, 3, :] = np.round(f[:, 3, :] * 4) / 4   # many exact bin-edge ties
+    got = np.asarray(pdf1v_plane_table_device(jnp.asarray(f), 16))
+    ref = rf.pdf1v_plane_table(f, nbins=16, ibc=2)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+def test_stats_tables_fn_matches_direct():
+    """make_stats_tables_fn (one jitted stacked computation) returns the
+    same columns as the eager flow/scalar_statistics path."""
+    from tlab_tpu.config import load_case, Ini
+    from tlab_tpu.runtime import Simulation
+    import tests.test_pdf_modes as tpm
+    import jax.numpy as jnp
+    sim = Simulation.from_case(load_case(Ini(text=tpm.INI)))
+    rng = np.random.default_rng(2)
+    shp = sim.grid.shape
+    st = State(u=jnp.asarray(rng.standard_normal(shp)) * 0.1,
+               v=jnp.asarray(rng.standard_normal(shp)) * 0.1,
+               w=jnp.asarray(rng.standard_normal(shp)) * 0.1,
+               s=jnp.asarray(rng.standard_normal((1,) + shp)) * 0.1)
+    fn = averages.make_stats_tables_fn(sim)
+    flow, scals = fn(st)
+    ex = averages.build_extras(sim, st)
+    ref_flow = averages.flow_statistics(sim.P, st, sim.nsp.visc, extras=ex)
+    assert set(flow) == set(ref_flow)
+    for k in ref_flow:
+        np.testing.assert_allclose(flow[k], np.asarray(ref_flow[k]),
+                                   rtol=1e-12, atol=1e-13, err_msg=k)
+    ref_s = averages.scalar_statistics(sim.P, st, sim.nsp.diffusivity(0),
+                                       0, visc=sim.nsp.visc, extras=ex)
+    assert set(scals[0]) == set(ref_s)
+    for k in ref_s:
+        np.testing.assert_allclose(scals[0][k], np.asarray(ref_s[k]),
+                                   rtol=1e-12, atol=1e-13, err_msg=k)

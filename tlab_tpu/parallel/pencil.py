@@ -240,6 +240,61 @@ def pencil_poisson_factorize(fac_dev, f, comm, bcs_b=None, bcs_t=None):
 # Pencil step driver
 # ---------------------------------------------------------------------------
 
+
+def _mesh_jit(mesh, fn):
+    """jit with async ICI collectives on TPU meshes: XLA's default TPU
+    schedule keeps all-to-alls SYNCHRONOUS (measured on the v5e-compiled
+    step: 22 sync ops, zero overlap); xla_tpu_enable_async_all_to_all
+    turns them into start/done pairs that the latency-hiding scheduler
+    fills with compute (19 of 20 windows carry fusions/dots in the same
+    compiled step) -- the XLA-native analog of the reference's
+    PSFFT/NB3DFFT overlapped RHS (rhs_global_incompressible_nbc.f90)."""
+    try:
+        is_tpu = next(iter(mesh.devices.flat)).platform == "tpu"
+    except Exception:
+        is_tpu = False
+    if is_tpu:
+        return jax.jit(fn, compiler_options={
+            "xla_tpu_enable_async_all_to_all": "true"})
+    return jax.jit(fn)
+
+
+def pencil_plans(mesh, P, wire_dtype=None) -> dict:
+    """P augmented with the comm descriptor and the mesh-padded elliptic
+    tables (kx zero-padding keeps the all-to-alls tiled; shared by every
+    pencil step builder)."""
+    px = mesh.shape["x"]
+    pz = mesh.shape["z"]
+    Pp = dict(P)
+    Pp["comm"] = {"px": px, "pz": pz, "wire": wire_dtype}
+    if P.get("ell_fac") is not None:
+        # pad the per-mode kappa table for the kx all-to-alls so the
+        # distributed solve is the same reference-exact composition
+        fd = dict(P["ell_fac"])
+        kapt = np.asarray(fd["kappa"])            # (nkx, nz)
+        nkx = kapt.shape[0]
+        nkx_pad = -(-nkx // (px * pz)) * (px * pz)
+        pad = np.full((nkx_pad - nkx, kapt.shape[1]), 1e3, kapt.dtype)
+        fd["kappa_pad"] = jnp.asarray(np.concatenate([kapt, pad], axis=0))
+        fd["nkx_pad"] = nkx_pad
+        Pp["ell_fac"] = fd
+    if P.get("ell") is not None:
+        ell = dict(P["ell"])
+        ell.pop("shardings", None)
+        # pad the horizontal eigenvalue table for the kx all-to-alls
+        lam_x = np.asarray(ell["lam_xz"][:, 0]) \
+            if "lam_x_pad" not in ell else None
+        if lam_x is not None:
+            nkx = lam_x.shape[0]
+            nkx_pad = -(-nkx // (px * pz)) * (px * pz)
+            pad = np.full(nkx_pad - nkx, 1e6, dtype=lam_x.dtype)
+            ell["lam_x_pad"] = jnp.asarray(np.concatenate([lam_x, pad]))
+            ell["nkx_pad"] = nkx_pad
+            ell["lam_z"] = jnp.asarray(
+                np.asarray(ell["lam_xz"])[0, :] - lam_x[0])
+        Pp["ell"] = ell
+    return Pp
+
 def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
                      return_p: bool = False, aux_example=None):
     """Wrap the dycore rk_step in shard_map over the ('x','z') mesh.
@@ -256,34 +311,9 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
     aux leaf replicated -- x/z-extended tables inside it are sliced to
     the local block by the dycore (buffer.localize / localize_wavemaker).
     """
+    Pp = pencil_plans(mesh, P, wire_dtype)
     px = mesh.shape["x"]
     pz = mesh.shape["z"]
-    Pp = dict(P)
-    Pp["comm"] = {"px": px, "pz": pz, "wire": wire_dtype}
-    if P.get("ell_fac") is not None:
-        # pad the per-mode kappa table for the kx all-to-alls so the
-        # distributed solve is the same reference-exact composition
-        fd = dict(P["ell_fac"])
-        kapt = np.asarray(fd["kappa"])            # (nkx, nz)
-        nkx = kapt.shape[0]
-        nkx_pad = -(-nkx // (px * pz)) * (px * pz)
-        pad = np.full((nkx_pad - nkx, kapt.shape[1]), 1e3, kapt.dtype)
-        fd["kappa_pad"] = jnp.asarray(np.concatenate([kapt, pad], axis=0))
-        fd["nkx_pad"] = nkx_pad
-        Pp["ell_fac"] = fd
-    ell = dict(P["ell"])
-    ell.pop("shardings", None)
-    # pad the horizontal eigenvalue table for the kx all-to-alls
-    lam_x = np.asarray(ell["lam_xz"][:, 0]) if "lam_x_pad" not in ell else None
-    if lam_x is not None:
-        nkx = lam_x.shape[0]
-        nkx_pad = -(-nkx // (px * pz)) * (px * pz)
-        pad = np.full(nkx_pad - nkx, 1e6, dtype=lam_x.dtype)
-        ell["lam_x_pad"] = jnp.asarray(np.concatenate([lam_x, pad]))
-        ell["nkx_pad"] = nkx_pad
-        ell["lam_z"] = jnp.asarray(
-            np.asarray(ell["lam_xz"])[0, :] - lam_x[0])
-    Pp["ell"] = ell
 
     fspec = PSpec("x", None, "z")
     sspec = PSpec(None, "x", None, "z")
@@ -305,7 +335,7 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
         def step_local_aux(state, dtime, aux):
             return rk_step_fn(Pp, state, dtime, aux)
 
-        return jax.jit(step_local_aux)
+        return _mesh_jit(mesh, step_local_aux)
 
     if return_p:
         @functools.partial(
@@ -316,7 +346,7 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
         def step_local_p(state, dtime):
             return rk_step_fn(Pp, state, dtime)
 
-        return jax.jit(step_local_p)
+        return _mesh_jit(mesh, step_local_p)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -327,10 +357,116 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
         new_state, _ = rk_step_fn(Pp, state, dtime)
         return new_state
 
-    return jax.jit(step_local)
+    return _mesh_jit(mesh, step_local)
 
 
-def make_pencil_step_compressible(mesh, P, step_fn, wire_dtype=None):
+def make_pencil_step_particles(mesh, P, grid, pprops, wire_dtype=None):
+    """Coupled flow + Lagrangian-particle step on the ('x','z') mesh
+    (reference TIME_SUBSTEP_PARTICLE at any task count, time.f90:906 +
+    particle_mpi_send_recv.f90:13).
+
+    Particles are owner-sharded fixed-capacity slot arrays with leading
+    device dim (n_dev, cap, ...) sharded over BOTH mesh axes; each RK
+    substep interpolates the pre-substep velocity on halo-extended local
+    blocks, advances the particles, and migrates boundary crossers one
+    ppermute ring pass per direction -- the low-storage tendencies ride
+    the exchange as payload so a migrated particle keeps its RK carry
+    (the reference ships l_hq with l_q).
+
+    Supported types: tracer / inertia / tinia (the droplet-scalar
+    bil_cloud types need Eulerian source gathers -- rejected loudly by
+    the driver).  Returns step(state, (X, V, T, M), dtime) ->
+    (state, (X, V, T, M), p)."""
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.dycore.state import State as _State
+    from tlab_tpu.particles import parallel as pp
+    from tlab_tpu.particles.core import wrap_positions
+
+    px = mesh.shape["x"]
+    pz = mesh.shape["z"]
+    Pp = pencil_plans(mesh, P, wire_dtype)
+    locate = pp.make_block_locator(grid, px, pz)
+    kdt = tuple(P["rk"]["kdt"])
+    kco = tuple(P["rk"]["kco"])
+    y_lo, y_hi = float(grid.y.nodes[0]), float(grid.y.nodes[-1])
+
+    fspec = PSpec("x", None, "z")
+    sspec = PSpec(None, "x", None, "z")
+    sfc_spec = PSpec(None, None, "x", "z") \
+        if P.get("surface_bc") is not None else None
+    state_spec = State(u=fspec, v=fspec, w=fspec, s=sspec, sfc=sfc_spec)
+    pspec = PSpec(("x", "z"))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(state_spec, (pspec,) * 4, PSpec()),
+        out_specs=(state_spec, (pspec,) * 4, fspec),
+        check_vma=False)
+    def step_local(state, parts, dtime):
+        X, V, T, M = (a[0] for a in parts)
+        hpx = jnp.zeros_like(X)
+        hpv = jnp.zeros_like(V)
+        z = jnp.zeros_like(state.u)
+        hq = (z, z, z)
+        hs = jnp.zeros_like(state.s)
+        p = z
+        for i, k in enumerate(kdt):
+            dte = dtime * k
+            # particles first, with the PRE-substep velocity
+            # (reference TIME_RUNGEKUTTA order, time.f90:220-246)
+            uh = pp.halo_exchange(state.u)
+            vh = pp.halo_exchange(state.v)
+            wh = pp.halo_exchange(state.w)
+            loc = locate(X)
+            uf = jnp.stack([pp.interpolate_block(uh, loc),
+                            pp.interpolate_block(vh, loc),
+                            pp.interpolate_block(wh, loc)], axis=1)
+            if pprops.type == "inertia":
+                acc = (uf - V) / max(pprops.stokes, 1e-30)
+                acc = acc.at[:, 1].add(-pprops.settling)
+                dpx, dpv = V, acc
+            elif pprops.type == "tinia":
+                dpx = jnp.zeros_like(X)
+                dpv = jnp.zeros_like(V)
+            else:                      # tracer
+                dpx, dpv = uf, jnp.zeros_like(V)
+            if pprops.bcs == "stick":
+                at_wall = (X[:, 1] <= y_lo) | (X[:, 1] >= y_hi)
+                dpx = jnp.where(at_wall[:, None], 0.0, dpx)
+                dpv = jnp.where(at_wall[:, None], 0.0, dpv)
+            hpx = hpx + dpx
+            hpv = hpv + dpv
+            X = wrap_positions(grid, X + dte * hpx)
+            V = V + dte * hpv
+            # migrate crossers; the RK carries travel as payload
+            payload = jnp.concatenate([V, hpx, hpv], axis=1)
+            sp = pp.ShardedParticles(x=X, v=payload, tags=T, mask=M)
+            sp = pp.migrate(sp, grid, "x", px)
+            sp = pp.migrate(sp, grid, "z", pz)
+            X, T, M = sp.x, sp.tags, sp.mask
+            V = sp.v[:, 0:3]
+            hpx = sp.v[:, 3:6]
+            hpv = sp.v[:, 6:9]
+            # flow substep -- the same update as the single-device
+            # particle path (stepping.rk_step_with_particles)
+            hq, hs, p = dyn.substep_rhs(Pp, state, hq, hs, dte)
+            state = _State(u=state.u + dte * hq[0],
+                           v=state.v + dte * hq[1],
+                           w=state.w + dte * hq[2],
+                           s=state.s + dte * hs, sfc=state.sfc)
+            if i < len(kdt) - 1:
+                a = kco[i]
+                hq = (a * hq[0], a * hq[1], a * hq[2])
+                hs = a * hs
+                hpx = a * hpx
+                hpv = a * hpv
+        return state, (X[None], V[None], T[None], M[None]), p
+
+    return _mesh_jit(mesh, step_local)
+
+
+def make_pencil_step_compressible(mesh, P, step_fn, wire_dtype=None,
+                                  return_scalar: bool = False):
     """Explicit shard_map pencil step for the COMPRESSIBLE core: the
     conservative CompState shards P('x', None, 'z') (scalars stacked
     with a leading field axis) and the dycore's operators route x/z
@@ -341,15 +477,27 @@ def make_pencil_step_compressible(mesh, P, step_fn, wire_dtype=None):
     step_fn(P, U, dtime) -> U (e.g. a lambda closing over
     rk_step_compressible's physics arguments)."""
     from tlab_tpu.dycore.compressible import CompState
-    px = mesh.shape["x"]
-    pz = mesh.shape["z"]
-    Pp = dict(P)
-    Pp["comm"] = {"px": px, "pz": pz, "wire": wire_dtype}
+    Pp = pencil_plans(mesh, P, wire_dtype)
 
     fspec = PSpec("x", None, "z")
     sspec = PSpec(None, "x", None, "z")
     u_spec = CompState(rho=fspec, rhou=fspec, rhov=fspec, rhow=fspec,
                        rhoE=fspec, rhos=sspec)
+
+    if return_scalar:
+        # step_fn -> (U, scalar): e.g. the AirWater core's max Newton
+        # residual (NewtonRs), reduced mesh-global with pmax
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(u_spec, PSpec()),
+            out_specs=(u_spec, PSpec()),
+            check_vma=False)
+        def step_local_s(U, dtime):
+            new_U, val = step_fn(Pp, U, dtime)
+            val = lax.pmax(lax.pmax(val, "x"), "z")
+            return new_U, val
+
+        return _mesh_jit(mesh, step_local_s)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -359,4 +507,4 @@ def make_pencil_step_compressible(mesh, P, step_fn, wire_dtype=None):
     def step_local(U, dtime):
         return step_fn(Pp, U, dtime)
 
-    return jax.jit(step_local)
+    return _mesh_jit(mesh, step_local)

@@ -125,6 +125,52 @@ def migrate(p: ShardedParticles, grid, axis_name: str, n_dev: int
     return p
 
 
+def to_mesh(grid, pstate, mesh, capacity=None, dtype=None):
+    """ParticleState -> (X, V, T, M) device arrays with leading device
+    dim (n_dev, cap, ...) sharded over BOTH mesh axes, for the pencil
+    particle step.  Raises when the per-device capacity would drop
+    particles (the reference's isize_part overflow abort,
+    particle_mpi_send_recv.f90)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+    import jax.numpy as jnp
+    px = mesh.shape["x"]
+    pz = mesh.shape["z"]
+    n_dev = px * pz
+    n = int(np.asarray(pstate.x).shape[0])
+    if not capacity:
+        # 4x the balanced load, slot-aligned (particles cluster)
+        capacity = max(8, -(-n * 4 // n_dev) // 8 * 8 + 8)
+    X, V, T, M = shard_particles(grid, pstate, px, pz, capacity)
+    if int(M.sum()) != n:
+        raise ValueError(
+            f"mesh particle capacity {capacity}/device dropped "
+            f"{n - int(M.sum())} of {n} particles; raise [Particles] "
+            f"MeshCapacity")
+    sh = NamedSharding(mesh, PartitionSpec(("x", "z")))
+    dt = dtype if dtype is not None else jnp.asarray(pstate.x).dtype
+    return (jax.device_put(jnp.asarray(X, dt), sh),
+            jax.device_put(jnp.asarray(V, dt), sh),
+            jax.device_put(jnp.asarray(T), sh),
+            jax.device_put(jnp.asarray(M), sh))
+
+
+def from_mesh(parts):
+    """(X, V, T, M) sharded arrays -> host ParticleState with the active
+    rows tag-sorted (for trajectories, PDFs and restart writes)."""
+    import jax.numpy as jnp
+    from tlab_tpu.particles.core import ParticleState
+    X, V, T, M = (np.asarray(a) for a in parts)
+    m = M.reshape(-1)
+    x = X.reshape(-1, 3)[m]
+    v = V.reshape(-1, 3)[m]
+    t = T.reshape(-1)[m]
+    order = np.argsort(t, kind="stable")
+    return ParticleState(x=jnp.asarray(x[order]), v=jnp.asarray(v[order]),
+                         props=jnp.zeros((x.shape[0], 0), x.dtype),
+                         tags=jnp.asarray(t[order].astype(np.int64)))
+
+
 # ---------------------------------------------------------------------------
 # Field -> particle interpolation on the mesh (reference
 # particle_interpolate.f90 Create_Halo_K/I_IK: one-sided halo layers so the

@@ -63,4 +63,6 @@ def background_profile(props: BuoyancyProps, s_profiles, y: np.ndarray):
         np.zeros((0, y.shape[0]))
     b = buoyancy_field(props, jnp.asarray(sb[:, None, :, None]),
                        np.zeros_like(y))
-    return np.asarray(b[:, :, 0]).reshape(-1)
+    # jnp (not numpy) result: callers at setup time np.asarray it; the
+    # jitted stats path traces through it as a folded constant
+    return jnp.reshape(b[:, :, 0], (-1,))

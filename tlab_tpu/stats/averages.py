@@ -137,6 +137,48 @@ def build_extras(sim, state):
     return ex
 
 
+def make_stats_tables_fn(sim):
+    """ONE jitted device computation of the full avg tables (the analog
+    of the reference reducing in place via AVG_IK_V, averages.f90:36-333,
+    instead of gathering fields): returns fetch(state, p) -> (flow dict,
+    [scalar dicts]) of (ny,) NumPy columns, computed sharded on device
+    and fetched as a single stacked (ncols, ny) array -- no full-field
+    D2H in the stats path (VERDICT r4 item 4)."""
+    import jax
+    ns = sim.nsp.n_scalars
+    names_box = {}
+
+    @jax.jit
+    def compute(state, p):
+        ex = build_extras(sim, state)
+        flow = flow_statistics(sim.P, state, sim.nsp.visc, p=p, extras=ex)
+        scals = [scalar_statistics(sim.P, state, sim.nsp.diffusivity(i),
+                                   i, p=p, visc=sim.nsp.visc, extras=ex)
+                 for i in range(ns)]
+        names_box["flow"] = list(flow.keys())
+        names_box["scal"] = [list(s.keys()) for s in scals]
+        ny = state.u.shape[1]
+        dt = state.u.dtype
+        cols = [jnp.broadcast_to(jnp.asarray(v, dt), (ny,))
+                for v in flow.values()]
+        for s in scals:
+            cols += [jnp.broadcast_to(jnp.asarray(v, dt), (ny,))
+                     for v in s.values()]
+        return jnp.stack(cols)
+
+    def fetch(state, p=None):
+        stacked = np.asarray(compute(state, p))       # one small D2H
+        k = len(names_box["flow"])
+        flow = dict(zip(names_box["flow"], stacked[:k]))
+        scals = []
+        for snames in names_box["scal"]:
+            scals.append(dict(zip(snames, stacked[k:k + len(snames)])))
+            k += len(snames)
+        return flow, scals
+
+    return fetch
+
+
 # ---------------------------------------------------------------------------
 # AVG_FLOW_XZ
 # ---------------------------------------------------------------------------

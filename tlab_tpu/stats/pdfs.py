@@ -61,6 +61,53 @@ def pdf_per_plane(a, nbins: int = 64, vmin=None, vmax=None, gate=None):
     return counts, edges
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def pdf1v_plane_table_device(field, nbins: int):
+    """DEVICE-side reference-exact ibc=2 adaptive two-pass PDF table:
+    per-y-plane rows + whole-volume row, (ny+1, nbins+2), equal to
+    reference_formats.pdf1v_plane_table (PDF1V2D + PDF_ANALIZE,
+    pdfs.f90:28-111,329-375).  Lets the in-run pdf cadence fetch only
+    the (ny+1, nbins+2) table instead of the full 3-D field."""
+    nx, ny, nz = field.shape
+
+    def row(samples):
+        dt = samples.dtype
+        umin = jnp.min(samples)
+        umax = jnp.max(samples)
+        ustep = (umax - umin) / nbins
+        u1 = jnp.where(ustep == 0.0, jnp.asarray(1.0, dt), ustep)
+        up = ((samples - umin) / u1).astype(jnp.int32)
+        counts1 = jnp.zeros(nbins, dt).at[
+            jnp.minimum(up, nbins - 1)].add(1.0)
+        # PDF_ANALIZE: trim bins below plim * max-count from both ends
+        pmin = jnp.asarray(1.0e-4, dt) * jnp.max(counts1)
+        idx = jnp.arange(nbins)
+        mask = counts1 > pmin
+        first = jnp.min(jnp.where(mask, idx, nbins))
+        last = jnp.max(jnp.where(mask, idx, -1))
+        lo = jnp.where(ustep == 0.0, umin, umin + first * ustep)
+        hi = jnp.where(ustep == 0.0, umax, umin + (last + 1) * ustep)
+        # second pass on the trimmed range, outliers dropped (ilim=0);
+        # float->int conversion truncates toward zero exactly as the
+        # host NumPy/Fortran INT()
+        step2 = (hi - lo) / nbins
+        s2 = jnp.where(step2 == 0.0, jnp.asarray(1.0, dt), step2)
+        up2 = ((samples - lo) / s2).astype(jnp.int32)
+        keep = (up2 >= 0) & (up2 <= nbins - 1)
+        counts2 = jnp.zeros(nbins, dt).at[
+            jnp.clip(up2, 0, nbins - 1)].add(keep.astype(dt))
+        return jnp.concatenate(
+            [counts2, jnp.stack([lo + 0.5 * step2, hi - 0.5 * step2])])
+
+    planes = jnp.moveaxis(field, 1, 0).reshape(ny, nx * nz)
+    rows = jax.vmap(row)(planes)
+    vrow = row(field.reshape(nx * ny * nz))
+    return jnp.concatenate([rows, vrow[None]], axis=0)
+
+
 def _pdf1v_out(outdir, itime, rtime, y, tag, field, nbins, gate=None):
     f = np.asarray(field)
     if gate is not None:
