@@ -132,6 +132,31 @@ def main():
     if os.environ.get("TLAB_TPU_BENCH_EXTRAS", "1") != "0":
         _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline)
 
+    # ---- MFU / roofline statement (VERDICT r4 item 7) -------------------
+    # dense-step matmul flop model per substep (convective form, F = 4
+    # prognostic fields; 2 flops per MAC):
+    F = 3 + 1
+    m_adv = 2 * sum(2 * n * n * F * (npts // n) for n in (nx, ny, nz))
+    m_div_grad = 2 * 5 * sum(n * n * (npts // n) for n in (nx, ny, nz)) / 3
+    nkx = nx // 2 + 1
+    # factorize projection: rDFT x (fwd+2 bwd), cDFT z (fwd+2 bwd,
+    # complex = 4x real MACs), two complex tri sweeps via (ny,ny) modal
+    # matmuls on nkx*nz columns (~8 real matmul passes)
+    m_proj = (2 * 3 * (2 * nkx) * nx * ny * nz
+              + 2 * 3 * 4 * nz * nz * nkx * ny
+              + 2 * 8 * ny * ny * nkx * nz)
+    flops_sub = m_adv + m_div_grad + m_proj
+    fl_pt = flops_sub / npts
+    achieved = flops_sub / (dt_wall / n_sub)
+    # TLAB_TPU_MATMUL_PRECISION=high executes each f32 matmul as 3 bf16
+    # passes on the MXU; v5e bf16 peak 197 TFLOP/s
+    mxu_eq = 3.0 * achieved
+    peak = 197e12
+    print(f"bench-mfu: dense step ~{fl_pt:.0f} matmul flops/pt/substep; "
+          f"achieved {achieved/1e12:.2f} TFLOP/s logical fp32 "
+          f"(~{mxu_eq/1e12:.1f} TFLOP/s bf16-pass equivalent at HIGH = "
+          f"{100*mxu_eq/peak:.0f}% of v5e bf16 peak)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "grid-points/s/chip per RK substep (512x256x256 shear layer, fp32, RK4-5)",
         "value": round(pts_per_s_per_substep, 1),
@@ -255,6 +280,91 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
     except Exception as e:
         print(f"bench-extra: thomas crossover failed: {e!r}",
               file=sys.stderr)
+
+    # device-side stats tables at bench size (VERDICT r4 item 4): the
+    # full avg flow+scalar tables as ONE jitted stacked computation,
+    # fetching (ncols, ny) only
+    try:
+        from types import SimpleNamespace
+        from tlab_tpu.stats import averages as avg
+        from tlab_tpu.grid import uniform_grid as _ug0
+        g0 = _ug0(*grid.shape, 2.0 * np.pi, 1.0, np.pi)
+        sim_sh = SimpleNamespace(
+            case=SimpleNamespace(equations="incompressible"),
+            nsp=nsp, P=dyn.build_device_plans(
+                build_fdm_plan(g0), nsp, bcs, dtype=dtype),
+            grid=g0, dtype=dtype)
+        fetch = avg.make_stats_tables_fn(sim_sh)
+        p_stub = state0.u
+        flow, scals = fetch(state0, p_stub)      # compile + warmup
+        t0 = time.perf_counter()
+        flow, scals = fetch(state0, p_stub)      # host dicts: fetch done
+        t = time.perf_counter() - t0
+        ncols = len(flow) + sum(len(s) for s in scals)
+        print(f"bench-extra: device-side stats tables ({ncols} cols) at "
+              f"512x256x256: {t*1e3:.1f} ms incl. the single "
+              f"(ncols, ny) D2H", file=sys.stderr)
+    except Exception as e:
+        print(f"bench-extra: stats-table timing failed: {e!r}",
+              file=sys.stderr)
+
+    # long-line FULL-STEP crossover (VERDICT r4 item 2): nx=2048 so the
+    # partitioned circulant banded path engages in the production RK step
+    # (TLAB_TPU_PARTITION_MIN_N default 2048); same step with the banded
+    # path disabled gives the dense datapoint.  fp32, 2048x256x128
+    # (~1.3 GB stack, fits v5e HBM).
+    try:
+        import os as _os
+        from tlab_tpu.grid import uniform_grid as _ug2
+        nxl, nyl, nzl = 2048, 256, 128
+        gl = _ug2(nxl, nyl, nzl, 8.0 * np.pi, 1.0, np.pi)
+        key = jax.random.PRNGKey(2)
+        y1 = jnp.asarray(gl.y.nodes, dtype)[None, :, None]
+        prof = 0.5 * jnp.tanh(-0.5 * (y1 - 0.5) / 0.05)
+        env = jnp.sin(jnp.pi * y1).astype(dtype)
+        ku, kv, kw = jax.random.split(key, 3)
+
+        def noise(k):
+            return 0.01 * env * jax.random.normal(k, (nxl, nyl, nzl), dtype)
+
+        stl = type(state0)(u=prof + noise(ku), v=noise(kv), w=noise(kw),
+                           s=(0.5 - prof)[None]
+                           * jnp.ones((1, nxl, nyl, nzl), dtype))
+        jax.block_until_ready(stl)
+        from tlab_tpu.ops import elliptic_factorize as fac2
+        npts_l = nxl * nyl * nzl
+        n_steps_l = 2
+        for name, minn in (("banded-partitioned", "2048"),
+                           ("dense", "99999999")):
+            _os.environ["TLAB_TPU_PARTITION_MIN_N"] = minn
+            _os.environ["TLAB_TPU_THOMAS_MIN_N"] = minn
+            fdml = build_fdm_plan(gl)
+            Pl = dyn.build_device_plans(fdml, nsp, bcs, dtype=dtype)
+            Pl["ell_fac"] = fac2.device_factorize_plan(
+                fac2.build_factorize_plan(fdml), dtype)
+
+            @jax.jit
+            def long_n(st):
+                return jax.lax.fori_loop(
+                    0, n_steps_l,
+                    lambda i, s_: dyn.rk_step(Pl, s_, 2e-4)[0], st)
+
+            out = long_n(stl)
+            jax.block_until_ready(out)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = long_n(stl)
+                float(jnp.sum(out.u))       # fetch inside timed region
+                best = min(best, time.perf_counter() - t0)
+            rate = npts_l / (best / n_steps_l / 5)
+            print(f"bench-extra: long-line 2048x256x128 {name} full step: "
+                  f"{rate:.3e} pts/s/chip/substep "
+                  f"({rate / baseline:.0f}x baseline)", file=sys.stderr)
+        _os.environ.pop("TLAB_TPU_PARTITION_MIN_N", None)
+        _os.environ.pop("TLAB_TPU_THOMAS_MIN_N", None)
+    except Exception as e:
+        print(f"bench-extra: long-line setup failed: {e!r}", file=sys.stderr)
 
     # stretched y grid + SMR91 semi-implicit diffusion.  Smaller than the
     # headline: the implicit Helmholtz plans embed per-mode tables as HLO

@@ -960,11 +960,14 @@ def test_case92_staggered_pressure_end_to_end(tmp_path):
     STAGGERED derivative wavenumbers (opr_elliptic.f90:144-147, single
     singular mode) and the log reports the staggered dilatation
     (FI_INVARIANT_P_STAG). time/dt/CFL/D#/visc exact to print precision;
-    dilatation tracks the reference per step to 0.5%."""
+    dilatation tracks the reference per step to 3e-4 (r4: the pressure
+    filter's wall/next-to-wall rows now use the reference's exact
+    biased/zero closures, flt_compact.f90:130-224 -- this tightened the
+    column 30x from the r3 0.5%/step)."""
     ours, ref = _run_case_random_ic(tmp_path, "Case92", cfl_rtol=1e-6,
                                     dil_factor=1.01)
     for col in (7, 8):
-        assert np.allclose(ours[1:, col], ref[1:, col], rtol=5e-3), col
+        assert np.allclose(ours[1:, col], ref[1:, col], rtol=3e-4), col
 
 
 def test_case93_ibm_staggered_end_to_end(tmp_path):

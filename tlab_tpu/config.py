@@ -412,7 +412,9 @@ def load_case(path_or_ini) -> CaseSetup:
         parameters=ini.get_floats("Dealiasing", "Parameters", (0.49,)) or (0.49,),
         active=(ini.get_bool("Dealiasing", "ActiveX", True),
                 ini.get_bool("Dealiasing", "ActiveY", True),
-                ini.get_bool("Dealiasing", "ActiveZ", True)))
+                ini.get_bool("Dealiasing", "ActiveZ", True)),
+        bcs_j=(ini.get("Dealiasing", "BcsJmin", "biased").lower(),
+               ini.get("Dealiasing", "BcsJmax", "biased").lower()))
 
     # [PressureFilter]: filter p and dp/dy after the Poisson solve each
     # substep (rhs_global_incompressible_1.f90:287-291); required to keep
@@ -424,7 +426,9 @@ def load_case(path_or_ini) -> CaseSetup:
                                   (0.49,)) or (0.49,),
         active=(ini.get_bool("PressureFilter", "ActiveX", True),
                 ini.get_bool("PressureFilter", "ActiveY", True),
-                ini.get_bool("PressureFilter", "ActiveZ", True)))
+                ini.get_bool("PressureFilter", "ActiveZ", True)),
+        bcs_j=(ini.get("PressureFilter", "BcsJmin", "biased").lower(),
+               ini.get("PressureFilter", "BcsJmax", "biased").lower()))
 
     ftype = ini.get("Filter", "Type", "none").lower()
     filter_spec = FilterSpec(
@@ -434,7 +438,9 @@ def load_case(path_or_ini) -> CaseSetup:
                 ini.get_bool("Filter", "ActiveY", True),
                 ini.get_bool("Filter", "ActiveZ", True)),
         step=ini.get_int("Filter", "Step",
-                         ini.get_int("Iteration", "Filter", 0)))
+                         ini.get_int("Iteration", "Filter", 0)),
+        bcs_j=(ini.get("Filter", "BcsJmin", "biased").lower(),
+               ini.get("Filter", "BcsJmax", "biased").lower()))
 
     scal_limit = ini.get_bool("Control", "ScalLimit", True)
     control_cfg = {

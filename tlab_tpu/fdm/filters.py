@@ -17,12 +17,39 @@ from __future__ import annotations
 import numpy as np
 
 
-def compact4_matrix(nodes: np.ndarray, alpha: float, periodic: bool) -> np.ndarray:
-    """Dense F = A^-1 B for the 4th-order compact (alpha) filter.
+def _c4_row(nodes, stencil, i, pin_idx, ac_loc, lhs_pairs):
+    """One compact-filter RHS row by constrained cubic exactness: the
+    5-point stencil weights satisfy sum_k c_k p(x_k) = sum_j w_j p(x_j)
+    (the LHS couplings) for every cubic p, with the coefficient at
+    pin_idx pinned to ac_loc.  Verified numerically IDENTICAL (1e-15) to
+    the reference's closed-form nonuniform formulas
+    (FLT_C4_RHS_COEFFS, flt_compact.f90:51-224) for the interior
+    (ac=(5+6a)/8), next-to-wall (ac=(3+2a)/4, biased stencil) and wall
+    (ac=(15+a)/16, biased) rows."""
+    xs = nodes[stencil]
+    x0 = nodes[i]
+    M = np.zeros((5, 5))
+    rhs = np.zeros(5)
+    for m in range(4):
+        M[m, :] = (xs - x0) ** m
+        rhs[m] = sum(w * (nodes[j] - x0) ** m for j, w in lhs_pairs)
+    M[4, :] = np.eye(5)[pin_idx]
+    rhs[4] = ac_loc
+    return np.linalg.solve(M, rhs)
 
-    Boundary rows on bounded domains leave the two end points unfiltered
-    (uf = u), the reference's BCS_ZERO-style closure.
-    """
+
+def compact4_matrix(nodes: np.ndarray, alpha: float, periodic: bool,
+                    bcs=("biased", "biased")) -> np.ndarray:
+    """Dense F = A^-1 B for the 4th-order compact (alpha) filter
+    (reference FLT_C4_LHS/RHS_COEFFS/RHS, flt_compact.f90).
+
+    Bounded domains follow the reference row taxonomy exactly: wall rows
+    use the one-sided ac=(15+alpha)/16 closure (Bcs 'biased', the
+    reference default) or pass through unchanged (Bcs 'zero', e.g. the
+    Case92 pressure filter); next-to-wall rows use the biased
+    ac=(3+2alpha)/4 stencil.  bcs = (jmin, jmax) in {'biased', 'zero'}
+    ('free'/'solid' behave as 'biased' for this filter type, as the
+    reference)."""
     n = nodes.shape[0]
     ac = (5.0 + 6.0 * alpha) / 8.0
     A = np.zeros((n, n))
@@ -43,29 +70,40 @@ def compact4_matrix(nodes: np.ndarray, alpha: float, periodic: bool) -> np.ndarr
             B[i, (i + 2) % n] += 0.5 * c2
         return np.linalg.solve(A, B)
 
-    # bounded: polynomial-exactness construction on the (possibly nonuniform)
-    # 5-point stencil for interior rows; end rows pass through unchanged
+    if n < 5:
+        return np.eye(n)
+
     for i in range(n):
         A[i, i] = 1.0
-        if i in (0, n - 1):
-            B[i, i] = 1.0
-            continue
+    lo5 = np.arange(5)
+    hi5 = np.arange(n - 5, n)
+    # wall rows (FLT_C4_LHS zero-closure vs biased formulas)
+    if str(bcs[0]).lower() == "zero":
+        B[0, 0] = 1.0
+    else:
+        A[0, 1] = alpha
+        B[0, lo5] = _c4_row(nodes, lo5, 0, 0, (15.0 + alpha) / 16.0,
+                            [(0, 1.0), (1, alpha)])
+    if str(bcs[1]).lower() == "zero":
+        B[n - 1, n - 1] = 1.0
+    else:
+        A[n - 1, n - 2] = alpha
+        B[n - 1, hi5] = _c4_row(nodes, hi5, n - 1, 4,
+                                (15.0 + alpha) / 16.0,
+                                [(n - 1, 1.0), (n - 2, alpha)])
+    # next-to-wall rows: biased 5-point stencils, ac = (3+2 alpha)/4
+    for i, st, pin in ((1, lo5, 1), (n - 2, hi5, 3)):
         A[i, i - 1] = alpha
         A[i, i + 1] = alpha
-        lo = max(0, min(i - 2, n - 5))
-        stencil = np.arange(lo, lo + 5)
-        xi = nodes[i]
-        xs = nodes[stencil]
-        M = np.zeros((5, 5))
-        rhs = np.zeros(5)
-        for m in range(4):
-            M[m, :] = (xs - xi) ** m
-            rhs[m] = (1.0 if m == 0 else 0.0) \
-                + alpha * ((nodes[i - 1] - xi) ** m + (nodes[i + 1] - xi) ** m)
-        M[4, :] = 0.0
-        M[4, list(stencil).index(i)] = 1.0
-        rhs[4] = ac
-        B[i, stencil] = np.linalg.solve(M, rhs)
+        B[i, st] = _c4_row(nodes, st, i, pin, (3.0 + 2.0 * alpha) / 4.0,
+                           [(i - 1, alpha), (i, 1.0), (i + 1, alpha)])
+    # interior rows: centered, ac = (5+6 alpha)/8
+    for i in range(2, n - 2):
+        A[i, i - 1] = alpha
+        A[i, i + 1] = alpha
+        st = np.arange(i - 2, i + 3)
+        B[i, st] = _c4_row(nodes, st, i, 2, ac,
+                           [(i - 1, alpha), (i, 1.0), (i + 1, alpha)])
     return np.linalg.solve(A, B)
 
 

@@ -23,6 +23,9 @@ class FilterSpec:
     parameters: tuple = (0.49,)
     active: tuple = (True, True, True)
     step: int = 0            # domain-filter cadence (0 = off)
+    # y-direction wall closure (reference BcsJmin/BcsJmax,
+    # opr_filter.f90:160-185): 'biased' (default) | 'zero'
+    bcs_j: tuple = ("biased", "biased")
 
 
 def adm_matrix(nodes, periodic):
@@ -43,8 +46,10 @@ def build_filter_matrices(fdm: FdmPlan, spec: FilterSpec, dtype=jnp.float64):
             out[name] = None
             continue
         if spec.type == "compact":
+            bcs = getattr(spec, "bcs_j", ("biased", "biased")) \
+                if name == "y" else ("biased", "biased")
             M = flt.compact4_matrix(plan.nodes, spec.parameters[0],
-                                    plan.periodic)
+                                    plan.periodic, bcs=bcs)
         elif spec.type == "explicit6":
             M = flt.explicit6_matrix(plan.size, plan.periodic)
         elif spec.type == "explicit4":

@@ -116,15 +116,37 @@ def cumulative_matrices(y: np.ndarray):
     return Jt, Jb
 
 
+def int1_cumulative_matrices(plan_y):
+    """Compact-integral matrices from the reference's FDM_Int1 system
+    (fdm_integral.f90; what IR_RTE1_* integrates tau with): (Jt, Jb),
+    (Jt f)[j] = int_y^top f, (Jb f)[j] = int_bot^y f, 6th-order.
+    Replaces the 2nd-order trapezoid whose ~1e-4 tau error left the
+    radiation-family dilatation columns (Case17/18/19/24/54/55) ~0.1-1%
+    off the reference (r4 root-cause)."""
+    from tlab_tpu.ops.elliptic_factorize import build_int1_pencil
+    M0, _M1, R = build_int1_pencil(plan_y, "max")
+    T = np.linalg.solve(M0, R)
+    T[:, -1] = 0.0                     # the bc slot carries u(top) = 0
+    Jt = -T                            # solve gives -int_y^top
+    M0b, _M1b, Rb = build_int1_pencil(plan_y, "min")
+    Tb = np.linalg.solve(M0b, Rb)
+    Tb[:, 0] = 0.0
+    return Jt, Tb
+
+
 def infrared_source(props: RadiationProps, Jt, Jb, ql, rho_bar):
     """Heating-rate field from liquid water (ql: (nx, ny, nz)); the
-    reference's IR_RTE1_OnlyLiquid (no mean-direction factor)."""
+    reference's IR_RTE1_OnlyLiquid (no mean-direction factor,
+    radiation.f90:401-432): p_tau = exp(-int_y^top a); the upward flux
+    uses the RATIO p_tau(bottom)/p_tau(y) exactly as the reference (one
+    integral, not a second one)."""
     a = props.kappa * ql * rho_bar[None, :, None]
-    tau_top = jnp.einsum("ab,ibk->iak", Jt, a)
-    src = a * (props.flux_top * jnp.exp(-tau_top))
+    ptau = jnp.exp(-jnp.einsum("ab,ibk->iak", Jt, a))
     if abs(props.flux_bottom) > 0:
-        tau_bot = jnp.einsum("ab,ibk->iak", Jb, a)
-        src = src + a * props.flux_bottom * jnp.exp(-tau_bot)
+        src = a * (ptau * props.flux_top
+                   + (ptau[:, :1, :] / ptau) * props.flux_bottom)
+    else:
+        src = a * (props.flux_top * ptau)
     return src
 
 

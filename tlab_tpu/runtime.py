@@ -178,7 +178,13 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
     chem_on = chem.type != "none"
     ntp = np.dtype(jnp.dtype(dtype))
     if rad_on or mic_on:
-        Jt, Jb = radmod.cumulative_matrices(grid.y.nodes)
+        # compact FDM_Int1 tau integrals with the case's y scheme (the
+        # reference radiation integrates with fdm_Int0 = FDM_Int1 plans,
+        # radiation.f90:414)
+        from tlab_tpu.fdm.plan import build_deriv_plan
+        plan_y_rad = build_deriv_plan(grid.y, case.space_order1,
+                                      case.space_order2)
+        Jt, Jb = radmod.int1_cumulative_matrices(plan_y_rad)
         Jt = np.asarray(Jt, ntp)
         Jb = np.asarray(Jb, ntp)
     y_dev = np.asarray(grid.y.nodes, ntp)
