@@ -126,14 +126,15 @@ def build_device_plans(fdm: FdmPlan, nsp: NSParams, bcs: WallBCs,
     # fetched D2H at jit-lowering time, which the axon tunnel cannot do
     nt = np.dtype(jnp.dtype(dtype))
     import os
-    # banded-vs-dense crossover measured on the chip, fp32, dispatch-
-    # amortized single-D1 m=4096: N=4096 banded 2.88 ms vs dense 4.65 ms
-    # -- but the FUSED [D1;D2] Burgers stack at N=512 is faster dense
-    # (headline 631M pts/s dense vs 482M banded, r3): the one big MXU
-    # matmul beats two slab passes until lines get long.  Both paths
-    # therefore default on only from 2048 lines; tune via the env vars.
-    thomas_min_n = int(os.environ.get("TLAB_TPU_THOMAS_MIN_N", "2048"))
-    part_min_n = int(os.environ.get("TLAB_TPU_PARTITION_MIN_N", "2048"))
+    # banded-vs-dense crossover measured ON CHIP in the FULL RK step
+    # (r4, fp32, 2048x256x128): dense 372M vs banded 368M pts/s/substep
+    # -- parity at N=2048, so the fused [D1;D2] stays dense there.  The
+    # lone-op honest timing (fetch inside the timed region) at N=4096:
+    # banded 3.06 ms vs dense 48.4 ms (16x) -- the O(N L) path wins
+    # decisively by 4096.  Defaults therefore sit between the two
+    # power-of-two sizes: 2048-line grids run dense, 4096+ run banded.
+    thomas_min_n = int(os.environ.get("TLAB_TPU_THOMAS_MIN_N", "2304"))
+    part_min_n = int(os.environ.get("TLAB_TPU_PARTITION_MIN_N", "2304"))
     for name, plan in (("x", fdm.x), ("y", fdm.y), ("z", fdm.z)):
         if plan.size > 1:
             P[f"d1{name}"] = np.asarray(plan.d1[BC.DD], nt)
