@@ -319,3 +319,38 @@ def test_unknown_mode_raises(setup):
     sim, st, p, out = setup
     with pytest.raises(NotImplementedError):
         pdfs.run_pdf_mode(sim, st, p, out, 77, 1.25, opt_main=99)
+
+
+def test_cavg_tables(setup):
+    """Conditional-average outputs of modes 9/15 (reference CAVG1V_N /
+    CAVG2V, cavg.f90): mean(a | bin) with empty bins left at zero,
+    verified against a direct NumPy binned mean."""
+    sim, st, p, out = setup
+    pdfs.run_pdf_mode(sim, st, p, out, 77, 1.25, opt_main=9,
+                      nbins=(16, 16))
+    for f in ("cavgGiGi77.s", "cavgLnGiGi77.s"):
+        assert os.path.exists(os.path.join(out, f)), f
+    t, y, rows, _nb = rf.read_pdf_file(os.path.join(out, "cavgGiGi77.s"))
+    # independent check on the volume row (last): binned mean of GiGi
+    from tlab_tpu import mappings as mp
+    gigi = np.asarray(mp.gradient_magnitude2(sim.P, st.s[0])).ravel()
+    s = np.asarray(st.s[0]).ravel()
+    umin, umax = s.min(), s.max()
+    step = (umax - umin) / 16
+    up = np.minimum(((s - umin) / step).astype(np.int64), 15)
+    ref = np.zeros(16)
+    for k in range(16):
+        m = up == k
+        if m.any():
+            ref[k] = gigi[m].mean()
+    np.testing.assert_allclose(rows[-1, :16], ref.astype(np.float32),
+                               rtol=1e-5)
+
+    pdfs.run_pdf_mode(sim, st, p, out, 77, 1.25, opt_main=15,
+                      nbins=(16, 16))
+    for f in ("cavgB77.b", "cavgB77.v", "cavgB77.bv", "cavgU77.b",
+              "cavgVii77.bv", "cavgP77.v", "cavgPy77.bv"):
+        assert os.path.exists(os.path.join(out, f)), f
+    t, y, rows2, _nb = rf.read_pdf_file(os.path.join(out, "cavgB77.bv"),
+                                        ndim=2)
+    assert rows2.shape[1] == 16 * 16 + 2 + 2 * 16

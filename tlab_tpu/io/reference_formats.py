@@ -209,6 +209,111 @@ def pdf1v_plane_table(field: np.ndarray, nbins: int, ibc: int = 2):
     return rows
 
 
+def cavg1v2d(u2d: np.ndarray, a2d: np.ndarray, nbins: int, ilim: int = 1,
+             umin_ext: float = 0.0, umax_ext: float = 0.0):
+    """PDF1V2D's optional conditional-average accumulation (cavg.f90
+    CAVG1V_N): the row carries mean(a | u-bin) instead of counts (zero
+    where the bin is empty), same range slots."""
+    out = np.zeros(nbins + 2)
+    u = np.asarray(u2d, np.float64).ravel()
+    a = np.asarray(a2d, np.float64).ravel()
+    if ilim == 0:
+        umin, umax = umin_ext, umax_ext
+    else:
+        umin, umax = float(u.min()), float(u.max())
+    ustep = (umax - umin) / nbins
+    out[nbins] = umin + 0.5 * ustep
+    out[nbins + 1] = umax - 0.5 * ustep
+    if ustep == 0.0:
+        ustep = 1.0
+    up = ((u - umin) / ustep).astype(np.int64)
+    counts = np.zeros(nbins)
+    sums = np.zeros(nbins)
+    if ilim == 0:
+        keep = (up >= 0) & (up <= nbins - 1)
+        np.add.at(counts, up[keep], 1.0)
+        np.add.at(sums, up[keep], a[keep])
+    else:
+        upc = np.minimum(up, nbins - 1)
+        np.add.at(counts, upc, 1.0)
+        np.add.at(sums, upc, a)
+    nz = counts > 0.0
+    out[:nbins][nz] = sums[nz] / counts[nz]
+    return out
+
+
+def cavg1v_plane_table(cond: np.ndarray, a: np.ndarray, nbins: int,
+                       ibc: int = 2):
+    """Per-plane + whole-volume conditional-average rows (CAVG1V_N,
+    cavg.f90:7-89): ibc>1 -> adaptive range from the first-pass COUNT
+    histogram (PDF_ANALIZE), then the conditional means on the trimmed
+    range with outliers dropped."""
+    nx, ny, nz = cond.shape
+    rows = np.zeros((ny + 1, nbins + 2))
+    planes = [(cond[:, j, :], a[:, j, :]) for j in range(ny)] + [(cond, a)]
+    for j, (cj, aj) in enumerate(planes):
+        if ibc > 1:
+            row = pdf1v2d(cj, nbins, ilim=1)
+            lo, hi = pdf_analize(nbins, row)
+            rows[j] = cavg1v2d(cj, aj, nbins, ilim=0, umin_ext=lo,
+                               umax_ext=hi)
+        else:
+            rows[j] = cavg1v2d(cj, aj, nbins, ilim=ibc)
+    return rows
+
+
+def cavg2v2d(u2d: np.ndarray, v2d: np.ndarray, a2d: np.ndarray, nbins):
+    """PDF2V2D's conditional-average variant (CAVG2V, cavg.f90:93-131):
+    mean(a | joint (u,v) bin) in place of the counts; same adaptive
+    per-u-bin v ranges and coordinate slots."""
+    nb1, nb2 = int(nbins[0]), int(nbins[1])
+    u = np.asarray(u2d, np.float64).ravel()
+    v = np.asarray(v2d, np.float64).ravel()
+    a = np.asarray(a2d, np.float64).ravel()
+    out = np.zeros(nb1 * nb2 + 2 + 2 * nb1)
+    offset = nb1 * nb2 + 2
+
+    umin, umax = float(u.min()), float(u.max())
+    ustep = (umax - umin) / nb1
+    out[nb1 * nb2] = umin + 0.5 * ustep
+    out[nb1 * nb2 + 1] = umax - 0.5 * ustep
+    if ustep == 0.0:
+        ustep = 1.0
+    up = np.minimum(((u - umin) / ustep).astype(np.int64), nb1 - 1)
+
+    vmin = np.full(nb1, np.inf)
+    vmax = np.full(nb1, -np.inf)
+    np.minimum.at(vmin, up, v)
+    np.maximum.at(vmax, up, v)
+    vmin[~np.isfinite(vmin)] = 0.0
+    vmax[~np.isfinite(vmax)] = 0.0
+    vstep = (vmax - vmin) / nb2
+    out[offset:offset + nb1] = vmin + 0.5 * vstep
+    out[offset + nb1:offset + 2 * nb1] = vmax - 0.5 * vstep
+    vstep = np.where(vstep == 0.0, 1.0, vstep)
+
+    vp = np.minimum(((v - vmin[up]) / vstep[up]).astype(np.int64), nb2 - 1)
+    ip = vp * nb1 + up
+    counts = np.zeros(nb1 * nb2)
+    sums = np.zeros(nb1 * nb2)
+    np.add.at(counts, ip, 1.0)
+    np.add.at(sums, ip, a)
+    nz = counts > 0.0
+    out[:nb1 * nb2][nz] = sums[nz] / counts[nz]
+    return out
+
+
+def cavg2v_table(u: np.ndarray, v: np.ndarray, a: np.ndarray, nbins):
+    """Per-plane + volume CAVG2V rows."""
+    nx, ny, nz = u.shape
+    nb1, nb2 = int(nbins[0]), int(nbins[1])
+    rows = np.zeros((ny + 1, nb1 * nb2 + 2 + 2 * nb1))
+    for j in range(ny):
+        rows[j] = cavg2v2d(u[:, j, :], v[:, j, :], a[:, j, :], nbins)
+    rows[ny] = cavg2v2d(u, v, a, nbins)
+    return rows
+
+
 def pdf2v2d(u2d: np.ndarray, v2d: np.ndarray, nbins):
     """PDF2V2D (pdfs.f90:215-322): joint histogram with a per-u-bin
     ADAPTIVE v range.  Returns the row of length

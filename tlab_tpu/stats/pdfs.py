@@ -323,6 +323,46 @@ def run_pdf_mode(sim, state, pressure, outdir: str, itime: int,
     for tag, a, b in joints:
         _pdf2v_out(outdir, itime, rtime, y, tag, a, b, nb2)
 
+    if opt_main == 9 and state.s.shape[0]:
+        # conditional averages (pdfs.f90:546-553): mean GiGi / LnGiGi on
+        # bins of s (the first var, ibc=1 local range)
+        from tlab_tpu import mappings as mp
+        gigi = np.asarray(mp.gradient_magnitude2(sim.P, state.s[0]))
+        s_np = np.asarray(state.s[0])
+        for fname, fld in (("cavgGiGi", gigi),
+                           ("cavgLnGiGi", np.log(gigi + 1e-300))):
+            rows = rf.cavg1v_plane_table(s_np, fld, nb, ibc=1)
+            rf.write_pdf_file(outdir, f"{fname}{itime}.s", rtime, y,
+                              rows, nb)
+
+    elif opt_main == 15:
+        # conditional-average suite (pdfs.f90:719-800): each diagnostic
+        # averaged on bins of b, of v, and on the joint (b, v)
+        from tlab_tpu import mappings as mp
+        from tlab_tpu.dycore import incompressible as dyn
+        d = dict(singles)
+        b_f = d["b"]
+        if pressure is None:
+            from tlab_tpu.dycore.pressure import pressure_boussinesq
+            pressure = pressure_boussinesq(sim.P, state)
+        fields = {"B": b_f,
+                  "Bii": mp.laplacian(sim.P, b_f),
+                  "U": state.u, "W": state.w,
+                  "Vii": mp.laplacian(sim.P, state.v),
+                  "P": pressure,
+                  "Py": dyn._d1(sim.P, "y", 1, pressure)}
+        b_np = np.asarray(b_f)
+        v_np = np.asarray(state.v)
+        for fname, fld in fields.items():
+            fld = np.asarray(fld)
+            for tag, cond in (("b", b_np), ("v", v_np)):
+                rows = rf.cavg1v_plane_table(cond, fld, nb, ibc=1)
+                rf.write_pdf_file(outdir, f"cavg{fname}{itime}.{tag}",
+                                  rtime, y, rows, nb)
+            rows = rf.cavg2v_table(b_np, v_np, fld, nb2)
+            rf.write_pdf_file(outdir, f"cavg{fname}{itime}.bv", rtime, y,
+                              rows, list(nb2))
+
 
 def write_pdf(path: str, counts, edges, itime: int) -> None:
     """Legacy npz writer (kept for in-memory analysis helpers)."""
