@@ -445,3 +445,36 @@ scales_1=1.0
     # basic physical sanity: <rho> ~ 1, <rho u u> >= 0
     ruu = data[:, hdr.index("MA_RUU")]
     assert np.all(ruu >= -1e-12)
+
+
+def test_accumulate_device_matches_host():
+    """accumulate_device (one jitted stacked reduction) produces the same
+    running sums as the host accumulate() path."""
+    import jax.numpy as jnp
+    from tlab_tpu.stats.spatial import SpatialStats
+    rng = np.random.default_rng(9)
+    nx, ny, nz = 12, 8, 6
+    names = ("u", "v", "w", "s1")
+
+    def mk():
+        return SpatialStats.create(nx, ny, names)
+
+    a = mk()
+    b = mk()
+    for step in range(3):
+        fields = {n: rng.standard_normal((nx, ny, nz)) for n in names}
+        grads = {n: rng.standard_normal((nx, ny, nz))
+                 for n in SpatialStats.GRAD_NAMES}
+        p = rng.standard_normal((nx, ny, nz))
+        a.accumulate(fields, grads=grads, p=p)
+        b.accumulate_device({k: jnp.asarray(v) for k, v in fields.items()},
+                            grads={k: jnp.asarray(v)
+                                   for k, v in grads.items()},
+                            p=jnp.asarray(p))
+    for attr in ("sums", "pair_sums", "grad_sums", "gradx_sums",
+                 "p_sums", "triple_sums"):
+        x = getattr(a, attr)
+        y = getattr(b, attr)
+        np.testing.assert_allclose(y, x, rtol=1e-12, atol=1e-13,
+                                   err_msg=attr)
+    assert a.n_samples == b.n_samples == 3

@@ -85,6 +85,87 @@ class SpatialStats:
                    p_sums=np.zeros((14, nx, ny)),
                    triple_sums=np.zeros((len(cls.TRIPLES), nx, ny)))
 
+    def accumulate_device(self, fields: dict, grads: dict = None,
+                          p=None) -> None:
+        """Device-side variant of accumulate(): ALL z-mean reductions run
+        in one jitted computation (sharded under a mesh) and only the
+        stacked (K, nx, ny) result comes to host -- the spatial-mode
+        analog of the r4 device-side temporal stats (the reference
+        reduces in place, avg_flow_zt_reduce.f90).  Covers the
+        incompressible sum families (moments, pairs, grads, p, triples);
+        the compressible MA_-register path stays on accumulate()."""
+        import jax
+        import jax.numpy as jnp
+        key = (self.names, self.pairs, grads is not None, p is not None)
+        cache = getattr(SpatialStats, "_dev_reducers", None)
+        if cache is None:
+            cache = SpatialStats._dev_reducers = {}
+        fn = cache.get(key)
+        if fn is None:
+            names, pairs = self.names, self.pairs
+            gnames = self.GRAD_NAMES
+            gx_pairs = self.GRADX_PAIRS
+            triples = self.TRIPLES
+
+            @jax.jit
+            def compute(fields, grads, p):
+                def zm(a):
+                    return jnp.mean(a, axis=2)
+                outs = []
+                za = {n: fields[n] for n in names}
+                for n in names:
+                    a = za[n]
+                    a2 = a * a
+                    outs += [zm(a), zm(a2), zm(a2 * a), zm(a2 * a2)]
+                for na, nb in pairs:
+                    outs.append(zm(za[na] * za[nb]))
+                g = None
+                if grads is not None:
+                    g = [grads[n] for n in gnames]
+                    for k in range(9):
+                        outs += [zm(g[k]), zm(g[k] * g[k])]
+                    for ka, kb in gx_pairs:
+                        outs.append(zm(g[ka] * g[kb]))
+                if p is not None:
+                    outs += [zm(p), zm(p * p)]
+                    for n in ("u", "v", "w"):
+                        outs.append(zm(p * za[n]) if n in za
+                                    else jnp.zeros_like(outs[0]))
+                    if g is not None:
+                        for k in range(9):
+                            outs.append(zm(p * g[k]))
+                if all(n in za for n in ("u", "v", "w")):
+                    for na, nb, nc in triples:
+                        outs.append(zm(za[na] * za[nb] * za[nc]))
+                return jnp.stack(outs)
+
+            fn = cache[key] = compute
+        stacked = np.asarray(fn(fields, grads, p))   # ONE (K, nx, ny) D2H
+        k = 0
+        for i in range(len(self.names)):
+            self.sums[i] += stacked[k:k + 4]
+            k += 4
+        self.pair_sums += stacked[k:k + len(self.pairs)]
+        k += len(self.pairs)
+        if grads is not None and self.grad_sums is not None:
+            for j in range(9):
+                self.grad_sums[j] += stacked[k:k + 2]
+                k += 2
+            ngx = self.gradx_sums.shape[0]
+            self.gradx_sums += stacked[k:k + ngx]
+            k += len(self.GRADX_PAIRS)
+        if p is not None and self.p_sums is not None:
+            ncols = 5 + (9 if grads is not None else 0)
+            self.p_sums[:min(ncols, self.p_sums.shape[0])] += \
+                stacked[k:k + min(ncols, self.p_sums.shape[0])]
+            k += ncols
+        if all(n in self.names for n in ("u", "v", "w")) \
+                and self.triple_sums is not None:
+            nt = self.triple_sums.shape[0]
+            self.triple_sums += stacked[k:k + nt]
+            k += len(self.TRIPLES)
+        self.n_samples += 1
+
     def accumulate(self, fields: dict, grads: dict = None,
                    p=None, comp_fields: dict = None,
                    reg_base: dict = None) -> None:

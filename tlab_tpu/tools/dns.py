@@ -1205,9 +1205,11 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                     comp_fields={"rho": state.rho, "T": T_, "vis": vis_},
                     reg_base=base)
             else:
-                spatial_stats.accumulate(state_fields(state),
-                                         grads=spatial_grads_fn(state),
-                                         p=p_cur)
+                # one jitted stacked reduction; only (K, nx, ny) comes
+                # to host (no full-field D2H per step)
+                spatial_stats.accumulate_device(state_fields(state),
+                                                grads=spatial_grads_fn(state),
+                                                p=p_cur)
             if checkpoint and case.it_restart > 0 \
                     and itime % case.it_restart == 0:
                 spatial_stats.save(os.path.join(outdir, f"st{itime}.npz"),
