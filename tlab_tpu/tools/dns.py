@@ -567,25 +567,68 @@ def write_statistics_compressible(sim: Simulation, U, outdir: str,
               "entropy": s_ent,
               "gamma_field": gamma_field,
               "y": np.asarray(sim.grid.y.nodes)}
-    flow = avg.flow_statistics(sim.P, state, sim.nsp.visc, p=p,
-                               extras=extras)
-    _wr = avg.avg_writer(sim.case)
-    _wr(os.path.join(outdir, f"avg{itime}"), sim.grid.y.nodes,
-                  flow, avg.FLOW_GROUPS, itime, rtime)
-    sgroups = avg.scal_groups(ns)
     gas = c.get("gas")
     vis = None
     if gas is not None and getattr(gas, "transport", "none") in (
             "powerlaw", "sutherland"):
         from tlab_tpu.physics import eos
         vis = eos.viscosity(gas, T)
-    for i in range(ns):
-        sc = avg.scalar_statistics(sim.P, state, sim.nsp.diffusivity(i), i,
-                                   p=p, visc=sim.nsp.visc, extras=extras,
-                                   rho=rho, vis=vis)
+    flow, scals = _comp_tables_fetch(sim, ns, state, p, extras, vis)
+    _wr = avg.avg_writer(sim.case)
+    _wr(os.path.join(outdir, f"avg{itime}"), sim.grid.y.nodes,
+                  flow, avg.FLOW_GROUPS, itime, rtime)
+    sgroups = avg.scal_groups(ns)
+    for i, sc in enumerate(scals):
         _wr(os.path.join(outdir, f"avg{itime}s{i + 1}"),
                       sim.grid.y.nodes, sc, sgroups, itime, rtime)
     _inrun_pdfs_spectra(sim, state, outdir, itime, rtime)
+
+
+def _comp_tables_fetch(sim, ns, state, p, extras, vis):
+    """One jitted stacked computation + single (ncols, ny) D2H for the
+    compressible avg tables (the same device-side treatment as the
+    incompressible make_stats_tables_fn)."""
+    from tlab_tpu.stats import averages as avg
+    fn = getattr(sim, "_comp_stats_fn", None)
+    if fn is None:
+        names_box = {}
+
+        @jax.jit
+        def compute(state, p, extras_arr, vis):
+            extras = dict(extras_arr)
+            extras["eqns"] = "compressible"     # static leaf re-added
+            flow = avg.flow_statistics(sim.P, state, sim.nsp.visc, p=p,
+                                       extras=extras)
+            scals = [avg.scalar_statistics(
+                sim.P, state, sim.nsp.diffusivity(i), i, p=p,
+                visc=sim.nsp.visc, extras=extras,
+                rho=extras["rho"], vis=vis) for i in range(ns)]
+            names_box["flow"] = list(flow.keys())
+            names_box["scal"] = [list(s.keys()) for s in scals]
+            ny = state.u.shape[1]
+            dt = state.u.dtype
+            cols = [jnp.broadcast_to(jnp.asarray(v, dt), (ny,))
+                    for v in flow.values()]
+            for s in scals:
+                cols += [jnp.broadcast_to(jnp.asarray(v, dt), (ny,))
+                         for v in s.values()]
+            return jnp.stack(cols)
+
+        def fetch(state, p, extras, vis):
+            extras_arr = {k: v for k, v in extras.items() if k != "eqns"}
+            stacked = np.asarray(compute(state, p, extras_arr, vis))
+            k = len(names_box["flow"])
+            flow = dict(zip(names_box["flow"], stacked[:k]))
+            scals = []
+            for snames in names_box["scal"]:
+                scals.append(dict(zip(snames,
+                                      stacked[k:k + len(snames)])))
+                k += len(snames)
+            return flow, scals
+
+        fn = fetch
+        sim._comp_stats_fn = fn
+    return fn(state, p, extras, vis)
 
 
 def _primitive_view(U) -> State:
