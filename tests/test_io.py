@@ -114,3 +114,48 @@ def test_sharded_io_roundtrip(tmp_path):
     ad2 = sharded.read_sharded_to(path, sh)
     assert np.array_equal(np.asarray(ad2), a)
     assert ad2.sharding == sh
+
+
+def test_filetype_single_restart_roundtrip(tmp_path):
+    """[Main] FileType=single writes f32 restarts (io_fields.f90:37-40);
+    read_field autodetects the item size from the file length."""
+    from tlab_tpu.io import fields_io
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((6, 5, 4))
+    p = str(tmp_path / "flow.5.1")
+    fields_io.write_field(p, a, 5, (1.5, 2e-3), dtype="<f4")
+    import os
+    assert os.path.getsize(p) == 36 + a.size * 4
+    b, params, it = fields_io.read_field(p)
+    assert it == 5 and abs(params[0] - 1.5) < 1e-12
+    np.testing.assert_allclose(b, a.astype(np.float32), rtol=0, atol=0)
+
+
+def test_pressure_decomposition_modes():
+    """FI_PRESSURE_BOUSSINESQ DCMP_* menu: the parts sum back to
+    advdiff, and buoyancy/coriolis-only pressures exist when the terms
+    are active."""
+    import jax.numpy as jnp
+    from tlab_tpu.config import load_case, Ini
+    from tlab_tpu.runtime import Simulation
+    from tlab_tpu.dycore.state import State
+    from tlab_tpu.dycore.pressure import pressure_boussinesq
+    import tests.test_pdf_modes as tpm
+    txt = tpm.INI.replace("[BodyForce]", "[Rotation]\nType=explicit\n"
+                          "Vector=0.0,1.0,0.0\n[BodyForce]")
+    sim = Simulation.from_case(load_case(Ini(text=txt)))
+    rng = np.random.default_rng(4)
+    shp = sim.grid.shape
+    st = State(u=jnp.asarray(rng.standard_normal(shp)) * 0.1,
+               v=jnp.asarray(rng.standard_normal(shp)) * 0.1,
+               w=jnp.asarray(rng.standard_normal(shp)) * 0.1,
+               s=jnp.asarray(rng.standard_normal((1,) + shp)) * 0.1)
+    p_adv = np.asarray(pressure_boussinesq(sim.P, st, "advection"))
+    p_dif = np.asarray(pressure_boussinesq(sim.P, st, "diffusion"))
+    p_ad = np.asarray(pressure_boussinesq(sim.P, st, "advdiff"))
+    # linear solve + linear split: advection + diffusion == advdiff
+    np.testing.assert_allclose(p_adv + p_dif, p_ad, rtol=1e-8, atol=1e-10)
+    for mode in ("total", "coriolis", "buoyancy"):
+        p = np.asarray(pressure_boussinesq(sim.P, st, mode))
+        assert np.isfinite(p).all(), mode
+        assert np.max(np.abs(p)) > 0, mode

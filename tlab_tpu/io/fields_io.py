@@ -91,15 +91,17 @@ def read_field(path: str, dtype="<f8"):
 
 
 def write_state(prefix_flow: str, prefix_scal: str, itime: int, state,
-                rtime: float, visc: float) -> None:
-    """Checkpoint: flow.<it>.1..3 = u,v,w; scal.<it>.1..N."""
+                rtime: float, visc: float, dtype: str = "<f8") -> None:
+    """Checkpoint: flow.<it>.1..3 = u,v,w; scal.<it>.1..N.
+    dtype '<f4' writes single-precision restarts ([Main] FileType=single,
+    io_fields.f90:37-40); read_field autodetects from the file size."""
     params = (rtime, visc)
     for i, comp in enumerate((state.u, state.v, state.w)):
         write_field(f"{prefix_flow}.{itime}.{i + 1}", np.asarray(comp),
-                    itime, params)
+                    itime, params, dtype=dtype)
     for i in range(state.s.shape[0]):
         write_field(f"{prefix_scal}.{itime}.{i + 1}", np.asarray(state.s[i]),
-                    itime, params)
+                    itime, params, dtype=dtype)
 
 
 def read_state(prefix_flow: str, prefix_scal: str, itime: int, n_scalars: int):
@@ -116,7 +118,7 @@ def read_state(prefix_flow: str, prefix_scal: str, itime: int, n_scalars: int):
 
 
 def write_comp_state(prefix_flow: str, itime: int, U, rtime: float,
-                     visc: float) -> None:
+                     visc: float, dtype: str = "<f8") -> None:
     """Compressible restart: conservative components as flow.<it>.1..5
     (reference file-per-variable convention; 4=rho, 5=rhoE follow the
     q-array ordering rho u, rho v, rho w, rho, rho e)."""
@@ -124,11 +126,12 @@ def write_comp_state(prefix_flow: str, itime: int, U, rtime: float,
     comps = (U.rhou, U.rhov, U.rhow, U.rho, U.rhoE)
     for tag, comp in zip("12345", comps):
         write_field(f"{prefix_flow}.{itime}.{tag}", np.asarray(comp),
-                    itime, (rtime, visc))
+                    itime, (rtime, visc), dtype=dtype)
     if getattr(U, "rhos", None) is not None:
         for i in range(U.rhos.shape[0]):
             write_field(f"{prefix_flow}.{itime}.s{i + 1}",
-                        np.asarray(U.rhos[i]), itime, (rtime, visc))
+                        np.asarray(U.rhos[i]), itime, (rtime, visc),
+                        dtype=dtype)
 
 
 def read_comp_state(prefix_flow: str, itime: int):

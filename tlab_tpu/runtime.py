@@ -381,6 +381,28 @@ def make_sources(case: CaseSetup, grid: Grid, dtype, anelastic=None):
     sources.ir_field = compute_ir if rad_on else None
     sources.rad_props = rad if rad_on else None
     sources.time_dependent = bool(wm_on)
+
+    # isolated-term closures for the pressure-decomposition menu
+    # (FI_PRESSURE_BOUSSINESQ DCMP_CORIOLIS/DCMP_BUOYANCY,
+    # fi_pressure_boussinesq.f90:158-190)
+    if cor_on:
+        def coriolis_only(state):
+            return rot.coriolis_tendency(cor, state.u, state.v, state.w)
+        sources.coriolis_only = coriolis_only
+    if buo_on:
+        def buoyancy_only(state):
+            from tlab_tpu.physics import thermo
+            if explicit:
+                b = thermo.buoyancy_explicit(anelastic["tp"], state.s,
+                                             anelastic["bg"])
+            else:
+                b = grav.buoyancy_field(buo, augment(state.s), bback)
+            gx, gy, gz = buo.vector
+            z = jnp.zeros_like(state.u)
+            return (gx * b if abs(gx) > 0 else z,
+                    gy * b if abs(gy) > 0 else z,
+                    gz * b if abs(gz) > 0 else z)
+        sources.buoyancy_only = buoyancy_only
     return sources
 
 

@@ -701,6 +701,12 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                                        "time_dependent", False)):
         inner_steps = 1                     # per-step host work required
     is_comp = getattr(sim, "comp", None) is not None
+    # [Main] FileType=single writes f32 restarts (io_fields.f90:37-40);
+    # read_field autodetects on reload
+    restart_dtype = "<f4" if (getattr(case, "ini", None) is not None
+                              and case.ini.get("Main", "FileType",
+                                               "double").lower()
+                              == "single") else "<f8"
     from tlab_tpu.utils import trace as _trace
     _trace.maybe_init(case, outdir)
     if not is_comp and sim.P.get("surface_bc") is not None \
@@ -1025,7 +1031,7 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 if checkpoint and case.it_restart > 0:
                     fields_io.write_comp_state(
                         os.path.join(outdir, "flow"), itime, state,
-                        rtime, visc)
+                        rtime, visc, dtype=restart_dtype)
                 break
         else:
             new_dt = fixed_dt or dyn.next_dt(sim.P, cmax, cfla, cfld)
@@ -1046,7 +1052,7 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                     fields_io.write_state(
                         os.path.join(outdir, "flow"),
                         os.path.join(outdir, "scal"), itime, state,
-                        rtime, visc)
+                        rtime, visc, dtype=restart_dtype)
                 break
         if itime % case.it_log == 0:
             log.step(status, itime, rtime, new_dt, new_dt * cmax,
@@ -1060,20 +1066,23 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 if is_comp:
                     fields_io.write_comp_state(
                         os.path.join(outdir, "flow"), itime, state,
-                        rtime, visc)
+                        rtime, visc, dtype=restart_dtype)
                 else:
                     fields_io.write_state(os.path.join(outdir, "flow"),
                                           os.path.join(outdir, "scal"),
-                                          itime, state, rtime, visc)
+                                          itime, state, rtime, visc,
+                                          dtype=restart_dtype)
             break
         if checkpoint and case.it_restart > 0 and itime % case.it_restart == 0:
             if is_comp:
                 fields_io.write_comp_state(os.path.join(outdir, "flow"),
-                                           itime, state, rtime, visc)
+                                           itime, state, rtime, visc,
+                                           dtype=restart_dtype)
             else:
                 fields_io.write_state(os.path.join(outdir, "flow"),
                                       os.path.join(outdir, "scal"),
-                                      itime, state, rtime, visc)
+                                      itime, state, rtime, visc,
+                                      dtype=restart_dtype)
             if pstate is not None:
                 from tlab_tpu.particles.io import write_particles
                 write_particles(os.path.join(outdir, f"part.{itime}"),
@@ -1278,7 +1287,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             and itime % case.it_restart != 0:
         fields_io.write_state(os.path.join(outdir, "flow"),
                               os.path.join(outdir, "scal"),
-                              itime, state, rtime, visc)
+                              itime, state, rtime, visc,
+                              dtype=restart_dtype)
     if traj_acc is not None:
         traj_acc.flush(outdir)
     return DnsRun(sim=sim, state=state, itime=itime, rtime=rtime, log=log,

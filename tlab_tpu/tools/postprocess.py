@@ -340,8 +340,15 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
             elif name == "VelocityMagnitude":
                 fld = st.u ** 2 + st.v ** 2 + st.w ** 2
             elif name == "Pressure":
+                # [PostProcessing] PressureDecomposition selects which
+                # tendency pieces feed the diagnostic Poisson
+                # (visuals.f90:136-149 DCMP_* menu)
                 from tlab_tpu.dycore.pressure import pressure_boussinesq
-                fld = pressure_boussinesq(P, st)
+                ini_v = getattr(sim.case, "ini", None)
+                dcmp = ini_v.get("PostProcessing",
+                                 "PressureDecomposition", "total").lower() \
+                    if ini_v is not None else "total"
+                fld = pressure_boussinesq(P, st, decomposition=dcmp)
             elif name == "HorizontalDivergence":
                 fld = dyn._d1(P, "x", 0, st.u) + dyn._d1(P, "z", 2, st.w)
             elif name == "Buoyancy":
