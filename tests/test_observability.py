@@ -357,3 +357,34 @@ def test_nc_converters(tmp_path):
     nca = convert.stats_to_nc(out, [4])
     with netcdf_file(nca[0], "r", mmap=False) as f:
         assert "rU" in f.variables or len(f.variables) > 10
+
+
+def test_extended_visuals_menu(tmp_path):
+    """r4 visuals menu additions (reference visuals.f90 plot_file set):
+    equation fields, Tke, stress/Reynolds tensors write finite f32
+    fields via the CLI."""
+    import subprocess, sys
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ini = os.path.join(REPO, "tests", "data", "case01_small.ini")
+    out = str(tmp_path)
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=1200)
+        assert r.returncode == 0, r.stderr[-1500:]
+    r = subprocess.run(
+        [sys.executable, "-m", "tlab_tpu.tools.cli", "visuals", "--cpu",
+         "--ini", ini, "--outdir", out, "--files", "10", "--fields",
+         "Tke,StressTensor,ReynoldsTensor,EnstrophyProduction,"
+         "StrainPressure,LogDissipation,ScalarGradientProduction"],
+        cwd=REPO, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-1500:]
+    from tlab_tpu.io import fields_io
+    for n in ("vis10.Tke", "vis10.StressTensorxy", "vis10.ReynoldsTensoruv",
+              "vis10.EnstrophyProduction", "vis10.StrainPressure",
+              "vis10.ScalarGradientProduction"):
+        a, _, _ = fields_io.read_field(os.path.join(out, n))
+        assert np.isfinite(a).all(), n
+    a, _, _ = fields_io.read_field(os.path.join(out, "vis10.Tke"))
+    assert (a >= 0).all()

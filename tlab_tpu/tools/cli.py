@@ -311,10 +311,17 @@ def main(argv=None):
                     9: tuple(f"Scalar{i+1}" for i in range(max(ns_, 1))),
                     10: ("ScalarGradientVector",),
                     11: ("ScalarGradient",),
+                    12: ("ScalarGradientProduction",),
                     13: ("Vorticity",), 14: ("LogEnstrophy",),
+                    15: ("EnstrophyProduction", "EnstrophyDiffusion"),
                     16: ("Strain",), 17: ("Strain",),
+                    18: ("StrainProduction", "StrainDiffusion",
+                         "StrainPressure"),
                     19: ("InvariantP", "InvariantQ", "InvariantR"),
-                    21: ("Buoyancy",), 23: ("HorizontalDivergence",)}
+                    21: ("Buoyancy",), 23: ("HorizontalDivergence",),
+                    24: ("Tke", "ReynoldsTensor"),
+                    25: ("Radiation",), 26: ("RelativeHumidity",),
+                    29: ("StressTensor",)}
             fields = tuple(n for v in pvis for n in menu.get(int(v), ()))
             if not fields:
                 fields = ("Enstrophy",)

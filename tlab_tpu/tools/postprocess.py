@@ -275,7 +275,12 @@ _VISUAL_FIELDS = ("VelocityX", "VelocityY", "VelocityZ", "Scalar1",
                   "Vorticity", "Enstrophy", "Strain", "InvariantQ",
                   "InvariantR", "Dilatation", "Dissipation", "ScalarGradient",
                   "VelocityMagnitude", "Pressure", "HorizontalDivergence",
-                  "Buoyancy", "LogEnstrophy", "ScalarGradientVector")
+                  "Buoyancy", "LogEnstrophy", "ScalarGradientVector",
+                  "EnstrophyProduction", "EnstrophyDiffusion",
+                  "StrainProduction", "StrainDiffusion", "StrainPressure",
+                  "ScalarGradientProduction", "Tke", "LogDissipation",
+                  "Radiation", "RelativeHumidity", "StressTensor",
+                  "ReynoldsTensor")
 
 
 def subdomain_slices(sim):
@@ -376,6 +381,94 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                     fields_io.write_field(
                         os.path.join(outdir, f"vis{it}.W{tag}"),
                         np.asarray(comp), it, (rtime,), dtype="<f4")
+                continue
+            elif name == "EnstrophyProduction":
+                fld = mappings.vorticity_production(P, st.u, st.v, st.w)
+            elif name == "EnstrophyDiffusion":
+                fld = sim.nsp.visc * mappings.vorticity_diffusion(
+                    P, st.u, st.v, st.w)
+            elif name == "StrainProduction":
+                fld = 2.0 * mappings.strain_production(P, st.u, st.v, st.w)
+            elif name == "StrainDiffusion":
+                fld = 2.0 * sim.nsp.visc * mappings.strain_diffusion(
+                    P, st.u, st.v, st.w)
+            elif name == "StrainPressure":
+                from tlab_tpu.dycore.pressure import pressure_boussinesq
+                fld = 2.0 * mappings.strain_pressure(
+                    P, st.u, st.v, st.w, pressure_boussinesq(P, st))
+            elif name == "ScalarGradientProduction":
+                fld = mappings.gradient_production(P, st.s[0], st.u,
+                                                   st.v, st.w)
+            elif name == "Tke":
+                # fluctuation TKE about the (x,z)-plane means
+                parts = []
+                for comp in (st.u, st.v, st.w):
+                    m = jnp.mean(comp, axis=(0, 2))[None, :, None]
+                    parts.append((comp - m) ** 2)
+                fld = 0.5 * (parts[0] + parts[1] + parts[2])
+            elif name == "LogDissipation":
+                fld = jnp.log10(jnp.maximum(
+                    mappings.dissipation(P, st.u, st.v, st.w,
+                                         sim.nsp.visc), 1e-30))
+            elif name == "Radiation":
+                bf = sim.P.get("bodyforce")
+                ir = getattr(bf, "ir_field", None)
+                if ir is None:
+                    raise ValueError("Radiation visual needs an active "
+                                     "[Infrared] term")
+                fld = ir(st)
+            elif name == "RelativeHumidity":
+                # RH% = pv/psat with pv = p qv Rv/Rmix, the same formula
+                # as the avg Stratification group (averages.py)
+                from tlab_tpu import runtime as rt
+                from tlab_tpu.physics import thermo as th
+                ane = rt.make_anelastic(sim.case, sim.grid, sim.dtype)
+                tp = ane["tp"]
+                diag = th.diagnostic_fields(tp, st.s, ane["bg"])
+                T3, ql3 = diag["T"], diag["ql"]
+                qt = st.s[1] if st.s.shape[0] > 1 else st.s[0]
+                qv = qt - ql3
+                p3 = jnp.asarray(ane["bg"]["p"])[None, :, None]
+                Rmix = th.mixture_R(tp, qt, ql3)
+                pv3 = p3 * qv * tp.Rv / Rmix
+                fld = pv3 / tp.psat(T3) * 100.0
+            elif name == "StressTensor":
+                # 2 visc S_ij - p delta_ij, six components
+                # (visuals.f90 Total stress tensor)
+                from tlab_tpu.dycore.pressure import pressure_boussinesq
+                g = mappings.velocity_gradient(P, st.u, st.v, st.w)
+                pfield = pressure_boussinesq(P, st)
+                visc_ = sim.nsp.visc
+                comps = {
+                    "xx": 2 * visc_ * g["ux"] - pfield,
+                    "yy": 2 * visc_ * g["vy"] - pfield,
+                    "zz": 2 * visc_ * g["wz"] - pfield,
+                    "xy": visc_ * (g["uy"] + g["vx"]),
+                    "xz": visc_ * (g["uz"] + g["wx"]),
+                    "yz": visc_ * (g["vz"] + g["wy"])}
+                for tag, comp in comps.items():
+                    arr = np.asarray(comp)
+                    if sub is not None:
+                        arr = arr[sub]
+                    fields_io.write_field(
+                        os.path.join(outdir, f"vis{it}.StressTensor{tag}"),
+                        arr, it, (rtime,), dtype="<f4")
+                continue
+            elif name == "ReynoldsTensor":
+                # u_i' u_j' about the plane means
+                flucts = {}
+                for tag, comp in (("u", st.u), ("v", st.v), ("w", st.w)):
+                    m = jnp.mean(comp, axis=(0, 2))[None, :, None]
+                    flucts[tag] = comp - m
+                for ta, tb in (("u", "u"), ("v", "v"), ("w", "w"),
+                               ("u", "v"), ("u", "w"), ("v", "w")):
+                    arr = np.asarray(flucts[ta] * flucts[tb])
+                    if sub is not None:
+                        arr = arr[sub]
+                    fields_io.write_field(
+                        os.path.join(outdir,
+                                     f"vis{it}.ReynoldsTensor{ta}{tb}"),
+                        arr, it, (rtime,), dtype="<f4")
                 continue
             elif name.startswith("Velocity"):
                 fld = {"VelocityX": st.u, "VelocityY": st.v,
