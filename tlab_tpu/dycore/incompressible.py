@@ -471,10 +471,16 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
     # forcing by rho_bar and the gradient by 1/rho_bar
     # (reference rhs_global_incompressible_1.f90:212-218, 330-334)
     ane = P.get("anelastic")
-    inv_dte = 1.0 / dte
-    fx = h1 + u * inv_dte
-    fy = h2 + v * inv_dte
-    fz = h3 + w * inv_dte
+    if P.get("remove_divergence", True):
+        # default: the forcing carries q/dte so the projection removes
+        # the RESIDUAL divergence too ([Main] TermDivergence=remove,
+        # rhs_global_incompressible_1.f90:177)
+        inv_dte = 1.0 / dte
+        fx = h1 + u * inv_dte
+        fy = h2 + v * inv_dte
+        fz = h3 + w * inv_dte
+    else:                        # TermDivergence=none
+        fx, fy, fz = h1, h2, h3
     if ane is not None:
         rho = ane["rho"][None, :, None]
         fx, fy, fz = fx * rho, fy * rho, fz * rho

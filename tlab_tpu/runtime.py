@@ -615,6 +615,11 @@ class Simulation:
         # (reference IBM_READ_INI + IBM_INITIALIZE_GEOMETRY,
         # ibm_read.f90:47-127)
         ini2 = case.ini
+        # [Main] TermDivergence=none drops the q/dte residual-divergence
+        # term from the projection forcing (dns_read_local.f90:79-83)
+        if ini2 is not None and ini2.get("Main", "TermDivergence",
+                                         "remove").lower() == "none":
+            P["remove_divergence"] = False
         if ini2 is not None and ini2.get("IBMParameter", "Status",
                                          "off").lower() == "on":
             from tlab_tpu import ibm as ibmmod

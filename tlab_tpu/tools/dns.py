@@ -899,6 +899,15 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                                     nxp, nyp, n_scalars=sim.nsp.n_scalars)
     spatial_stats = None
     spatial_grads_fn = None
+    # [Iteration] SaveStats: spatial-mode accumulation cadence
+    # (dns_read_local.f90:122, nitera_stats_spa).  Deviation: our default
+    # is 1 (accumulate every step -- better-converged running sums); the
+    # reference default accumulates once at the end of the run.
+    stats_spa = 1
+    if getattr(case, "ini", None) is not None:
+        stats_spa = case.ini.get_int("Iteration", "SaveStats", 1)
+        if stats_spa <= 0:
+            stats_spa = 1
     if case.flow_type == "spatial":
         from tlab_tpu.stats.spatial import SpatialStats, state_fields
         nx, ny, _ = sim.grid.shape
@@ -1181,7 +1190,8 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             if checkpoint and case.it_restart > 0 \
                     and itime % case.it_restart == 0:
                 phavg.save(os.path.join(outdir, f"phavg{itime}.npz"), itime)
-        if spatial_stats is not None:
+        if spatial_stats is not None \
+                and (itime - it_first) % stats_spa == 0:
             from tlab_tpu.stats.spatial import state_fields
             if is_comp:
                 # density-weighted accumulation from the primitive
