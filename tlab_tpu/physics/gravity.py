@@ -66,3 +66,14 @@ def background_profile(props: BuoyancyProps, s_profiles, y: np.ndarray):
     # jnp (not numpy) result: callers at setup time np.asarray it; the
     # jitted stats path traces through it as a folded constant
     return jnp.reshape(b[:, :, 0], (-1,))
+
+
+def buoyancy_source(props: BuoyancyProps, gradient):
+    """Evaporative/buoyancy source b''(s) |grad s|^2 (reference
+    Gravity_Buoyancy_Source, gravity.f90:346-376): zero for the
+    homogeneous/linear/bilinear types, 2 c0 |grad s|^2 for quadratic."""
+    if props.type == "quadratic":
+        p = props.parameters
+        c0 = -p[0] / (p[1] / 2.0) ** 2
+        return 2.0 * c0 * gradient
+    return jnp.zeros_like(gradient)

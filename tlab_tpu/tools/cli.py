@@ -318,9 +318,12 @@ def main(argv=None):
                     18: ("StrainProduction", "StrainDiffusion",
                          "StrainPressure"),
                     19: ("InvariantP", "InvariantQ", "InvariantR"),
-                    21: ("Buoyancy",), 23: ("HorizontalDivergence",),
+                    21: ("Buoyancy", "Fvb", "bPrime", "Cvb",
+                         "LogBuoyancySource"),
+                    23: ("HorizontalDivergence",),
                     24: ("Tke", "ReynoldsTensor"),
                     25: ("Radiation",), 26: ("RelativeHumidity",),
+                    27: ("ParticleDensity",),
                     29: ("StressTensor",)}
             fields = tuple(n for v in pvis for n in menu.get(int(v), ()))
             if not fields:

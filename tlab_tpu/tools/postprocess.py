@@ -280,7 +280,8 @@ _VISUAL_FIELDS = ("VelocityX", "VelocityY", "VelocityZ", "Scalar1",
                   "StrainProduction", "StrainDiffusion", "StrainPressure",
                   "ScalarGradientProduction", "Tke", "LogDissipation",
                   "Radiation", "RelativeHumidity", "StressTensor",
-                  "ReynoldsTensor")
+                  "ReynoldsTensor", "Fvb", "bPrime", "Cvb",
+                  "LogBuoyancySource", "ParticleDensity")
 
 
 def subdomain_slices(sim):
@@ -356,13 +357,46 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                 fld = pressure_boussinesq(P, st, decomposition=dcmp)
             elif name == "HorizontalDivergence":
                 fld = dyn._d1(P, "x", 0, st.u) + dyn._d1(P, "z", 2, st.w)
-            elif name == "Buoyancy":
-                from tlab_tpu.physics.gravity import buoyancy_field
+            elif name in ("Buoyancy", "Fvb", "bPrime", "Cvb",
+                          "LogBuoyancySource"):
+                # buoyancy-analysis family (visuals.f90 iscal_offset+12):
+                # b/Froude, its vertical flux, fluctuation, b'v'
+                # covariance, and the evaporative source magnitude
+                from tlab_tpu.physics.gravity import (buoyancy_field,
+                                                      buoyancy_source)
                 props = getattr(sim.case, "buoyancy", None)
-                if props is None:
-                    raise ValueError("Buoyancy visual needs [BodyForce]")
+                if props is None or props.type == "none":
+                    raise ValueError(f"{name} visual needs [BodyForce]")
                 ref = jnp.zeros(sim.grid.y.nodes.shape[0])
-                fld = buoyancy_field(props, st.s, ref)
+                froude = getattr(sim.nsp, "froude", 1.0) or 1.0
+                b = buoyancy_field(props, st.s, ref) / froude
+                if name == "Buoyancy":
+                    fld = b
+                elif name == "Fvb":
+                    fld = b * st.v
+                elif name == "bPrime":
+                    fld = b - jnp.mean(b, axis=(0, 2))[None, :, None]
+                elif name == "Cvb":
+                    bp = b - jnp.mean(b, axis=(0, 2))[None, :, None]
+                    vp = st.v - jnp.mean(st.v, axis=(0, 2))[None, :, None]
+                    fld = bp * vp
+                else:                      # LogBuoyancySource
+                    tcfg = getattr(sim.case, "thermo", {}) or {}
+                    if tcfg.get("mixture", "") == "airwaterlinear" \
+                            and tcfg.get("parameters"):
+                        from tlab_tpu.physics import thermo as th
+                        xi, _d1f, d2f = th.airwater_linear_source(
+                            tuple(tcfg["parameters"]), st.s)
+                        g2 = mappings.gradient_magnitude2(P, xi)
+                        cl = props.parameters[st.s.shape[0]] \
+                            if len(props.parameters) > st.s.shape[0] \
+                            else 0.0
+                        src = g2 * d2f * cl
+                    else:
+                        g2 = mappings.gradient_magnitude2(P, st.s[0])
+                        src = buoyancy_source(props, g2)
+                    src = src * sim.nsp.visc / sim.case.schmidt[0] / froude
+                    fld = jnp.log10(jnp.abs(src) + 1e-30)
             elif name == "LogEnstrophy":
                 fld = jnp.log10(jnp.maximum(
                     mappings.vorticity_magnitude2(P, st.u, st.v, st.w),
@@ -470,6 +504,17 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                                      f"vis{it}.ReynoldsTensor{ta}{tb}"),
                         arr, it, (rtime,), dtype="<f4")
                 continue
+            elif name == "ParticleDensity":
+                # scatter unit weights from the part.<it> restart
+                # (visuals.f90 iscal_offset+18, PARTICLE_TO_FIELD)
+                from tlab_tpu.particles.io import read_particles
+                from tlab_tpu.particles.core import (make_locator,
+                                                     particles_to_field)
+                ps, _pit = read_particles(
+                    os.path.join(outdir, f"part.{it}"))
+                loc = make_locator(sim.grid)(jnp.asarray(ps.x))
+                fld = particles_to_field(
+                    jnp.ones(ps.x.shape[0]), loc, sim.grid.shape)
             elif name.startswith("Velocity"):
                 fld = {"VelocityX": st.u, "VelocityY": st.v,
                        "VelocityZ": st.w}[name]
