@@ -388,3 +388,49 @@ def test_extended_visuals_menu(tmp_path):
         assert np.isfinite(a).all(), n
     a, _, _ = fields_io.read_field(os.path.join(out, "vis10.Tke"))
     assert (a >= 0).all()
+
+
+def test_pressure_visual_family(tmp_path):
+    """The visuals Pressure suite (visuals.f90 option 8): gradient power,
+    pressure-strain correlations, hydrostatic/hydrodynamic split and the
+    DCMP_* decomposition files."""
+    import subprocess, sys
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(REPO, "tests", "data",
+                            "case01_small.ini")).read()
+    src = src.replace("[Main]", "[BodyForce]\nType=Linear\n"
+                      "Vector=0.0,1.0,0.0\nParameters=0.5\n\n[Main]", 1)
+    ini = str(tmp_path / "tlab.ini")
+    open(ini, "w").write(src)
+    out = str(tmp_path)
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=1200)
+        assert r.returncode == 0, r.stderr[-1500:]
+    r = subprocess.run(
+        [sys.executable, "-m", "tlab_tpu.tools.cli", "visuals", "--cpu",
+         "--ini", ini, "--outdir", out, "--files", "10", "--fields",
+         "PressureGradientPower,PressureStrainY,PressureHydrostatic,"
+         "PressureHydrodynamic,PressureBuoyancy,PressureAdvDiff,"
+         "LaplacianB,GradientRi,Fvb,Cvb"],
+        cwd=REPO, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-1500:]
+    from tlab_tpu.io import fields_io
+    ph, _, _ = fields_io.read_field(
+        os.path.join(out, "vis10.PressureHydrostatic"))
+    pd, _, _ = fields_io.read_field(
+        os.path.join(out, "vis10.PressureHydrodynamic"))
+    assert np.isfinite(ph).all() and np.isfinite(pd).all()
+    # the split is exact: hydrostatic + hydrodynamic == total pressure
+    r = subprocess.run(
+        [sys.executable, "-m", "tlab_tpu.tools.cli", "visuals", "--cpu",
+         "--ini", ini, "--outdir", out, "--files", "10", "--fields",
+         "PressureTotal"],
+        cwd=REPO, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-1500:]
+    pt, _, _ = fields_io.read_field(
+        os.path.join(out, "vis10.PressureTotal"))
+    scale = max(1e-30, np.max(np.abs(pt)))
+    assert np.max(np.abs(ph + pd - pt)) < 1e-5 * scale

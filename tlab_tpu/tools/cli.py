@@ -307,7 +307,10 @@ def main(argv=None):
                     4: ("VelocityX", "VelocityY", "VelocityZ"),
                     5: ("VelocityMagnitude",),
                     6: ("Density",), 7: ("Temperature",),
-                    8: ("Pressure",),
+                    8: ("Pressure", "PressureGradientPower",
+                        "PressureStrainX", "PressureStrainY",
+                        "PressureStrainZ", "PressureHydrostatic",
+                        "PressureHydrodynamic"),
                     9: tuple(f"Scalar{i+1}" for i in range(max(ns_, 1))),
                     10: ("ScalarGradientVector",),
                     11: ("ScalarGradient",),
@@ -324,7 +327,15 @@ def main(argv=None):
                     24: ("Tke", "ReynoldsTensor"),
                     25: ("Radiation",), 26: ("RelativeHumidity",),
                     27: ("ParticleDensity",),
+                    28: ("LaplacianV", "Buoyancy", "LaplacianB",
+                         "GradientRi", "Pressure", "PressureGradientY"),
                     29: ("StressTensor",)}
+            if case.ini.get("PostProcessing", "PressureDecomposition",
+                            "total").lower() == "resolved":
+                menu[8] = menu[8] + (
+                    "PressureCoriolis", "PressureBuoyancy",
+                    "PressureDiffusion", "PressureAdvection",
+                    "PressureAdvDiff", "PressureTotal")
             fields = tuple(n for v in pvis for n in menu.get(int(v), ()))
             if not fields:
                 fields = ("Enstrophy",)

@@ -281,7 +281,14 @@ _VISUAL_FIELDS = ("VelocityX", "VelocityY", "VelocityZ", "Scalar1",
                   "ScalarGradientProduction", "Tke", "LogDissipation",
                   "Radiation", "RelativeHumidity", "StressTensor",
                   "ReynoldsTensor", "Fvb", "bPrime", "Cvb",
-                  "LogBuoyancySource", "ParticleDensity")
+                  "LogBuoyancySource", "ParticleDensity", "LaplacianV",
+                  "LaplacianB", "GradientRi", "PressureGradientY",
+                  "PressureGradientPower", "PressureStrainX",
+                  "PressureStrainY", "PressureStrainZ",
+                  "PressureHydrostatic", "PressureHydrodynamic",
+                  "PressureTotal", "PressureAdvection",
+                  "PressureAdvDiff", "PressureDiffusion",
+                  "PressureCoriolis", "PressureBuoyancy")
 
 
 def subdomain_slices(sim):
@@ -504,6 +511,59 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                                      f"vis{it}.ReynoldsTensor{ta}{tb}"),
                         arr, it, (rtime,), dtype="<f4")
                 continue
+            elif name == "PressureGradientPower":
+                from tlab_tpu.dycore.pressure import pressure_boussinesq
+                pf = pressure_boussinesq(P, st)
+                fld = -(dyn._d1(P, "x", 0, pf) * st.u
+                        + dyn._d1(P, "y", 1, pf) * st.v
+                        + dyn._d1(P, "z", 2, pf) * st.w)
+            elif name in ("PressureStrainX", "PressureStrainY",
+                          "PressureStrainZ"):
+                from tlab_tpu.dycore.pressure import pressure_boussinesq
+                pf = pressure_boussinesq(P, st)
+                pp = pf - jnp.mean(pf, axis=(0, 2))[None, :, None]
+                comp, ax_name, ax = {
+                    "PressureStrainX": (st.u, "x", 0),
+                    "PressureStrainY": (st.v, "y", 1),
+                    "PressureStrainZ": (st.w, "z", 2)}[name]
+                cp = comp - jnp.mean(comp, axis=(0, 2))[None, :, None]
+                fld = pp * dyn._d1(P, ax_name, ax, cp)
+            elif name in ("PressureHydrostatic", "PressureHydrodynamic"):
+                from tlab_tpu.dycore.pressure import pressure_boussinesq
+                zero = jnp.zeros_like(st.u)
+                p_sta = pressure_boussinesq(
+                    P, st._replace(u=zero, v=zero, w=zero))
+                if name == "PressureHydrostatic":
+                    fld = p_sta
+                else:
+                    fld = pressure_boussinesq(P, st) - p_sta
+            elif name.startswith("Pressure") and name[8:] in (
+                    "Total", "Advection", "AdvDiff", "Diffusion",
+                    "Coriolis", "Buoyancy"):
+                from tlab_tpu.dycore.pressure import pressure_boussinesq
+                fld = pressure_boussinesq(P, st,
+                                          decomposition=name[8:].lower())
+            elif name == "LaplacianV":
+                fld = mappings.laplacian(P, st.v)
+            elif name in ("LaplacianB", "GradientRi"):
+                from tlab_tpu.physics.gravity import buoyancy_field
+                props = getattr(sim.case, "buoyancy", None)
+                if props is None or props.type == "none":
+                    raise ValueError(f"{name} visual needs [BodyForce]")
+                froude = getattr(sim.nsp, "froude", 1.0) or 1.0
+                ref = jnp.zeros(sim.grid.y.nodes.shape[0])
+                b = buoyancy_field(props, st.s, ref) / froude
+                if name == "LaplacianB":
+                    fld = mappings.laplacian(P, b)
+                else:
+                    # gradient Richardson proxy |db/dy| / (du/dy)^2
+                    # (visuals.f90 iscal_offset+19)
+                    dbdy = dyn._d1(P, "y", 1, b)
+                    dudy = dyn._d1(P, "y", 1, st.u)
+                    fld = jnp.abs(dbdy) / (dudy ** 2 + 1e-30)
+            elif name == "PressureGradientY":
+                from tlab_tpu.dycore.pressure import pressure_boussinesq
+                fld = dyn._d1(P, "y", 1, pressure_boussinesq(P, st))
             elif name == "ParticleDensity":
                 # scatter unit weights from the part.<it> restart
                 # (visuals.f90 iscal_offset+18, PARTICLE_TO_FIELD)
