@@ -142,10 +142,12 @@ def test_compressible_postprocessing(tmp_path):
     pp.run_averages(sim, out, [2])
     pp.run_pdfs(sim, out, [2])
     from tlab_tpu.io import fields_io
-    T, _, _ = fields_io.read_field(os.path.join(out, "vis2.Temperature"))
+    T = fields_io.read_visual(os.path.join(out, "vis2.Temperature"),
+                              sim.grid.shape)
     assert T.shape == sim.grid.shape
     assert 0.5 < T.mean() < 2.0
-    p, _, _ = fields_io.read_field(os.path.join(out, "vis2.Pressure"))
+    p = fields_io.read_visual(os.path.join(out, "vis2.Pressure"),
+                              sim.grid.shape)
     # p ~ rho T/(gamma M^2) = 1.984 for the uniform base state
     assert abs(p.mean() - 1.984127) < 0.05
     assert os.path.exists(os.path.join(out, "avg2"))
@@ -381,12 +383,14 @@ def test_extended_visuals_menu(tmp_path):
         cwd=REPO, capture_output=True, text=True, timeout=1200)
     assert r.returncode == 0, r.stderr[-1500:]
     from tlab_tpu.io import fields_io
+    from tlab_tpu.config import load_case
+    shp = Simulation.from_case(load_case(ini)).grid.shape
     for n in ("vis10.Tke", "vis10.StressTensorxy", "vis10.ReynoldsTensoruv",
               "vis10.EnstrophyProduction", "vis10.StrainPressure",
               "vis10.ScalarGradientProduction"):
-        a, _, _ = fields_io.read_field(os.path.join(out, n))
+        a = fields_io.read_visual(os.path.join(out, n), shp)
         assert np.isfinite(a).all(), n
-    a, _, _ = fields_io.read_field(os.path.join(out, "vis10.Tke"))
+    a = fields_io.read_visual(os.path.join(out, "vis10.Tke"), shp)
     assert (a >= 0).all()
 
 
@@ -418,10 +422,12 @@ def test_pressure_visual_family(tmp_path):
         cwd=REPO, capture_output=True, text=True, timeout=1200)
     assert r.returncode == 0, r.stderr[-1500:]
     from tlab_tpu.io import fields_io
-    ph, _, _ = fields_io.read_field(
-        os.path.join(out, "vis10.PressureHydrostatic"))
-    pd, _, _ = fields_io.read_field(
-        os.path.join(out, "vis10.PressureHydrodynamic"))
+    from tlab_tpu.config import load_case
+    shp = Simulation.from_case(load_case(ini)).grid.shape
+    ph = fields_io.read_visual(
+        os.path.join(out, "vis10.PressureHydrostatic"), shp)
+    pd = fields_io.read_visual(
+        os.path.join(out, "vis10.PressureHydrodynamic"), shp)
     assert np.isfinite(ph).all() and np.isfinite(pd).all()
     # the split is exact: hydrostatic + hydrodynamic == total pressure
     r = subprocess.run(
@@ -430,7 +436,7 @@ def test_pressure_visual_family(tmp_path):
          "PressureTotal"],
         cwd=REPO, capture_output=True, text=True, timeout=1200)
     assert r.returncode == 0, r.stderr[-1500:]
-    pt, _, _ = fields_io.read_field(
-        os.path.join(out, "vis10.PressureTotal"))
+    pt = fields_io.read_visual(
+        os.path.join(out, "vis10.PressureTotal"), shp)
     scale = max(1e-30, np.max(np.abs(pt)))
     assert np.max(np.abs(ph + pd - pt)) < 1e-5 * scale

@@ -229,8 +229,8 @@ def test_visuals_extended(tmp_path):
                           "ScalarGradientVector"))
     for tag in ("VelocityMagnitude", "Pressure", "HorizontalDivergence",
                 "LogEnstrophy", "Gx", "Gy", "Gz"):
-        a, _, _ = fields_io.read_field(os.path.join(tmp_path, f"vis3.{tag}"),
-                                       dtype="<f4")
+        a = fields_io.read_visual(os.path.join(tmp_path, f"vis3.{tag}"),
+                                  sim.grid.shape)
         assert np.isfinite(a).all(), tag
 
 

@@ -155,3 +155,30 @@ def read_comp_state(prefix_flow: str, itime: int):
     return CompState(rhou=arrs[0], rhov=arrs[1], rhow=arrs[2],
                      rho=arrs[3], rhoE=arrs[4],
                      rhos=jnp.stack(rhos) if rhos else None), rtime, visc
+
+
+def write_visual(path: str, arr: np.ndarray, itime: int = 0,
+                 params=(0.0,), fmt: str = "single") -> None:
+    """Visualization field ([PostProcessing] Format, visuals.f90
+    FORMAT_SINGLE default): 'single' = RAW float32, no header, x
+    innermost (what the reference's xdmf/python readers mmap);
+    'general' = the restart stream format."""
+    if fmt == "general":
+        write_field(path, arr, itime, params)
+        return
+    np.ascontiguousarray(np.asarray(arr).transpose(2, 1, 0)).astype(
+        "<f4").tofile(path)
+
+
+def read_visual(path: str, shape):
+    """Read a visualization field written by write_visual: raw f32 when
+    the file size matches shape exactly, else the restart format."""
+    import os
+    nx, ny, nz = shape
+    n = nx * ny * nz
+    size = os.path.getsize(path)
+    if size == n * 4:
+        raw = np.fromfile(path, "<f4")
+        return raw.reshape(nz, ny, nx).transpose(2, 1, 0).astype(
+            np.float64)
+    return read_field(path)[0]

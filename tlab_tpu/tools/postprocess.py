@@ -313,6 +313,14 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
     from tlab_tpu.dycore import incompressible as dyn
     sub = subdomain_slices(sim)
     is_comp = getattr(sim, "comp", None) is not None
+    # [PostProcessing] Format: 'single' (default) = raw f32 no header,
+    # as the reference's IO_WRITE_VISUALS FORMAT_SINGLE (what the xdmf/
+    # python readers mmap); 'general' = restart stream format
+    ini_fmt = getattr(sim.case, "ini", None)
+    vfmt = "single"
+    if ini_fmt is not None:
+        fv = ini_fmt.get("PostProcessing", "Format", "single").lower()
+        vfmt = "general" if fv in ("general", "0") else "single"
     for it in iterations:
         comp_f = None
         if is_comp:
@@ -332,9 +340,9 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                 arr = np.asarray(comp_f[name])
                 if sub is not None:
                     arr = arr[sub]
-                fields_io.write_field(
-                    os.path.join(outdir, f"vis{it}.{name}"), arr, it,
-                    (rtime,), dtype="<f4")
+                fields_io.write_visual(
+                        os.path.join(outdir, f"vis{it}.{name}"),
+                        arr, it, (rtime,), fmt=vfmt)
                 continue
             if name == "Enstrophy":
                 fld = mappings.vorticity_magnitude2(P, st.u, st.v, st.w)
@@ -411,17 +419,17 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
             elif name == "ScalarGradientVector":
                 for tag, ax, ai in (("x", "x", 0), ("y", "y", 1),
                                     ("z", "z", 2)):
-                    fields_io.write_field(
+                    fields_io.write_visual(
                         os.path.join(outdir, f"vis{it}.G{tag}"),
                         np.asarray(dyn._d1(P, ax, ai, st.s[0])), it,
-                        (rtime,), dtype="<f4")
+                        (rtime,), fmt=vfmt)
                 continue
             elif name == "Vorticity":
                 ox, oy, oz = mappings.curl(P, st.u, st.v, st.w)
                 for tag, comp in (("x", ox), ("y", oy), ("z", oz)):
-                    fields_io.write_field(
+                    fields_io.write_visual(
                         os.path.join(outdir, f"vis{it}.W{tag}"),
-                        np.asarray(comp), it, (rtime,), dtype="<f4")
+                        np.asarray(comp), it, (rtime,), fmt=vfmt)
                 continue
             elif name == "EnstrophyProduction":
                 fld = mappings.vorticity_production(P, st.u, st.v, st.w)
@@ -491,9 +499,9 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                     arr = np.asarray(comp)
                     if sub is not None:
                         arr = arr[sub]
-                    fields_io.write_field(
+                    fields_io.write_visual(
                         os.path.join(outdir, f"vis{it}.StressTensor{tag}"),
-                        arr, it, (rtime,), dtype="<f4")
+                        arr, it, (rtime,), fmt=vfmt)
                 continue
             elif name == "ReynoldsTensor":
                 # u_i' u_j' about the plane means
@@ -506,10 +514,10 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                     arr = np.asarray(flucts[ta] * flucts[tb])
                     if sub is not None:
                         arr = arr[sub]
-                    fields_io.write_field(
+                    fields_io.write_visual(
                         os.path.join(outdir,
                                      f"vis{it}.ReynoldsTensor{ta}{tb}"),
-                        arr, it, (rtime,), dtype="<f4")
+                        arr, it, (rtime,), fmt=vfmt)
                 continue
             elif name == "PressureGradientPower":
                 from tlab_tpu.dycore.pressure import pressure_boussinesq
@@ -585,8 +593,9 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
             arr = np.asarray(fld)
             if sub is not None:
                 arr = arr[sub]
-            fields_io.write_field(os.path.join(outdir, f"vis{it}.{name}"),
-                                  arr, it, (rtime,), dtype="<f4")
+            fields_io.write_visual(
+                        os.path.join(outdir, f"vis{it}.{name}"),
+                        arr, it, (rtime,), fmt=vfmt)
 
 
 def run_superlayer(sim: Simulation, outdir: str, iterations,
