@@ -234,6 +234,145 @@ def test_visuals_extended(tmp_path):
         assert np.isfinite(a).all(), tag
 
 
+def test_visuals_vector_tensor_family(tmp_path):
+    """VelocityVector/VorticityVector/StrainTensor component files
+    (visuals.f90:495-498,725-727,776-779), LogPotentialEnstrophy, and
+    the IBM EpsSolid mask visual."""
+    import os
+    from tlab_tpu.tools import postprocess as pp
+    from tlab_tpu.io import fields_io
+    from tlab_tpu import ibm as ibmmod
+
+    ini = Ini(text=MINI_CASE + """
+[BodyForce]
+Type=homogeneous
+Vector=0.0,-1.0,0.0
+Parameters=1.0
+""")
+    sim = Simulation.from_case(load_case(ini))
+    nx, ny, nz = sim.grid.shape
+    rng = np.random.default_rng(7)
+    st = State(u=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+               v=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+               w=jnp.asarray(rng.standard_normal((nx, ny, nz))),
+               s=jnp.asarray(rng.standard_normal((1, nx, ny, nz))))
+    fields_io.write_state(os.path.join(tmp_path, "flow"),
+                          os.path.join(tmp_path, "scal"), 4, st, 0.0, 1e-3)
+    eps = np.zeros((nx, ny, nz))
+    eps[:, :2, :] = 1.0
+    sim.P["ibm"] = ibmmod.build_ibm(eps, dtype=st.u.dtype)
+    pp.run_visuals(sim, str(tmp_path), [4],
+                   which=("VelocityVector", "VorticityVector",
+                          "StrainTensor", "LogPotentialEnstrophy",
+                          "EpsSolid"))
+    shape = sim.grid.shape
+    # component naming + content
+    vv1 = fields_io.read_visual(
+        os.path.join(tmp_path, "vis4.VelocityVector1"), shape)
+    np.testing.assert_allclose(vv1, np.asarray(st.u, np.float32),
+                               rtol=1e-6)
+    # VorticityVector1 = dw/dy - dv/dz
+    w1 = fields_io.read_visual(
+        os.path.join(tmp_path, "vis4.VorticityVector1"), shape)
+    ref = np.asarray(dyn._d1(sim.P, "y", 1, st.w)
+                     - dyn._d1(sim.P, "z", 2, st.v))
+    np.testing.assert_allclose(w1, ref, rtol=2e-5, atol=1e-5)
+    # StrainTensor order Sxx..Syz (fi_strain.f90): S1 = du/dx,
+    # S4 = 0.5(du/dy + dv/dx)
+    s1 = fields_io.read_visual(
+        os.path.join(tmp_path, "vis4.StrainTensor1"), shape)
+    np.testing.assert_allclose(
+        s1, np.asarray(dyn._d1(sim.P, "x", 0, st.u)), rtol=2e-5,
+        atol=1e-5)
+    s4 = fields_io.read_visual(
+        os.path.join(tmp_path, "vis4.StrainTensor4"), shape)
+    ref4 = 0.5 * np.asarray(dyn._d1(sim.P, "y", 1, st.u)
+                            + dyn._d1(sim.P, "x", 0, st.v))
+    np.testing.assert_allclose(s4, ref4, rtol=2e-5, atol=1e-5)
+    for i in (2, 3, 5, 6):
+        a = fields_io.read_visual(
+            os.path.join(tmp_path, f"vis4.StrainTensor{i}"), shape)
+        assert np.isfinite(a).all(), i
+    lpe = fields_io.read_visual(
+        os.path.join(tmp_path, "vis4.LogPotentialEnstrophy"), shape)
+    assert np.isfinite(lpe).all()
+    es = fields_io.read_visual(os.path.join(tmp_path, "vis4.EpsSolid"),
+                               shape)
+    np.testing.assert_allclose(es, eps.astype(np.float32))
+
+
+def test_visuals_supsat(tmp_path):
+    """Supsat visual: actual-minus-equilibrium liquid normalized by the
+    first liquid value (visuals.f90:527-533)."""
+    import os
+    from tlab_tpu.tools import postprocess as pp
+    from tlab_tpu.io import fields_io
+    from tlab_tpu import runtime as rt
+    from tlab_tpu.physics import thermo as th
+
+    ini = Ini(text="""
+[Main]
+Type=temporal
+Equations=anelastic
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit3
+[Parameters]
+Reynolds=100
+Schmidt=1.0,1.0,1.0
+Damkohler=1.0,1.0,1.0
+[Control]
+ScalLimit=no
+[Thermodynamics]
+Mixture=airwater
+ScaleHeight=20.0
+[Scalar]
+ProfileScalar1=Linear
+DeltaScalar1=0.0
+MeanScalar1=1.0
+ProfileScalar2=None
+MeanScalar2=0.005
+ProfileScalar3=None
+MeanScalar3=0.0
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=17
+scales_1=6.283185307
+[IniGridOy]
+periodic=no
+segments=1
+points_1=12
+scales_1=1.0
+opts_1=uniform
+[IniGridOz]
+periodic=yes
+segments=1
+points_1=9
+scales_1=3.141592653
+""")
+    sim = Simulation.from_case(load_case(ini))
+    nx, ny, nz = sim.grid.shape
+    rng = np.random.default_rng(11)
+    h = 0.995 + 0.005 * rng.random((nx, ny, nz))
+    qt = 0.01 + 0.002 * rng.random((nx, ny, nz))
+    ql = 1e-4 + 1e-4 * rng.random((nx, ny, nz))
+    st = State(u=jnp.zeros((nx, ny, nz)), v=jnp.zeros((nx, ny, nz)),
+               w=jnp.zeros((nx, ny, nz)),
+               s=jnp.asarray(np.stack([h, qt, ql])))
+    fields_io.write_state(os.path.join(tmp_path, "flow"),
+                          os.path.join(tmp_path, "scal"), 2, st, 0.0, 1e-3)
+    pp.run_visuals(sim, str(tmp_path), [2], which=("Supsat",))
+    got = fields_io.read_visual(os.path.join(tmp_path, "vis2.Supsat"),
+                                sim.grid.shape)
+    ane = rt.make_anelastic(sim.case, sim.grid, sim.dtype)
+    ql_eq = np.asarray(th.diagnostic_fields(ane["tp"],
+                                            jnp.asarray(np.stack([h, qt])),
+                                            ane["bg"])["ql"])
+    want = (ql - ql_eq) / ql.reshape(-1)[0]
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-4,
+                               atol=1e-6)
+
+
 def test_phase_average():
     """Phase-locked averaging: a field oscillating with period 4 steps is
     recovered per phase slot with the cycle-mean removed correctly."""

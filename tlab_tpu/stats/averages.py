@@ -86,12 +86,11 @@ def _zeros_like_cols(ref, names):
 # Extras: equation-set-dependent context assembled from the Simulation
 # ---------------------------------------------------------------------------
 
-def build_extras(sim, state):
-    """Collect the equation-set context flow/scalar_statistics need for
-    the thermodynamic, buoyancy, Coriolis, and stratification columns.
-
-    Mirrors the globals AVG_FLOW_XZ pulls from its modules (buoyancy%,
-    coriolis%, p/t/rbackground, Thermo_Anelastic_*)."""
+def build_extras_static(sim):
+    """State-INDEPENDENT part of the statistics context: equation set,
+    background profiles, Coriolis/buoyancy parameters.  Host NumPy work
+    (anelastic hydrostatic background) lives here so it can be hoisted
+    OUT of jitted table computations (make_anelastic cannot trace)."""
     ex = {"eqns": getattr(sim.case, "equations", "incompressible"),
           "y": np.asarray(sim.grid.y.nodes)}
     buo = getattr(sim.case, "buoyancy", None)
@@ -102,7 +101,6 @@ def build_extras(sim, state):
         vec = getattr(cor, "vector", (0.0, 0.0, 0.0))
         ex["coriolis_y"] = float(vec[1]) if len(vec) > 1 else 0.0
 
-    anel = None
     if ex["eqns"] == "anelastic":
         from tlab_tpu import runtime as rt
         anel = rt.make_anelastic(sim.case, sim.grid, sim.dtype)
@@ -111,30 +109,46 @@ def build_extras(sim, state):
         ex["tref"] = np.asarray(anel["bg"]["T"])
         ex["pref"] = np.asarray(anel["bg"]["p"])
 
-    # buoyancy field b(s) as the sources use it (unscaled; the table
-    # applies 1/froude and the gravity vector as the reference does)
     if buo is not None and getattr(buo, "type", "none") != "none":
         ex["bvec"] = tuple(buo.vector)
-        from tlab_tpu.physics import gravity as grav
-        from tlab_tpu.physics import thermo
-        if buo.type == "explicit" and anel is not None:
-            ex["b"] = thermo.buoyancy_explicit(anel["tp"], state.s,
-                                               anel["bg"])
-        elif state.s.shape[0] > 0:
-            # pad with a zero diagnostic-liquid column so the independent
-            # term keeps its parameters(inb_scal_array+1) slot while the
-            # liquid stays OUT of the reference profile (the reference's
-            # sbackground diagnostic column is uninitialized,
-            # tlab_background.f90:194-221)
-            profs = list(sim.case.scal_profiles)
-            profs += [lambda yv: np.zeros_like(yv)] * \
-                (state.s.shape[0] - len(profs))
-            bback = grav.background_profile(buo, profs, sim.grid.y.nodes)
-            ex["b"] = grav.buoyancy_field(buo, state.s, bback)
         prof = sim.case.scal_profiles[-1] if sim.case.scal_profiles else None
         ex["ymean"] = float(getattr(prof, "ymean", 0.0) or 0.0) \
             if prof is not None else 0.0
     return ex
+
+
+def add_state_extras(sim, state, ex):
+    """State-DEPENDENT part: the buoyancy field b(s) as the sources use
+    it (unscaled; the table applies 1/froude and the gravity vector as
+    the reference does).  Pure jnp on state -- safe inside jit."""
+    buo = getattr(sim.case, "buoyancy", None)
+    if buo is None or getattr(buo, "type", "none") == "none":
+        return ex
+    from tlab_tpu.physics import gravity as grav
+    from tlab_tpu.physics import thermo
+    if buo.type == "explicit" and "bg" in ex:
+        ex["b"] = thermo.buoyancy_explicit(ex["tp"], state.s, ex["bg"])
+    elif state.s.shape[0] > 0:
+        # pad with a zero diagnostic-liquid column so the independent
+        # term keeps its parameters(inb_scal_array+1) slot while the
+        # liquid stays OUT of the reference profile (the reference's
+        # sbackground diagnostic column is uninitialized,
+        # tlab_background.f90:194-221)
+        profs = list(sim.case.scal_profiles)
+        profs += [lambda yv: np.zeros_like(yv)] * \
+            (state.s.shape[0] - len(profs))
+        bback = grav.background_profile(buo, profs, sim.grid.y.nodes)
+        ex["b"] = grav.buoyancy_field(buo, state.s, bback)
+    return ex
+
+
+def build_extras(sim, state):
+    """Collect the equation-set context flow/scalar_statistics need for
+    the thermodynamic, buoyancy, Coriolis, and stratification columns.
+
+    Mirrors the globals AVG_FLOW_XZ pulls from its modules (buoyancy%,
+    coriolis%, p/t/rbackground, Thermo_Anelastic_*)."""
+    return add_state_extras(sim, state, build_extras_static(sim))
 
 
 def make_stats_tables_fn(sim):
@@ -147,10 +161,13 @@ def make_stats_tables_fn(sim):
     import jax
     ns = sim.nsp.n_scalars
     names_box = {}
+    # host-NumPy background work hoisted out of the trace (a jitted
+    # make_anelastic raises TracerArrayConversionError)
+    ex_static = build_extras_static(sim)
 
     @jax.jit
     def compute(state, p):
-        ex = build_extras(sim, state)
+        ex = add_state_extras(sim, state, dict(ex_static))
         flow = flow_statistics(sim.P, state, sim.nsp.visc, p=p, extras=ex)
         scals = [scalar_statistics(sim.P, state, sim.nsp.diffusivity(i),
                                    i, p=p, visc=sim.nsp.visc, extras=ex)

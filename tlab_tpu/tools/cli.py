@@ -302,11 +302,19 @@ def main(argv=None):
             # ParamVisuals quantity indices -> names (visuals.f90 menu,
             # iscal_offset = 9 for single-species)
             ns_ = sim.nsp.n_scalars
+            buo_ = getattr(case, "buoyancy", None)
+            has_buo = buo_ is not None and \
+                getattr(buo_, "type", "none") != "none"
+            lpe = ("LogPotentialEnstrophy",) if has_buo else ()
+            eps_s = ("EpsSolid",) if sim.P.get("ibm") else ()
+            has_t = getattr(case, "thermo", None) and \
+                (getattr(case, "thermo", {}) or {}).get("mixture")
+            sups = ("Supsat",) if has_t and ns_ >= 3 else ()
             menu = {1: ("VelocityX",), 2: ("VelocityY",),
                     3: ("VelocityZ",),
-                    4: ("VelocityX", "VelocityY", "VelocityZ"),
+                    4: ("VelocityVector",),
                     5: ("VelocityMagnitude",),
-                    6: ("Density",), 7: ("Temperature",),
+                    6: ("Density",), 7: ("Temperature",) + sups,
                     8: ("Pressure", "PressureGradientPower",
                         "PressureStrainX", "PressureStrainY",
                         "PressureStrainZ", "PressureHydrostatic",
@@ -315,9 +323,12 @@ def main(argv=None):
                     10: ("ScalarGradientVector",),
                     11: ("ScalarGradient",),
                     12: ("ScalarGradientProduction",),
-                    13: ("Vorticity",), 14: ("LogEnstrophy",),
-                    15: ("EnstrophyProduction", "EnstrophyDiffusion"),
-                    16: ("Strain",), 17: ("Strain",),
+                    13: ("VorticityVector",),
+                    14: ("LogEnstrophy",) + lpe,
+                    15: ("Enstrophy", "EnstrophyProduction",
+                         "EnstrophyDiffusion") + lpe,
+                    16: ("StrainTensor",),
+                    17: ("Strain",) + eps_s,
                     18: ("StrainProduction", "StrainDiffusion",
                          "StrainPressure"),
                     19: ("InvariantP", "InvariantQ", "InvariantR"),

@@ -288,7 +288,9 @@ _VISUAL_FIELDS = ("VelocityX", "VelocityY", "VelocityZ", "Scalar1",
                   "PressureHydrostatic", "PressureHydrodynamic",
                   "PressureTotal", "PressureAdvection",
                   "PressureAdvDiff", "PressureDiffusion",
-                  "PressureCoriolis", "PressureBuoyancy")
+                  "PressureCoriolis", "PressureBuoyancy",
+                  "VelocityVector", "VorticityVector", "StrainTensor",
+                  "LogPotentialEnstrophy", "Supsat", "EpsSolid")
 
 
 def subdomain_slices(sim):
@@ -431,6 +433,80 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                         os.path.join(outdir, f"vis{it}.W{tag}"),
                         np.asarray(comp), it, (rtime,), fmt=vfmt)
                 continue
+            elif name == "VelocityVector":
+                # three-component file set (visuals.f90:495-498,
+                # IO_WRITE_VISUALS nfield=3 -> per-component subarrays)
+                for i, comp in enumerate((st.u, st.v, st.w), 1):
+                    arr = np.asarray(comp)
+                    if sub is not None:
+                        arr = arr[sub]
+                    fields_io.write_visual(
+                        os.path.join(outdir, f"vis{it}.VelocityVector{i}"),
+                        arr, it, (rtime,), fmt=vfmt)
+                continue
+            elif name == "VorticityVector":
+                # FI_CURL components (visuals.f90:725-727)
+                for i, comp in enumerate(
+                        mappings.curl(P, st.u, st.v, st.w), 1):
+                    arr = np.asarray(comp)
+                    if sub is not None:
+                        arr = arr[sub]
+                    fields_io.write_visual(
+                        os.path.join(outdir, f"vis{it}.VorticityVector{i}"),
+                        arr, it, (rtime,), fmt=vfmt)
+                continue
+            elif name == "StrainTensor":
+                # FI_STRAIN_TENSOR order Sxx,Syy,Szz,Sxy,Sxz,Syz
+                # (fi_strain.f90:29-63; visuals.f90:776-779)
+                g = mappings.velocity_gradient(P, st.u, st.v, st.w)
+                comps = (g["ux"], g["vy"], g["wz"],
+                         0.5 * (g["uy"] + g["vx"]),
+                         0.5 * (g["uz"] + g["wx"]),
+                         0.5 * (g["vz"] + g["wy"]))
+                for i, comp in enumerate(comps, 1):
+                    arr = np.asarray(comp)
+                    if sub is not None:
+                        arr = arr[sub]
+                    fields_io.write_visual(
+                        os.path.join(outdir, f"vis{it}.StrainTensor{i}"),
+                        arr, it, (rtime,), fmt=vfmt)
+                continue
+            elif name == "LogPotentialEnstrophy":
+                # log10((omega . grad b)^2) with b the buoyancy/Froude
+                # (visuals.f90:739-755)
+                from tlab_tpu.physics.gravity import buoyancy_field
+                props = getattr(sim.case, "buoyancy", None)
+                if props is None or props.type == "none":
+                    raise ValueError(f"{name} visual needs [BodyForce]")
+                froude = getattr(sim.nsp, "froude", 1.0) or 1.0
+                ref = jnp.zeros(sim.grid.y.nodes.shape[0])
+                b = buoyancy_field(props, st.s, ref) / froude
+                gb = (dyn._d1(P, "x", 0, b), dyn._d1(P, "y", 1, b),
+                      dyn._d1(P, "z", 2, b))
+                om = mappings.curl(P, st.u, st.v, st.w)
+                pe = gb[0] * om[0] + gb[1] * om[1] + gb[2] * om[2]
+                fld = jnp.log10(pe * pe + 1e-30)
+            elif name == "Supsat":
+                # supersaturated liquid (s_ql - ql_eq)/s_ql(1)
+                # (visuals.f90:527-533; needs the non-equilibrium
+                # airwater 3-scalar state, damkohler(1) > 0)
+                if st.s.shape[0] < 3:
+                    raise ValueError("Supsat needs the non-equilibrium "
+                                     "airwater state (3 scalars)")
+                from tlab_tpu import runtime as rt
+                from tlab_tpu.physics import thermo as th
+                ane = rt.make_anelastic(sim.case, sim.grid, sim.dtype)
+                diag = th.diagnostic_fields(ane["tp"], st.s[:2],
+                                            ane["bg"])
+                ql_eq = diag["ql"]
+                norm = np.asarray(st.s[2]).reshape(-1)[0]
+                fld = (st.s[2] - ql_eq) / norm
+            elif name == "EpsSolid":
+                # IBM solid mask (visuals.f90:1035-1039)
+                ib = P.get("ibm")
+                if not ib:
+                    raise ValueError("EpsSolid visual needs [IBMParameter]")
+                fld = jnp.asarray(ib["eps"])
             elif name == "EnstrophyProduction":
                 fld = mappings.vorticity_production(P, st.u, st.v, st.w)
             elif name == "EnstrophyDiffusion":
