@@ -16,11 +16,26 @@ with the standard conjugate-even weights w = (1, 2, ..., 2, 1).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
 import jax
 from tlab_tpu.ops.derivative import op_precision
+
+
+def _dft_precision(dtype):
+    """Matmul precision for the DFT stages.  Default HIGHEST (the r3
+    elliptic-chain pin); TLAB_TPU_DFT_PRECISION=op relaxes the DFTs to
+    the production op_precision (HIGH, 3 bf16 passes) -- the DFT
+    matrices are orthogonal-up-to-scaling (cond 1), so the eigen-chain
+    conditioning argument behind the HIGHEST pin does not apply to them."""
+    if dtype == jnp.float32 and \
+            os.environ.get("TLAB_TPU_DFT_PRECISION", "highest") == "op":
+        return op_precision(dtype)
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else op_precision(dtype))
 
 
 def build_rdft_x(nx: int, dtype=np.float32):
@@ -66,29 +81,23 @@ def _mm(M, a, axis):
     eins = {0: "ab,bjk->ajk", 2: "ab,ijb->ija"}[axis]
     pref = jnp.float32 if a.dtype in (jnp.bfloat16, jnp.float16) else a.dtype
     return jnp.einsum(eins, M, a, preferred_element_type=pref,
-                      precision=(jax.lax.Precision.HIGHEST
-                                 if a.dtype == jnp.float32
-                                 else op_precision(a.dtype))).astype(a.dtype)
+                      precision=_dft_precision(a.dtype)).astype(a.dtype)
 
 
 def forward_parts(plan: dict, f):
     """Same as forward but keeps (re, im) as separate real arrays (lets the
     modal solve run in pure real matmuls)."""
-    re = _mm(plan["Cx"], f, 0)
-    im = _mm(plan["Sx"], f, 0)
+    re, im = forward_x_parts(plan, f)
     if "Cz" in plan:
-        re, im = (_mm(plan["Cz"], re, 2) - _mm(plan["Sz"], im, 2),
-                  _mm(plan["Sz"], re, 2) + _mm(plan["Cz"], im, 2))
+        re, im = fft_z_parts(plan, re, im)
     return re, im
 
 
 def backward_parts(plan: dict, re, im):
     """(re, im) modal -> real field (nx, ny, nz)."""
     if "Cz" in plan:
-        nz = plan["nz"]
-        re, im = ((_mm(plan["Cz"], re, 2) + _mm(plan["Sz"], im, 2)) / nz,
-                  (_mm(plan["Cz"], im, 2) - _mm(plan["Sz"], re, 2)) / nz)
-    return _mm(plan["Cxi"], re, 0) + _mm(plan["Sxi"], im, 0)
+        re, im = ifft_z_parts(plan, re, im)
+    return backward_x_parts(plan, re, im)
 
 
 # -- split-direction variants (distributed pencil path: the z transform
