@@ -1066,3 +1066,44 @@ def test_case84_on_production_mesh_bit_identical(tmp_path):
     for col in (2, 3, 5, 6):
         assert np.allclose(ours[:, col], ref[:, col], rtol=1e-6,
                            atol=1e-12), col
+
+
+def test_case81_on_production_mesh_bit_identical(tmp_path):
+    """A second UNMODIFIED 3-D reference case on the production mesh,
+    chosen for feature diversity vs Case84: Case81 (laminar-start Ekman,
+    128x96x128, [ViscChange] Time=0.01 viscosity ramp, ObsLog=Ekman) --
+    exercises the traced visc-ramp aux leaf and the dns.obs bulk/friction
+    reductions under sharding.  dns.out AND dns.obs must be bit-identical
+    mesh-vs-single."""
+    ini = f"{REF}/Case81/tlab.ini"
+    d1 = str(tmp_path / "single")
+    d8 = str(tmp_path / "mesh")
+    os.makedirs(d1)
+    os.makedirs(d8)
+
+    def cli(args, outdir, devices=1):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count="
+                            f"{devices}").strip()
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *args, "--cpu",
+             "--x64", "--ini", ini, "--outdir", outdir],
+            cwd=REPO, env=env, capture_output=True, text=True,
+            timeout=3000)
+        assert r.returncode == 0, (args, r.stderr[-2000:])
+
+    cli(["ini"], d1)
+    for f in os.listdir(d1):
+        if f.startswith(("flow.", "scal.")):
+            with open(os.path.join(d1, f), "rb") as src, \
+                    open(os.path.join(d8, f), "wb") as dst:
+                dst.write(src.read())
+    cli(["dns"], d1)
+    cli(["dns", "--mesh", "2,4"], d8, devices=8)
+    for name in ("dns.out", "dns.obs"):
+        l1 = [ln for ln in open(os.path.join(d1, name))
+              if not ln.startswith("#")]
+        l8 = [ln for ln in open(os.path.join(d8, name))
+              if not ln.startswith("#")]
+        assert l1 == l8, name

@@ -26,16 +26,19 @@ from tlab_tpu.ops.derivative import op_precision
 
 
 def _dft_precision(dtype):
-    """Matmul precision for the DFT stages.  Default HIGHEST (the r3
-    elliptic-chain pin); TLAB_TPU_DFT_PRECISION=op relaxes the DFTs to
-    the production op_precision (HIGH, 3 bf16 passes) -- the DFT
-    matrices are orthogonal-up-to-scaling (cond 1), so the eigen-chain
-    conditioning argument behind the HIGHEST pin does not apply to them."""
+    """Matmul precision for the DFT stages.  The DFT matrices are
+    orthogonal-up-to-scaling (cond 1), so the eigen-chain conditioning
+    argument behind the r3 elliptic HIGHEST pin does not apply to them:
+    they follow the production op_precision (HIGH by default, HIGHEST
+    under TLAB_TPU_MATMUL_PRECISION=highest validation runs).  Measured
+    r4 on v5e: +5.1% full-step (663.5 vs 631.4 M pts/s/chip/substep)
+    with the post-projection divergence residual UNCHANGED (13.415 vs
+    13.436 on the 256x192x128 noise probe) and ||u||^2 equal to 1e-7
+    relative.  TLAB_TPU_DFT_PRECISION=highest restores the old pin."""
     if dtype == jnp.float32 and \
-            os.environ.get("TLAB_TPU_DFT_PRECISION", "highest") == "op":
-        return op_precision(dtype)
-    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
-            else op_precision(dtype))
+            os.environ.get("TLAB_TPU_DFT_PRECISION", "op") == "highest":
+        return jax.lax.Precision.HIGHEST
+    return op_precision(dtype)
 
 
 def build_rdft_x(nx: int, dtype=np.float32):
