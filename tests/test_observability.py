@@ -394,6 +394,45 @@ def test_extended_visuals_menu(tmp_path):
     assert (a >= 0).all()
 
 
+def test_paramvisuals_menu_numbers(tmp_path):
+    """[PostProcessing] ParamVisuals batch indices follow the reference
+    menu exactly (visuals.f90:179-213, iscal_offset=9): 4=VelocityVector,
+    13=VorticityVector, 16=StrainTensor — each a per-component raw-f32
+    file set."""
+    import subprocess, sys
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(REPO, "tests", "data",
+                            "case01_small.ini")).read()
+    src += "\n[PostProcessing]\nFiles=10\nParamVisuals=4,13,16\n"
+    ini = str(tmp_path / "tlab.ini")
+    open(ini, "w").write(src)
+    out = str(tmp_path)
+    for cmd in (["ini"], ["dns"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *cmd, "--cpu",
+             "--ini", ini, "--outdir", out],
+            cwd=REPO, capture_output=True, text=True, timeout=1200)
+        assert r.returncode == 0, r.stderr[-1500:]
+    r = subprocess.run(
+        [sys.executable, "-m", "tlab_tpu.tools.cli", "visuals", "--cpu",
+         "--ini", ini, "--outdir", out],
+        cwd=REPO, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-1500:]
+    from tlab_tpu.io import fields_io
+    from tlab_tpu.config import load_case
+    shp = Simulation.from_case(load_case(ini)).grid.shape
+    for n in ("vis10.VelocityVector1", "vis10.VelocityVector2",
+              "vis10.VelocityVector3", "vis10.VorticityVector1",
+              "vis10.VorticityVector3", "vis10.StrainTensor1",
+              "vis10.StrainTensor6"):
+        a = fields_io.read_visual(os.path.join(out, n), shp)
+        assert np.isfinite(a).all(), n
+    u = fields_io.read_field(os.path.join(out, "flow.10.1"))[0]
+    vv = fields_io.read_visual(os.path.join(out, "vis10.VelocityVector1"),
+                               shp)
+    assert np.allclose(vv, u, atol=1e-6)
+
+
 def test_pressure_visual_family(tmp_path):
     """The visuals Pressure suite (visuals.f90 option 8): gradient power,
     pressure-strain correlations, hydrostatic/hydrodynamic split and the
