@@ -373,6 +373,99 @@ scales_1=3.141592653
                                atol=1e-6)
 
 
+AIRWATER_INI = """
+[Main]
+Type=temporal
+Equations=anelastic
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit3
+[Parameters]
+Reynolds=100
+Schmidt=1.0,1.0,1.0
+Damkohler=1.0,1.0,1.0
+[Control]
+ScalLimit=no
+[Thermodynamics]
+Mixture=airwater
+ScaleHeight=20.0
+[Scalar]
+ProfileScalar1=Linear
+DeltaScalar1=0.0
+MeanScalar1=1.0
+ProfileScalar2=None
+MeanScalar2=0.005
+ProfileScalar3=None
+MeanScalar3=0.0
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=17
+scales_1=6.283185307
+[IniGridOy]
+periodic=no
+segments=1
+points_1=12
+scales_1=1.0
+opts_1=uniform
+[IniGridOz]
+periodic=yes
+segments=1
+points_1=9
+scales_1=3.141592653
+"""
+
+
+def _airwater_state(sim, seed=11):
+    nx, ny, nz = sim.grid.shape
+    rng = np.random.default_rng(seed)
+    h = 0.995 + 0.005 * rng.random((nx, ny, nz))
+    qt = 0.01 + 0.002 * rng.random((nx, ny, nz))
+    ql = 1e-4 + 1e-4 * rng.random((nx, ny, nz))
+    return State(u=jnp.zeros((nx, ny, nz)), v=jnp.zeros((nx, ny, nz)),
+                 w=jnp.zeros((nx, ny, nz)),
+                 s=jnp.asarray(np.stack([h, qt, ql])))
+
+
+def test_species_visuals_and_mixture_menu_shift(tmp_path):
+    """Airwater species visuals H2Ov/Air/H2Ol (visuals.f90:649-668) and
+    the mixture iscal_offset shift: with NSP=3 the menu offset is 12, so
+    ParamVisuals=16 selects VorticityVector (iscal_offset+4), NOT
+    StrainTensor as in the single-species menu."""
+    import os
+    import subprocess
+    import sys
+    from tlab_tpu.io import fields_io
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = AIRWATER_INI + ("\n[PostProcessing]\nFiles=2\n"
+                          "ParamVisuals=10,11,12,16\n")
+    ini = str(tmp_path / "tlab.ini")
+    open(ini, "w").write(src)
+    sim = Simulation.from_case(load_case(Ini(text=src)))
+    st = _airwater_state(sim)
+    fields_io.write_state(os.path.join(tmp_path, "flow"),
+                          os.path.join(tmp_path, "scal"), 2, st, 0.0, 1e-3)
+    r = subprocess.run(
+        [sys.executable, "-m", "tlab_tpu.tools.cli", "visuals", "--cpu",
+         "--x64", "--ini", ini, "--outdir", str(tmp_path)],
+        cwd=REPO, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-1500:]
+    shp = sim.grid.shape
+    qt, ql = np.asarray(st.s[1]), np.asarray(st.s[2])
+    v = fields_io.read_visual(os.path.join(tmp_path, "vis2.H2Ov"), shp)
+    np.testing.assert_allclose(v, (qt - ql).astype(np.float32), rtol=1e-5)
+    a = fields_io.read_visual(os.path.join(tmp_path, "vis2.Air"), shp)
+    np.testing.assert_allclose(a, (1.0 - qt).astype(np.float32),
+                               rtol=1e-5)
+    l = fields_io.read_visual(os.path.join(tmp_path, "vis2.H2Ol"), shp)
+    np.testing.assert_allclose(l, ql.astype(np.float32), rtol=1e-5)
+    # menu 16 = iscal_offset+4 = VorticityVector for this mixture
+    assert os.path.exists(os.path.join(tmp_path,
+                                       "vis2.VorticityVector1"))
+    assert not os.path.exists(os.path.join(tmp_path,
+                                           "vis2.StrainTensor1"))
+
+
 def test_phase_average():
     """Phase-locked averaging: a field oscillating with period 4 steps is
     recovered per phase slot with the cycle-mean removed correctly."""

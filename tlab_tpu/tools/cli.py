@@ -302,14 +302,35 @@ def main(argv=None):
             # ParamVisuals quantity indices -> names (visuals.f90 menu,
             # iscal_offset = 9 for single-species)
             ns_ = sim.nsp.n_scalars
-            buo_ = getattr(case, "buoyancy", None)
-            has_buo = buo_ is not None and \
-                getattr(buo_, "type", "none") != "none"
-            lpe = ("LogPotentialEnstrophy",) if has_buo else ()
+            lpe = ("LogPotentialEnstrophy",)
             eps_s = ("EpsSolid",) if sim.P.get("ibm") else ()
-            has_t = getattr(case, "thermo", None) and \
-                (getattr(case, "thermo", {}) or {}).get("mixture")
-            sups = ("Supsat",) if has_t and ns_ >= 3 else ()
+            tcfg = getattr(case, "thermo", None) or {}
+            mix = (tcfg.get("mixture", "") or "").lower()
+            # Damkohler(1)>0 = non-equilibrium airwater, prognostic
+            # liquid as scalar 3 (visuals.f90:527 Supsat gate)
+            damk = case.ini.get_floats("Parameters", "Damkohler", ())
+            sups = ("Supsat",) if (mix == "airwater" and ns_ >= 3
+                                   and damk and damk[0] > 0.0) else ()
+            # species sub-menu + iscal_offset = 9 + NSP for mixtures
+            # (visuals.f90:166-167,189-192,649-668)
+            from tlab_tpu.physics.mixtures import MIXTURES
+            if mix in ("", "none"):
+                spn = ()
+            elif mix == "airwater":
+                spn = ("H2Ov", "Air", "H2Ol")
+            elif mix == "airvapor":
+                spn = ("H2Ov", "Air")
+            elif mix == "airwaterlinear":
+                spn = ("Chi", "Psi") + tuple(
+                    f"Scalar{i}" for i in range(3, ns_ + 1)) + ("Liquid",)
+            elif mix in MIXTURES:
+                spn = MIXTURES[mix]
+            else:
+                spn = tuple(f"Scalar{i + 1}" for i in range(ns_))
+            off = 9 + len(spn) if spn else 9
+            scal9 = tuple(f"Scalar{i + 1}" for i in range(max(ns_, 1)))
+            if mix in ("airwater", "airwaterlinear"):
+                scal9 = scal9 + ("Liquid",)   # the inb_scal_array slot
             menu = {1: ("VelocityX",), 2: ("VelocityY",),
                     3: ("VelocityZ",),
                     4: ("VelocityVector",),
@@ -319,28 +340,34 @@ def main(argv=None):
                         "PressureStrainX", "PressureStrainY",
                         "PressureStrainZ", "PressureHydrostatic",
                         "PressureHydrodynamic"),
-                    9: tuple(f"Scalar{i+1}" for i in range(max(ns_, 1))),
-                    10: ("ScalarGradientVector",),
-                    11: ("ScalarGradient",),
-                    12: ("ScalarGradientProduction",),
-                    13: ("VorticityVector",),
-                    14: ("LogEnstrophy",) + lpe,
-                    15: ("Enstrophy", "EnstrophyProduction",
-                         "EnstrophyDiffusion") + lpe,
-                    16: ("StrainTensor",),
-                    17: ("Strain",) + eps_s,
-                    18: ("StrainProduction", "StrainDiffusion",
-                         "StrainPressure"),
-                    19: ("InvariantP", "InvariantQ", "InvariantR"),
-                    21: ("Buoyancy", "Fvb", "bPrime", "Cvb",
-                         "LogBuoyancySource"),
-                    23: ("HorizontalDivergence",),
-                    24: ("Tke", "ReynoldsTensor"),
-                    25: ("Radiation",), 26: ("RelativeHumidity",),
-                    27: ("ParticleDensity",),
-                    28: ("LaplacianV", "Buoyancy", "LaplacianB",
-                         "GradientRi", "Pressure", "PressureGradientY"),
-                    29: ("StressTensor",)}
+                    9: scal9}
+            for i, nm in enumerate(spn):
+                menu[10 + i] = (nm,)
+            menu.update({
+                off + 1: ("ScalarGradientVector",),
+                off + 2: ("ScalarGradient",),
+                off + 3: ("ScalarGradientProduction",),
+                off + 4: ("VorticityVector",),
+                off + 5: ("LogEnstrophy",) + lpe,
+                off + 6: ("Enstrophy", "EnstrophyProduction",
+                          "EnstrophyDiffusion") + lpe,
+                off + 7: ("StrainTensor",),
+                # +8/+9 share the Strain block which also accumulates
+                # the stress tensor + IBM mask (visuals.f90:786-830)
+                off + 8: ("LogStrain", "StressTensor") + eps_s,
+                off + 9: ("Strain", "StressTensor", "StrainProduction",
+                          "StrainDiffusion", "StrainPressure") + eps_s,
+                off + 10: ("InvariantP", "InvariantQ", "InvariantR"),
+                off + 12: ("Buoyancy", "Fvb", "bPrime", "Cvb",
+                           "LogBuoyancySource"),
+                off + 14: ("HorizontalDivergence",),
+                off + 15: ("Tke", "ReynoldsTensor"),
+                off + 16: ("Radiation",),
+                off + 17: ("RelativeHumidity",),
+                off + 18: ("ParticleDensity",),
+                off + 19: ("LaplacianV", "Buoyancy", "LaplacianB",
+                           "GradientRi", "Pressure", "PressureGradientY"),
+                off + 20: ("StressTensor",) + eps_s})
             if case.ini.get("PostProcessing", "PressureDecomposition",
                             "total").lower() == "resolved":
                 menu[8] = menu[8] + (

@@ -290,7 +290,9 @@ _VISUAL_FIELDS = ("VelocityX", "VelocityY", "VelocityZ", "Scalar1",
                   "PressureAdvDiff", "PressureDiffusion",
                   "PressureCoriolis", "PressureBuoyancy",
                   "VelocityVector", "VorticityVector", "StrainTensor",
-                  "LogPotentialEnstrophy", "Supsat", "EpsSolid")
+                  "LogPotentialEnstrophy", "Supsat", "EpsSolid",
+                  "LogStrain", "H2Ov", "Air", "H2Ol", "Chi", "Psi",
+                  "Liquid")
 
 
 def subdomain_slices(sim):
@@ -307,6 +309,47 @@ def subdomain_slices(sim):
             slice(i[4] - 1, i[5]))
 
 
+def _get_ane(sim, box: dict):
+    """Anelastic background, built once per tool invocation (the
+    hydrostatic integration is iteration-independent)."""
+    if "ane" not in box:
+        from tlab_tpu import runtime as rt
+        box["ane"] = rt.make_anelastic(sim.case, sim.grid, sim.dtype)
+    return box["ane"]
+
+
+def _visual_buoyancy(sim, st, box: dict):
+    """b(s)/Froude as visuals.f90 evaluates it (741-747): the anelastic
+    Thermo_Anelastic_BUOYANCY for Type=explicit, Gravity_Buoyancy with a
+    zero reference otherwise, zeros when no [BodyForce] is active."""
+    from tlab_tpu.physics.gravity import buoyancy_field
+    props = getattr(sim.case, "buoyancy", None)
+    froude = getattr(sim.nsp, "froude", 1.0) or 1.0
+    if props is None or props.type == "none":
+        return jnp.zeros_like(st.u)
+    if props.type == "explicit":
+        from tlab_tpu.physics import thermo as th
+        ane = _get_ane(sim, box)
+        return th.buoyancy_explicit(ane["tp"], st.s, ane["bg"]) / froude
+    ref = jnp.zeros(sim.grid.y.nodes.shape[0])
+    return buoyancy_field(props, st.s, ref) / froude
+
+
+def _anelastic_liquid(sim, st, box: dict):
+    """The diagnostic liquid slot s(:, inb_scal+1) for the anelastic
+    mixtures: prognostic when Damkohler>0 (3-scalar non-equilibrium),
+    else airwater equilibrium / the airwaterlinear closure."""
+    from tlab_tpu.physics import thermo as th
+    tcfg = getattr(sim.case, "thermo", {}) or {}
+    mix = tcfg.get("mixture", "")
+    if mix == "airwaterlinear" and tcfg.get("parameters"):
+        return th.airwater_linear(tuple(tcfg["parameters"]), st.s)
+    if st.s.shape[0] > 2:
+        return st.s[2]
+    ane = _get_ane(sim, box)
+    return th.diagnostic_fields(ane["tp"], st.s[:2], ane["bg"])["ql"]
+
+
 def run_visuals(sim: Simulation, outdir: str, iterations,
                 which=("Enstrophy",)) -> None:
     """Derived-field extraction in single precision
@@ -314,6 +357,7 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
     restricted to [PostProcessing] Subdomain."""
     from tlab_tpu.dycore import incompressible as dyn
     sub = subdomain_slices(sim)
+    ane_box = {}
     is_comp = getattr(sim, "comp", None) is not None
     # [PostProcessing] Format: 'single' (default) = raw f32 no header,
     # as the reference's IO_WRITE_VISUALS FORMAT_SINGLE (what the xdmf/
@@ -349,7 +393,13 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
             if name == "Enstrophy":
                 fld = mappings.vorticity_magnitude2(P, st.u, st.v, st.w)
             elif name == "Strain":
-                fld = mappings.strain2(P, st.u, st.v, st.w)
+                # the reference's Strain file is 2 s_ij s_ij
+                # (visuals.f90:786)
+                fld = 2.0 * mappings.strain2(P, st.u, st.v, st.w)
+            elif name == "LogStrain":
+                # iscal_offset+8: log10(2 s_ij s_ij + small)
+                fld = jnp.log10(
+                    2.0 * mappings.strain2(P, st.u, st.v, st.w) + 1e-30)
             elif name in ("InvariantQ", "InvariantR", "InvariantP"):
                 ip, iq, ir = mappings.invariants(P, st.u, st.v, st.w)
                 fld = {"InvariantP": ip, "InvariantQ": iq,
@@ -379,14 +429,12 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                 # buoyancy-analysis family (visuals.f90 iscal_offset+12):
                 # b/Froude, its vertical flux, fluctuation, b'v'
                 # covariance, and the evaporative source magnitude
-                from tlab_tpu.physics.gravity import (buoyancy_field,
-                                                      buoyancy_source)
+                from tlab_tpu.physics.gravity import buoyancy_source
                 props = getattr(sim.case, "buoyancy", None)
                 if props is None or props.type == "none":
                     raise ValueError(f"{name} visual needs [BodyForce]")
-                ref = jnp.zeros(sim.grid.y.nodes.shape[0])
                 froude = getattr(sim.nsp, "froude", 1.0) or 1.0
-                b = buoyancy_field(props, st.s, ref) / froude
+                b = _visual_buoyancy(sim, st, ane_box)
                 if name == "Buoyancy":
                     fld = b
                 elif name == "Fvb":
@@ -421,17 +469,22 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
             elif name == "ScalarGradientVector":
                 for tag, ax, ai in (("x", "x", 0), ("y", "y", 1),
                                     ("z", "z", 2)):
+                    arr = np.asarray(dyn._d1(P, ax, ai, st.s[0]))
+                    if sub is not None:
+                        arr = arr[sub]
                     fields_io.write_visual(
                         os.path.join(outdir, f"vis{it}.G{tag}"),
-                        np.asarray(dyn._d1(P, ax, ai, st.s[0])), it,
-                        (rtime,), fmt=vfmt)
+                        arr, it, (rtime,), fmt=vfmt)
                 continue
             elif name == "Vorticity":
                 ox, oy, oz = mappings.curl(P, st.u, st.v, st.w)
                 for tag, comp in (("x", ox), ("y", oy), ("z", oz)):
+                    arr = np.asarray(comp)
+                    if sub is not None:
+                        arr = arr[sub]
                     fields_io.write_visual(
                         os.path.join(outdir, f"vis{it}.W{tag}"),
-                        np.asarray(comp), it, (rtime,), fmt=vfmt)
+                        arr, it, (rtime,), fmt=vfmt)
                 continue
             elif name == "VelocityVector":
                 # three-component file set (visuals.f90:495-498,
@@ -472,15 +525,10 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                         arr, it, (rtime,), fmt=vfmt)
                 continue
             elif name == "LogPotentialEnstrophy":
-                # log10((omega . grad b)^2) with b the buoyancy/Froude
-                # (visuals.f90:739-755)
-                from tlab_tpu.physics.gravity import buoyancy_field
-                props = getattr(sim.case, "buoyancy", None)
-                if props is None or props.type == "none":
-                    raise ValueError(f"{name} visual needs [BodyForce]")
-                froude = getattr(sim.nsp, "froude", 1.0) or 1.0
-                ref = jnp.zeros(sim.grid.y.nodes.shape[0])
-                b = buoyancy_field(props, st.s, ref) / froude
+                # log10((omega . grad b)^2) with b the buoyancy/Froude;
+                # the reference computes it for whatever buoyancy is
+                # active, zeros included (visuals.f90:739-755)
+                b = _visual_buoyancy(sim, st, ane_box)
                 gb = (dyn._d1(P, "x", 0, b), dyn._d1(P, "y", 1, b),
                       dyn._d1(P, "z", 2, b))
                 om = mappings.curl(P, st.u, st.v, st.w)
@@ -493,9 +541,8 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                 if st.s.shape[0] < 3:
                     raise ValueError("Supsat needs the non-equilibrium "
                                      "airwater state (3 scalars)")
-                from tlab_tpu import runtime as rt
                 from tlab_tpu.physics import thermo as th
-                ane = rt.make_anelastic(sim.case, sim.grid, sim.dtype)
+                ane = _get_ane(sim, ane_box)
                 diag = th.diagnostic_fields(ane["tp"], st.s[:2],
                                             ane["bg"])
                 ql_eq = diag["ql"]
@@ -545,9 +592,8 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
             elif name == "RelativeHumidity":
                 # RH% = pv/psat with pv = p qv Rv/Rmix, the same formula
                 # as the avg Stratification group (averages.py)
-                from tlab_tpu import runtime as rt
                 from tlab_tpu.physics import thermo as th
-                ane = rt.make_anelastic(sim.case, sim.grid, sim.dtype)
+                ane = _get_ane(sim, ane_box)
                 tp = ane["tp"]
                 diag = th.diagnostic_fields(tp, st.s, ane["bg"])
                 T3, ql3 = diag["T"], diag["ql"]
@@ -630,13 +676,10 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
             elif name == "LaplacianV":
                 fld = mappings.laplacian(P, st.v)
             elif name in ("LaplacianB", "GradientRi"):
-                from tlab_tpu.physics.gravity import buoyancy_field
                 props = getattr(sim.case, "buoyancy", None)
                 if props is None or props.type == "none":
                     raise ValueError(f"{name} visual needs [BodyForce]")
-                froude = getattr(sim.nsp, "froude", 1.0) or 1.0
-                ref = jnp.zeros(sim.grid.y.nodes.shape[0])
-                b = buoyancy_field(props, st.s, ref) / froude
+                b = _visual_buoyancy(sim, st, ane_box)
                 if name == "LaplacianB":
                     fld = mappings.laplacian(P, b)
                 else:
@@ -659,6 +702,29 @@ def run_visuals(sim: Simulation, outdir: str, iterations,
                 loc = make_locator(sim.grid)(jnp.asarray(ps.x))
                 fld = particles_to_field(
                     jnp.ones(ps.x.shape[0]), loc, sim.grid.shape)
+            elif name in ("H2Ov", "Air", "H2Ol", "Liquid", "Chi", "Psi"):
+                # mixture species mass fractions (visuals.f90:649-668):
+                # airwater H2Ov = qt - ql, Air = 1 - qt, H2Ol = the
+                # liquid slot; airwaterlinear Chi/Psi are the mixing
+                # scalars and Liquid the diagnostic closure
+                tcfg_v = getattr(sim.case, "thermo", {}) or {}
+                mixv = tcfg_v.get("mixture", "")
+                if name == "Chi":
+                    fld = st.s[0]
+                elif name == "Psi":
+                    fld = st.s[1]
+                else:
+                    if comp_f is not None:
+                        qt = st.s[0] if st.s.shape[0] \
+                            else jnp.zeros_like(st.u)
+                        ql = jnp.asarray(comp_f["Liquid"]) \
+                            if "Liquid" in comp_f else jnp.zeros_like(qt)
+                    else:
+                        qt = st.s[1] if st.s.shape[0] > 1 else st.s[0]
+                        ql = jnp.zeros_like(qt) if mixv == "airvapor" \
+                            else _anelastic_liquid(sim, st, ane_box)
+                    fld = {"H2Ov": qt - ql,
+                           "Air": 1.0 - qt}.get(name, ql)
             elif name.startswith("Velocity"):
                 fld = {"VelocityX": st.u, "VelocityY": st.v,
                        "VelocityZ": st.w}[name]
