@@ -35,6 +35,10 @@ def _cli(args, outdir, devices=1):
     # mirrored-XBars IBM: spline fill on the gathered pencils + sliced
     # direct forcing (reference ibm_spline.f90:30 under MPI)
     ("case93_small3d.ini", False, 0.0),
+    # + [Staggering]: the VP/PV interpolation operators route through
+    # the pencil all-to-all like _d1 (opr_partial.f90:19-27), with the
+    # staggered-wavenumber factorize solve distributed (late r4)
+    ("case93stag_small3d.ini", False, 0.0),
     # compressible AirWater (Case14-class): dimensional p ~ 8e4 sets an
     # absolute round-off floor ~1e-9 on the (tiny) momentum fields --
     # dns.out stays digit-exact, fields compared at that floor

@@ -1068,6 +1068,46 @@ def test_case84_on_production_mesh_bit_identical(tmp_path):
                            atol=1e-12), col
 
 
+def test_case92_on_production_mesh_bit_identical(tmp_path):
+    """The UNMODIFIED staggered-pressure reference case on the
+    production mesh (late r4: the VP/PV stagger operators route through
+    the pencil all-to-all): Case92 (3-D channel, 128x194x128,
+    [Staggering] StaggerHorizontalPressure=yes, homogeneous forcing,
+    CompactDirect6 elliptic) -- `dns --mesh 4,2` dns.out bit-identical
+    to single-device."""
+    ini = f"{REF}/Case92/tlab.ini"
+    d1 = str(tmp_path / "single")
+    d8 = str(tmp_path / "mesh")
+    os.makedirs(d1)
+    os.makedirs(d8)
+
+    def cli(args, outdir, devices=1):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count="
+                            f"{devices}").strip()
+        r = subprocess.run(
+            [sys.executable, "-m", "tlab_tpu.tools.cli", *args, "--cpu",
+             "--x64", "--ini", ini, "--outdir", outdir],
+            cwd=REPO, env=env, capture_output=True, text=True,
+            timeout=3000)
+        assert r.returncode == 0, (args, r.stderr[-2000:])
+
+    cli(["ini"], d1)
+    for f in os.listdir(d1):
+        if f.startswith(("flow.", "scal.")):
+            with open(os.path.join(d1, f), "rb") as src, \
+                    open(os.path.join(d8, f), "wb") as dst:
+                dst.write(src.read())
+    cli(["dns"], d1)
+    cli(["dns", "--mesh", "4,2"], d8, devices=8)
+    out1 = [ln for ln in open(os.path.join(d1, "dns.out"))
+            if not ln.startswith("#")]
+    out8 = [ln for ln in open(os.path.join(d8, "dns.out"))
+            if not ln.startswith("#")]
+    assert out1 == out8
+
+
 def test_case81_on_production_mesh_bit_identical(tmp_path):
     """A second UNMODIFIED 3-D reference case on the production mesh,
     chosen for feature diversity vs Case84: Case81 (laminar-start Ekman,

@@ -251,23 +251,34 @@ def divergence(P, u, v, w):
     return _d1(P, "x", 0, u) + _d1(P, "y", 1, v) + _d1(P, "z", 2, w)
 
 
-def _stag(stag, axis_name: str, which: str, a):
+def _stag(P, axis_name: str, which: str, a):
     """Apply a staggered-grid operator (ivp/ipv/dvp/dpv) along x or z;
-    identity when the axis has no extent (2-D runs)."""
-    M = stag.get(f"{which}{axis_name}")
+    identity when the axis has no extent (2-D runs).  On the production
+    mesh the operator applies on the GATHERED pencils through the same
+    all-to-all as _d1 (the reference staggers inside OPR_Partial at any
+    task count, opr_partial.f90:19-27 OPR_P*_INT_VP/PV)."""
+    M = P["stag"].get(f"{which}{axis_name}")
     if M is None:
         return a
-    return der1(M, a, 0 if axis_name == "x" else 2)
+    axis = 0 if axis_name == "x" else 2
+    comm = _axis_comm(P, axis_name)
+    if comm is not None:
+        from tlab_tpu.parallel import pencil
+        wire = comm.get("wire")
+        off = a.ndim - 3
+        a_g = pencil.cast_on_wire(pencil.GATHER[axis_name], a, off, wire)
+        r = der1(M, a_g, axis)
+        return pencil.cast_on_wire(pencil.SCATTER[axis_name], r, off, wire)
+    return der1(M, a, axis)
 
 
 def divergence_staggered(P, u, v, w):
     """Divergence on the staggered pressure nodes (what the staggered
     projection annihilates)."""
-    stag = P["stag"]
-    return (_stag(stag, "z", "ivp", _stag(stag, "x", "dvp", u))
-            + _stag(stag, "z", "ivp",
-                    _stag(stag, "x", "ivp", _d1(P, "y", 1, v)))
-            + _stag(stag, "x", "ivp", _stag(stag, "z", "dvp", w)))
+    return (_stag(P, "z", "ivp", _stag(P, "x", "dvp", u))
+            + _stag(P, "z", "ivp",
+                    _stag(P, "x", "ivp", _d1(P, "y", 1, v)))
+            + _stag(P, "x", "ivp", _stag(P, "z", "dvp", w)))
 
 
 def _apply_wall_rows(h, rows):
@@ -489,11 +500,11 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
         # horizontally staggered pressure (reference stagger_on branch,
         # rhs_global_incompressible_1.f90:216-320): forcing divergence
         # assembled on the pressure nodes with the VP operators
-        div = (_stag(stag, "z", "ivp", _stag(stag, "x", "dvp", fx))
-               + _stag(stag, "z", "ivp",
-                       _stag(stag, "x", "ivp", _d1(P, "y", 1, fy)))
-               + _stag(stag, "x", "ivp", _stag(stag, "z", "dvp", fz)))
-        h2_s = _stag(stag, "z", "ivp", _stag(stag, "x", "ivp", h2))
+        div = (_stag(P, "z", "ivp", _stag(P, "x", "dvp", fx))
+               + _stag(P, "z", "ivp",
+                       _stag(P, "x", "ivp", _d1(P, "y", 1, fy)))
+               + _stag(P, "x", "ivp", _stag(P, "z", "dvp", fz)))
+        h2_s = _stag(P, "z", "ivp", _stag(P, "x", "ivp", h2))
     else:
         div = _d1(P, "y", 1, fy) + _d1(P, "x", 0, fx) + _d1(P, "z", 2, fz)
         h2_s = h2
@@ -541,9 +552,9 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
     if stag is not None:
         # pressure gradient back on velocity nodes with the PV operators
         # (reference rhs_global_incompressible_1.f90:307-320)
-        dpdx = _stag(stag, "z", "ipv", _stag(stag, "x", "dpv", p))
-        dpdy_v = _stag(stag, "x", "ipv", _stag(stag, "z", "ipv", dpdy))
-        dpdz = _stag(stag, "x", "ipv", _stag(stag, "z", "dpv", p))
+        dpdx = _stag(P, "z", "ipv", _stag(P, "x", "dpv", p))
+        dpdy_v = _stag(P, "x", "ipv", _stag(P, "z", "ipv", dpdy))
+        dpdz = _stag(P, "x", "ipv", _stag(P, "z", "dpv", p))
     else:
         dpdx = _d1(P, "x", 0, p)
         dpdy_v = dpdy

@@ -685,13 +685,6 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             raise ValueError(
                 f"mesh ({px},{pz}) incompatible with grid ({nx},{nz}): "
                 "needs nx%px==0, nz%pz==0, (nz/pz)%px==0, (nx/px)%pz==0")
-        if sim.P.get("stag") is not None:
-            # the staggered-pressure VP/PV operators are not routed
-            # through the pencil engine yet -- fail loudly instead of
-            # silently degrading (VERDICT r3 weak #3)
-            raise NotImplementedError(
-                "--mesh with [Staggering] StaggerHorizontalPressure is "
-                "not supported yet; run single-device")
         inner_steps = 1
     n_steps = n_steps if n_steps is not None else (case.it_end - itime)
     it_first = itime        # nitera_first for cadence offsets
