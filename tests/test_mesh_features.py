@@ -337,20 +337,49 @@ def test_mesh_particles_match_single(tmp_path):
     assert np.max(d) < 1e-9, np.max(d)
 
 
-def test_mesh_bil_cloud_refused_loudly(tmp_path):
-    """--mesh with a bil_cloud particle type raises a clear error instead
-    of silently changing execution paths (VERDICT r3 weak #3)."""
-    from tlab_tpu.particles.core import init_particles, props_from_ini
+def test_mesh_bil_cloud_matches_single(tmp_path):
+    """bil_cloud_3 droplet particles on the 2x2 mesh (late r4): the
+    Eulerian source fields compute with the pencil operators, the
+    droplet scalars ride the V slot columns through the ppermute
+    migration, and the per-particle properties match the single-device
+    run by tag to interpolation round-off (reference RHS_PART_1 at any
+    task count, rhs_part_1.f90:56-140)."""
     import dataclasses as dc
+    from tlab_tpu.particles.core import init_particles, props_from_ini
+    from tlab_tpu.particles.bil_cloud import BilCloudParams
+    from tlab_tpu.particles import parallel as pp_mod
 
     txt = PARTICLE_SHEAR_3D.replace("Type=Tracer",
                                     "Type=BilinearCloudThree")
-    sim = Simulation.from_case(load_case(Ini(text=txt)))
-    state = _shear_state(sim)
-    ps = init_particles(sim.grid, 16, seed=1)
-    ps = ps._replace(props=jnp.zeros((16, 2)))
-    props = props_from_ini(sim.case.ini)
-    with pytest.raises(NotImplementedError, match="bil_cloud"):
-        dns_tool.run(sim, state, outdir=str(tmp_path), n_steps=1,
-                     checkpoint=False, mesh=make_mesh(2, 2),
-                     pstate=ps, particle_props=props)
+    txt = txt.replace("Schmidt=1.0", "Schmidt=1.0,1.0")
+    txt = txt.replace("""MeanScalar1=0.5""", """MeanScalar1=0.5
+ProfileScalar2=Tanh
+ThickScalar2=0.08
+DeltaScalar2=0.4
+MeanScalar2=0.3""")
+    results = {}
+    for tag, mesh in (("single", None), ("mesh", make_mesh(2, 2))):
+        sim = Simulation.from_case(load_case(Ini(text=txt)))
+        state = _shear_state(sim)
+        state = state._replace(
+            s=jnp.concatenate([state.s, 0.3 + 0.4 * state.s], axis=0))
+        ps = init_particles(sim.grid, 160, seed=5)
+        ps = ps._replace(props=jnp.zeros((160, 2), state.u.dtype))
+        props = dc.replace(props_from_ini(sim.case.ini),
+                           bil_cloud=BilCloudParams(
+                               thermo=(1.0, 0.5, 0.2)))
+        run = dns_tool.run(sim, state, outdir=str(tmp_path / tag),
+                           n_steps=6, checkpoint=False, mesh=mesh,
+                           pstate=ps, particle_props=props)
+        results[tag] = run
+
+    ps_a = results["single"].pstate
+    ps_b = pp_mod.from_mesh(results["mesh"].pstate)
+    ta = np.asarray(ps_a.tags)
+    tb = np.asarray(ps_b.tags)
+    assert np.array_equal(np.sort(tb), np.sort(ta)), "particles lost"
+    pa = np.asarray(ps_a.props)[np.argsort(ta)]
+    pb = np.asarray(ps_b.props)[np.argsort(tb)]
+    assert pb.shape == pa.shape
+    assert np.max(np.abs(pa)) > 0.0, "droplet scalars never updated"
+    assert np.max(np.abs(pa - pb)) < 1e-9 * max(1.0, np.max(np.abs(pa)))

@@ -373,10 +373,13 @@ def make_pencil_step_particles(mesh, P, grid, pprops, wire_dtype=None):
     the exchange as payload so a migrated particle keeps its RK carry
     (the reference ships l_hq with l_q).
 
-    Supported types: tracer / inertia / tinia (the droplet-scalar
-    bil_cloud types need Eulerian source gathers -- rejected loudly by
-    the driver).  Returns step(state, (X, V, T, M), dtime) ->
-    (state, (X, V, T, M), p)."""
+    Supported types: tracer / inertia / tinia / bil_cloud_3/4 -- the
+    droplet-scalar types compute the Eulerian source fields with the
+    pencil operators and interpolate them on the same halo-extended
+    blocks as the velocity (reference RHS_PART_1 at any task count);
+    the droplet properties ride as columns 3: of the V slot array and
+    their RK carries travel in the migration payload.
+    Returns step(state, (X, V, T, M), dtime) -> (state, (X, V, T, M), p)."""
     from tlab_tpu.dycore import incompressible as dyn
     from tlab_tpu.dycore.state import State as _State
     from tlab_tpu.particles import parallel as pp
@@ -389,6 +392,12 @@ def make_pencil_step_particles(mesh, P, grid, pprops, wire_dtype=None):
     kdt = tuple(P["rk"]["kdt"])
     kco = tuple(P["rk"]["kco"])
     y_lo, y_hi = float(grid.y.nodes[0]), float(grid.y.nodes[-1])
+    bil = pprops.bil_cloud if pprops.type.startswith("bil_cloud") else None
+    ir_field = getattr(P.get("bodyforce"), "ir_field", None) \
+        if bil is not None else None
+
+    def _interp_halo(f, loc):
+        return pp.interpolate_block(pp.halo_exchange(f), loc)
 
     fspec = PSpec("x", None, "z")
     sspec = PSpec(None, "x", None, "z")
@@ -403,9 +412,12 @@ def make_pencil_step_particles(mesh, P, grid, pprops, wire_dtype=None):
         out_specs=(state_spec, (pspec,) * 4, fspec),
         check_vma=False)
     def step_local(state, parts, dtime):
-        X, V, T, M = (a[0] for a in parts)
+        X, V_all, T, M = (a[0] for a in parts)
+        V, PR = V_all[:, :3], V_all[:, 3:]
+        npp = PR.shape[1]
         hpx = jnp.zeros_like(X)
         hpv = jnp.zeros_like(V)
+        hpp = jnp.zeros_like(PR)
         z = jnp.zeros_like(state.u)
         hq = (z, z, z)
         hs = jnp.zeros_like(state.s)
@@ -436,10 +448,21 @@ def make_pencil_step_particles(mesh, P, grid, pprops, wire_dtype=None):
                 dpv = jnp.where(at_wall[:, None], 0.0, dpv)
             hpx = hpx + dpx
             hpv = hpv + dpv
+            if bil is not None:
+                # droplet-scalar sources from the CURRENT Eulerian state,
+                # computed with the pencil operators and gathered on the
+                # halo-extended blocks (reference RHS_PART_1)
+                from tlab_tpu.particles import bil_cloud as bc
+                rad = ir_field(state) if ir_field is not None else None
+                src = bc.eulerian_sources(Pp, state.s, P["visc"], bil,
+                                          radiation=rad)
+                hpp = hpp.at[:, :2].add(
+                    bc.droplet_rhs(bil, src, loc, interp=_interp_halo))
+                PR = PR + dte * hpp
             X = wrap_positions(grid, X + dte * hpx)
             V = V + dte * hpv
             # migrate crossers; the RK carries travel as payload
-            payload = jnp.concatenate([V, hpx, hpv], axis=1)
+            payload = jnp.concatenate([V, hpx, hpv, PR, hpp], axis=1)
             sp = pp.ShardedParticles(x=X, v=payload, tags=T, mask=M)
             sp = pp.migrate(sp, grid, "x", px)
             sp = pp.migrate(sp, grid, "z", pz)
@@ -447,6 +470,8 @@ def make_pencil_step_particles(mesh, P, grid, pprops, wire_dtype=None):
             V = sp.v[:, 0:3]
             hpx = sp.v[:, 3:6]
             hpv = sp.v[:, 6:9]
+            PR = sp.v[:, 9:9 + npp]
+            hpp = sp.v[:, 9 + npp:]
             # flow substep -- the same update as the single-device
             # particle path (stepping.rk_step_with_particles)
             hq, hs, p = dyn.substep_rhs(Pp, state, hq, hs, dte)
@@ -460,7 +485,17 @@ def make_pencil_step_particles(mesh, P, grid, pprops, wire_dtype=None):
                 hs = a * hs
                 hpx = a * hpx
                 hpv = a * hpv
-        return state, (X[None], V[None], T[None], M[None]), p
+                hpp = a * hpp
+        if bil is not None:
+            # post-step bookkeeping (reference time.f90:250-258): clip
+            # negative liquid; variant 4 advances the residence clocks
+            from tlab_tpu.particles import bil_cloud as bc
+            PR = PR.at[:, :2].set(bc.liquid_clip(PR[:, :2]))
+            if bil.variant >= 4 and npp >= 4:
+                res = bc.residence_update(bil, dtime, X[:, 1], PR[:, 2:4])
+                PR = PR.at[:, 2:4].set(res)
+        V_out = jnp.concatenate([V, PR], axis=1)
+        return state, (X[None], V_out[None], T[None], M[None]), p
 
     return _mesh_jit(mesh, step_local)
 

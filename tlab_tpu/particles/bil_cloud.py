@@ -45,9 +45,10 @@ def eulerian_sources(P, s, visc: float, params: BilCloudParams,
     th1, th2, _ = params.thermo
 
     def lap(a):
-        return (dyn._burgers(P, "x", 0, a, 0.0, 1.0)
-                + dyn._burgers(P, "y", 1, a, 0.0, 1.0)
-                + dyn._burgers(P, "z", 2, a, 0.0, 1.0))
+        # _d2 is the comm-aware OPR_P2 (routes the pencil all-to-all on
+        # the production mesh); equals Burgers with conv=0, diff=1
+        return (dyn._d2(P, "x", 0, a) + dyn._d2(P, "y", 1, a)
+                + dyn._d2(P, "z", 2, a))
 
     src_a = -visc * (th1 * lap(s[0]) + th2 * lap(s[1]))
     xi = 1.0 - th1 * s[0] - th2 * s[1]
@@ -63,16 +64,22 @@ def eulerian_sources(P, s, visc: float, params: BilCloudParams,
     return jnp.stack([src_a, xi, src_gr, src_rad])
 
 
-def droplet_rhs(params: BilCloudParams, sources, loc):
-    """d/dt of the two droplet properties at the particles: (np, 2)."""
+def droplet_rhs(params: BilCloudParams, sources, loc,
+                interp=None):
+    """d/dt of the two droplet properties at the particles: (np, 2).
+
+    `interp(field, loc)` overrides the gather (the pencil engine passes
+    a halo-extended block interpolator, particles/parallel.py)."""
+    if interp is None:
+        interp = interpolate_to_particles
     th1, _, th3 = params.thermo
     inv0 = 1.0 / (th1 * th3)
     inv2 = -0.5 * inv0
     inv4 = -0.25 * inv0
-    src_a = interpolate_to_particles(sources[0], loc)
-    xi = interpolate_to_particles(sources[1], loc)
-    src_gr = interpolate_to_particles(sources[2], loc)
-    src_rad = interpolate_to_particles(sources[3], loc)
+    src_a = interp(sources[0], loc)
+    xi = interp(sources[1], loc)
+    src_gr = interp(sources[2], loc)
+    src_rad = interp(sources[3], loc)
     sig = 1.0 / (1.0 + jnp.exp(xi * inv0))
     d4 = -src_a * sig
     d5 = -src_rad * sig - src_gr * inv4 / jnp.cosh(xi * inv2) ** 2

@@ -36,15 +36,20 @@ def _block_bounds(grid, axis_name, n_dev):
 
 def shard_particles(grid, pstate, px, pz, capacity):
     """Host-side initial distribution: returns per-device stacked arrays
-    (n_dev, cap, ...) to be device_put with a ('x','z')-sharded leading dim."""
+    (n_dev, cap, ...) to be device_put with a ('x','z')-sharded leading
+    dim.  Extra particle properties (bil_cloud droplet scalars +
+    residence clocks) ride as columns 3: of the V slot array."""
     xs = np.asarray(pstate.x)
     vs = np.asarray(pstate.v)
+    pr = np.asarray(pstate.props)
+    if pr.size:
+        vs = np.concatenate([vs, pr], axis=1)
     tags = np.asarray(pstate.tags).astype(np.int32)
     ex = _block_bounds(grid, "x", px)
     ez = _block_bounds(grid, "z", pz) if pz > 1 else None
     n_dev = px * pz
     X = np.zeros((n_dev, capacity, 3))
-    V = np.zeros((n_dev, capacity, 3))
+    V = np.zeros((n_dev, capacity, vs.shape[1]))
     T = np.full((n_dev, capacity), -1, np.int32)
     M = np.zeros((n_dev, capacity), bool)
     ix = np.clip(np.searchsorted(ex, xs[:, 0], side="right") - 1, 0, px - 1)
@@ -157,17 +162,19 @@ def to_mesh(grid, pstate, mesh, capacity=None, dtype=None):
 
 def from_mesh(parts):
     """(X, V, T, M) sharded arrays -> host ParticleState with the active
-    rows tag-sorted (for trajectories, PDFs and restart writes)."""
+    rows tag-sorted (for trajectories, PDFs and restart writes); V
+    columns 3: are the extra particle properties."""
     import jax.numpy as jnp
     from tlab_tpu.particles.core import ParticleState
     X, V, T, M = (np.asarray(a) for a in parts)
     m = M.reshape(-1)
     x = X.reshape(-1, 3)[m]
-    v = V.reshape(-1, 3)[m]
+    vall = V.reshape(-1, V.shape[-1])[m]
+    v, pr = vall[:, :3], vall[:, 3:]
     t = T.reshape(-1)[m]
     order = np.argsort(t, kind="stable")
     return ParticleState(x=jnp.asarray(x[order]), v=jnp.asarray(v[order]),
-                         props=jnp.zeros((x.shape[0], 0), x.dtype),
+                         props=jnp.asarray(pr[order]),
                          tags=jnp.asarray(t[order].astype(np.int64)))
 
 

@@ -381,14 +381,8 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
     elif mesh is not None:
         # particles on the production mesh: owner-sharded slots +
         # ppermute migration (reference particle_mpi_send_recv.f90 at any
-        # task count).  The droplet-scalar bil_cloud types would need
-        # Eulerian source gathers per particle -- refuse loudly instead
-        # of silently degrading (VERDICT r3 weak #3).
-        if particles.type.startswith("bil_cloud"):
-            raise NotImplementedError(
-                "--mesh with bil_cloud particle types is not supported "
-                "yet; run single-device, or use tracer/inertia/tinia "
-                "particles on the mesh")
+        # task count); bil_cloud droplet scalars ride the V slot columns
+        # with their sources gathered on the halo-extended blocks.
         from tlab_tpu.parallel import pencil as pcl
         pstep = pcl.make_pencil_step_particles(mesh, P, sim.grid,
                                                particles)
