@@ -77,6 +77,37 @@ def test_mesh_dns_matches_single_device(tmp_path, ini, comp, atol):
     assert np.max(np.abs(a - b)) < atol + 1e-13 * max(1.0, np.max(np.abs(a)))
 
 
+def test_mesh_stagger_compactdirect_elliptic(tmp_path):
+    """Staggered pressure + EllipticOrder=CompactDirect6 on the mesh
+    must use the STAGGERED-wavenumber eigen table (P['ell_stag'], padded
+    by pencil_plans): mesh run matches single-device to round-off.  This
+    combination bypasses the factorize solver, so it exercises the
+    pencil_poisson ell_stag routing (late-r4 review fix)."""
+    src = open(os.path.join(DATA, "case93stag_small3d.ini")).read()
+    src = src.replace("SpaceOrder=CompactJacobian6",
+                      "SpaceOrder=CompactJacobian6\n"
+                      "EllipticOrder=CompactDirect6")
+    ini_path = str(tmp_path / "tlab.ini")
+    open(ini_path, "w").write(src)
+    d1 = str(tmp_path / "single")
+    d8 = str(tmp_path / "mesh")
+    os.makedirs(d1)
+    os.makedirs(d8)
+    _cli(["ini", "--ini", ini_path], d1)
+    for f in os.listdir(d1):
+        if f.startswith(("flow.", "scal.", "grid")):
+            with open(os.path.join(d1, f), "rb") as s_, \
+                    open(os.path.join(d8, f), "wb") as t_:
+                t_.write(s_.read())
+    _cli(["dns", "--ini", ini_path], d1)
+    _cli(["dns", "--ini", ini_path, "--mesh", "4,2"], d8, devices=8)
+    from tlab_tpu.io import fields_io
+    a, _, _ = fields_io.read_field(os.path.join(d1, "flow.10.1"))
+    b, _, _ = fields_io.read_field(os.path.join(d8, "flow.10.1"))
+    scale = max(1.0, float(np.max(np.abs(a))))
+    assert np.max(np.abs(a - b)) < 1e-10 * scale
+
+
 def test_mesh_rejects_bad_decomposition():
     """A mesh the grid cannot be block-decomposed on fails fast with a
     clear error, not a shape crash mid-run: the 2-D fixture (nz = 1)

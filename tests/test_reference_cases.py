@@ -1073,8 +1073,10 @@ def test_case92_on_production_mesh_bit_identical(tmp_path):
     production mesh (late r4: the VP/PV stagger operators route through
     the pencil all-to-all): Case92 (3-D channel, 128x194x128,
     [Staggering] StaggerHorizontalPressure=yes, homogeneous forcing,
-    CompactDirect6 elliptic) -- `dns --mesh 4,2` dns.out bit-identical
-    to single-device."""
+    default factorize elliptic with staggered wavenumbers) --
+    `dns --mesh 4,2` dns.out bit-identical to single-device.  (The
+    stagger + EllipticOrder=CompactDirect6 eigen path is covered by
+    test_mesh_driver.test_mesh_stagger_compactdirect_elliptic.)"""
     ini = f"{REF}/Case92/tlab.ini"
     d1 = str(tmp_path / "single")
     d8 = str(tmp_path / "mesh")

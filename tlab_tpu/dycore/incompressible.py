@@ -207,6 +207,22 @@ def _burgers(P, axis_name: str, axis: int, a, conv, diff):
     return diff * d2a - conv * da
 
 
+def _gathered_apply(P, axis_name: str, a, fn):
+    """Run `fn` on the pencil-GATHERED lines of `a` along axis_name and
+    scatter the result back (the OPR_Partial transpose sandwich,
+    opr_partial.f90:59-142); identity routing when the axis is not
+    sharded.  Shared by _d1/_d2/_stag and the pressure filter."""
+    comm = _axis_comm(P, axis_name)
+    if comm is None:
+        return fn(a)
+    from tlab_tpu.parallel import pencil
+    wire = comm.get("wire")
+    off = a.ndim - 3
+    a_g = pencil.cast_on_wire(pencil.GATHER[axis_name], a, off, wire)
+    return pencil.cast_on_wire(pencil.SCATTER[axis_name], fn(a_g), off,
+                               wire)
+
+
 def _d1(P, axis_name: str, axis: int, a):
     M = P.get(f"d1{axis_name}")
     if M is None:
@@ -217,15 +233,7 @@ def _d1(P, axis_name: str, axis: int, a):
         # callers always pass the axis index valid for `a` itself
         # (4-D stacks pass 1/2/3), so no ndim adjustment here
         return banded_der1(bp, a, axis)
-    comm = _axis_comm(P, axis_name)
-    if comm is not None:
-        from tlab_tpu.parallel import pencil
-        wire = comm.get("wire")
-        off = a.ndim - 3
-        a_g = pencil.cast_on_wire(pencil.GATHER[axis_name], a, off, wire)
-        r = der1(M, a_g, axis)
-        return pencil.cast_on_wire(pencil.SCATTER[axis_name], r, off, wire)
-    return der1(M, a, axis)
+    return _gathered_apply(P, axis_name, a, lambda g: der1(M, g, axis))
 
 
 def _d2(P, axis_name: str, axis: int, a):
@@ -236,15 +244,8 @@ def _d2(P, axis_name: str, axis: int, a):
     if d12 is None:
         return jnp.zeros_like(a)
     from tlab_tpu.ops.derivative import der12
-    comm = _axis_comm(P, axis_name)
-    if comm is not None:
-        from tlab_tpu.parallel import pencil
-        wire = comm.get("wire")
-        off = a.ndim - 3
-        a_g = pencil.cast_on_wire(pencil.GATHER[axis_name], a, off, wire)
-        r = der12(d12, a_g, axis)[1]
-        return pencil.cast_on_wire(pencil.SCATTER[axis_name], r, off, wire)
-    return der12(d12, a, axis)[1]
+    return _gathered_apply(P, axis_name, a,
+                           lambda g: der12(d12, g, axis)[1])
 
 
 def divergence(P, u, v, w):
@@ -261,15 +262,7 @@ def _stag(P, axis_name: str, which: str, a):
     if M is None:
         return a
     axis = 0 if axis_name == "x" else 2
-    comm = _axis_comm(P, axis_name)
-    if comm is not None:
-        from tlab_tpu.parallel import pencil
-        wire = comm.get("wire")
-        off = a.ndim - 3
-        a_g = pencil.cast_on_wire(pencil.GATHER[axis_name], a, off, wire)
-        r = der1(M, a_g, axis)
-        return pencil.cast_on_wire(pencil.SCATTER[axis_name], r, off, wire)
-    return der1(M, a, axis)
+    return _gathered_apply(P, axis_name, a, lambda g: der1(M, g, axis))
 
 
 def divergence_staggered(P, u, v, w):
@@ -523,7 +516,13 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
             p, dpdy = pencil.pencil_poisson_factorize(
                 P["ell_fac"], div, P["comm"], bcs_b=bcs_b, bcs_t=bcs_t)
         else:
-            p, dpdy = pencil.pencil_poisson(P["ell"], div, P["comm"],
+            # staggered runs must use the staggered-wavenumber eigen
+            # table (P["ell_stag"]); the unstaggered one would not
+            # annihilate the staggered divergence
+            ellp = P["ell_stag"] if (stag is not None
+                                     and P.get("ell_stag") is not None) \
+                else P["ell"]
+            p, dpdy = pencil.pencil_poisson(ellp, div, P["comm"],
                                             bcs_b=bcs_b, bcs_t=bcs_t,
                                             d1y=P["d1y"])
     elif P.get("ell_fac") is not None:
@@ -545,10 +544,25 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
     if pfil is not None:
         # [PressureFilter]: filter p and dp/dy after the Poisson solve
         # (rhs_global_incompressible_1.f90:287-291) -- stabilizes the
-        # staggered scheme's near-Nyquist pressure modes
+        # staggered scheme's near-Nyquist pressure modes.  On the mesh
+        # the x/z filter matrices apply on the gathered pencils.
         from tlab_tpu.ops.filter import apply_filter
-        p = apply_filter(pfil, p)
-        dpdy = apply_filter(pfil, dpdy)
+        if P.get("comm") is not None and not callable(pfil):
+            from tlab_tpu.ops.derivative import apply_along
+
+            def _filt(arr):
+                for nm, ax in (("x", 0), ("y", 1), ("z", 2)):
+                    M = pfil.get(nm)
+                    if M is not None:
+                        arr = _gathered_apply(
+                            P, nm, arr,
+                            lambda g, M=M, ax=ax: apply_along(M, g, ax))
+                return arr
+        else:
+            def _filt(arr):
+                return apply_filter(pfil, arr)
+        p = _filt(p)
+        dpdy = _filt(dpdy)
     if stag is not None:
         # pressure gradient back on velocity nodes with the PV operators
         # (reference rhs_global_incompressible_1.f90:307-320)

@@ -278,21 +278,28 @@ def pencil_plans(mesh, P, wire_dtype=None) -> dict:
         fd["kappa_pad"] = jnp.asarray(np.concatenate([kapt, pad], axis=0))
         fd["nkx_pad"] = nkx_pad
         Pp["ell_fac"] = fd
-    if P.get("ell") is not None:
-        ell = dict(P["ell"])
+    def _pad_eigen(ell_in):
+        ell = dict(ell_in)
         ell.pop("shardings", None)
         # pad the horizontal eigenvalue table for the kx all-to-alls
-        lam_x = np.asarray(ell["lam_xz"][:, 0]) \
-            if "lam_x_pad" not in ell else None
-        if lam_x is not None:
-            nkx = lam_x.shape[0]
-            nkx_pad = -(-nkx // (px * pz)) * (px * pz)
-            pad = np.full(nkx_pad - nkx, 1e6, dtype=lam_x.dtype)
-            ell["lam_x_pad"] = jnp.asarray(np.concatenate([lam_x, pad]))
-            ell["nkx_pad"] = nkx_pad
-            ell["lam_z"] = jnp.asarray(
-                np.asarray(ell["lam_xz"])[0, :] - lam_x[0])
-        Pp["ell"] = ell
+        if "lam_x_pad" in ell:
+            return ell
+        lam_x = np.asarray(ell["lam_xz"][:, 0])
+        nkx = lam_x.shape[0]
+        nkx_pad = -(-nkx // (px * pz)) * (px * pz)
+        pad = np.full(nkx_pad - nkx, 1e6, dtype=lam_x.dtype)
+        ell["lam_x_pad"] = jnp.asarray(np.concatenate([lam_x, pad]))
+        ell["nkx_pad"] = nkx_pad
+        ell["lam_z"] = jnp.asarray(
+            np.asarray(ell["lam_xz"])[0, :] - lam_x[0])
+        return ell
+
+    if P.get("ell") is not None:
+        Pp["ell"] = _pad_eigen(P["ell"])
+    if P.get("ell_stag") is not None:
+        # staggered-wavenumber eigen pencil (EllipticOrder=compactdirect*
+        # with [Staggering]): same separable lam_x + lam_z structure
+        Pp["ell_stag"] = _pad_eigen(P["ell_stag"])
     return Pp
 
 def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,

@@ -296,5 +296,20 @@ def props_from_ini(ini) -> "ParticleProps | None":
                           bcs=bcs)
     if typ.startswith("bil_cloud"):
         from tlab_tpu.particles.bil_cloud import BilCloudParams
-        props = dataclasses.replace(props, bil_cloud=BilCloudParams())
+        # droplet thermo constants = [Thermodynamics] Parameters(1:3)
+        # (rhs_part_1.f90 thermo_param); the residence y-levels are
+        # vestigial in the current reference (the l_y_lambda/l_y_base
+        # assignments are commented out 'to be rewritten',
+        # particle_procs.f90:235-240), so they stay at the default 0
+        tp = tuple(ini.get_floats("Thermodynamics", "Parameters", ()))[:3]
+        tp = tp + (1.0,) * (3 - len(tp))
+        props = dataclasses.replace(props, bil_cloud=BilCloudParams(
+            thermo=tp, variant=4 if typ.endswith("4") else 3))
     return props
+
+
+def n_props(props: "ParticleProps") -> int:
+    """Extra per-particle property columns for the type (reference
+    inb_part: droplet scalars l_q(:,4:5), + residence clocks l_q(:,6:7)
+    for bil_cloud_4)."""
+    return {"bil_cloud_3": 2, "bil_cloud_4": 4}.get(props.type, 0)

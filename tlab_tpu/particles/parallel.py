@@ -42,7 +42,8 @@ def shard_particles(grid, pstate, px, pz, capacity):
     xs = np.asarray(pstate.x)
     vs = np.asarray(pstate.v)
     pr = np.asarray(pstate.props)
-    if pr.size:
+    if pr.shape[-1]:          # column count, NOT element count: a
+        # 0-row bil_cloud state must keep its property schema
         vs = np.concatenate([vs, pr], axis=1)
     tags = np.asarray(pstate.tags).astype(np.int32)
     ex = _block_bounds(grid, "x", px)

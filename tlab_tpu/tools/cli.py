@@ -235,6 +235,39 @@ def main(argv=None):
                           scal_delta=ini.get_float("Scalar", "DeltaScalar1", 1.0))
         ps = init_particles(sim.grid, n_part,
                             seed=7 if args.seed is None else args.seed, **kw)
+        from tlab_tpu.particles.core import props_from_ini, n_props
+        pprops = props_from_ini(ini) if ini is not None else None
+        if pprops is not None and pprops.type.startswith("bil_cloud"):
+            # droplet scalars start at the LOCAL airwaterlinear liquid
+            # interpolated to the particle (particle_main.f90:266-281);
+            # bil_cloud_4 residence clocks start at zero
+            import numpy as _np
+            import jax.numpy as _jnp
+            npp = n_props(pprops)
+            pr = _np.zeros((n_part, npp))
+            tcfg = getattr(case, "thermo", {}) or {}
+            s1p = os.path.join(args.outdir, f"scal.{case.it_start}.1")
+            if tcfg.get("mixture") == "airwaterlinear" \
+                    and tcfg.get("parameters") and os.path.exists(s1p):
+                from tlab_tpu.io import fields_io
+                from tlab_tpu.physics import thermo as th
+                from tlab_tpu.particles.core import (
+                    make_locator, interpolate_to_particles)
+                s1, _, _ = fields_io.read_field(s1p)
+                s2p = os.path.join(args.outdir,
+                                   f"scal.{case.it_start}.2")
+                fields = [_jnp.asarray(s1)]
+                if os.path.exists(s2p):
+                    fields.append(_jnp.asarray(
+                        fields_io.read_field(s2p)[0]))
+                loc = make_locator(sim.grid)(_jnp.asarray(ps.x))
+                sp = _jnp.stack([interpolate_to_particles(f, loc)
+                                 for f in fields])
+                liq = _np.asarray(th.airwater_linear(
+                    tuple(tcfg["parameters"]), sp))
+                pr[:, 0] = liq
+                pr[:, 1] = liq
+            ps = ps._replace(props=_jnp.asarray(pr))
         write_particles(os.path.join(args.outdir, f"part.{case.it_start}"),
                         ps, case.it_start)
         print(f"{n_part} particles written")

@@ -679,6 +679,11 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             raise ValueError(
                 f"mesh ({px},{pz}) incompatible with grid ({nx},{nz}): "
                 "needs nx%px==0, nz%pz==0, (nz/pz)%px==0, (nx/px)%pz==0")
+        if callable(sim.P.get("pfilter")):
+            raise NotImplementedError(
+                "[PressureFilter] Type=helmholtz is not routed through "
+                "the pencil engine; use a line-matrix filter type with "
+                "--mesh")
         inner_steps = 1
     n_steps = n_steps if n_steps is not None else (case.it_end - itime)
     it_first = itime        # nitera_first for cadence offsets
@@ -770,6 +775,20 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 w=jax.device_put(state.w, fs),
                 s=jax.device_put(state.s, ss))
     n_part_total = int(pstate.x.shape[0]) if pstate is not None else 0
+    if pstate is not None and particle_props is not None:
+        # the droplet-scalar types need their property columns allocated
+        # (restart files from preprocessing carry n_props=0): pad with
+        # zeros so the droplet integration actually runs -- a width-0
+        # .at[:, :2].add is a SILENT no-op
+        from tlab_tpu.particles.core import n_props as _np_
+        need = _np_(particle_props)
+        have = int(pstate.props.shape[1])
+        if have < need:
+            import jax.numpy as _jnp
+            pad = _jnp.zeros((pstate.x.shape[0], need - have),
+                             pstate.x.dtype)
+            pstate = pstate._replace(
+                props=_jnp.concatenate([pstate.props, pad], axis=1))
     if mesh is not None and pstate is not None:
         from tlab_tpu.particles import parallel as pp_mod
         cap = case.ini.get_int("Particles", "MeshCapacity", 0) \
