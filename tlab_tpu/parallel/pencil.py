@@ -403,9 +403,6 @@ def make_pencil_step_particles(mesh, P, grid, pprops, wire_dtype=None):
     ir_field = getattr(P.get("bodyforce"), "ir_field", None) \
         if bil is not None else None
 
-    def _interp_halo(f, loc):
-        return pp.interpolate_block(pp.halo_exchange(f), loc)
-
     fspec = PSpec("x", None, "z")
     sspec = PSpec(None, "x", None, "z")
     sfc_spec = PSpec(None, None, "x", "z") \
@@ -463,8 +460,12 @@ def make_pencil_step_particles(mesh, P, grid, pprops, wire_dtype=None):
                 rad = ir_field(state) if ir_field is not None else None
                 src = bc.eulerian_sources(Pp, state.s, P["visc"], bil,
                                           radiation=rad)
+                # ONE batched halo exchange for the (4, ...) source
+                # stack, then plain block interpolation per field
+                src_h = pp.halo_exchange(src)
                 hpp = hpp.at[:, :2].add(
-                    bc.droplet_rhs(bil, src, loc, interp=_interp_halo))
+                    bc.droplet_rhs(bil, src_h, loc,
+                                   interp=pp.interpolate_block))
                 PR = PR + dte * hpp
             X = wrap_positions(grid, X + dte * hpx)
             V = V + dte * hpv

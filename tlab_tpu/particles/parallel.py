@@ -188,17 +188,22 @@ def from_mesh(parts):
 
 def halo_exchange(f, axes=("x", "z")):
     """Append the neighbor's first plane along each sharded axis:
-    (nxl, ny, nzl) -> (nxl+1, ny, nzl+1). Periodic ring."""
+    (nxl, ny, nzl) -> (nxl+1, ny, nzl+1). Periodic ring.  Leading batch
+    dims are allowed ((K, nxl, ny, nzl) exchanges all K fields in ONE
+    ppermute pair -- the bil_cloud source stack uses this)."""
+    off = f.ndim - 3
     if "x" in axes:
         n = lax.axis_size("x")
         perm = [(i, (i - 1) % n) for i in range(n)]
-        halo = lax.ppermute(f[0:1], "x", perm)
-        f = jnp.concatenate([f, halo], axis=0)
+        halo = lax.ppermute(lax.slice_in_dim(f, 0, 1, axis=off),
+                            "x", perm)
+        f = jnp.concatenate([f, halo], axis=off)
     if "z" in axes:
         n = lax.axis_size("z")
         perm = [(i, (i - 1) % n) for i in range(n)]
-        halo = lax.ppermute(f[:, :, 0:1], "z", perm)
-        f = jnp.concatenate([f, halo], axis=2)
+        halo = lax.ppermute(lax.slice_in_dim(f, 0, 1, axis=off + 2),
+                            "z", perm)
+        f = jnp.concatenate([f, halo], axis=off + 2)
     return f
 
 
