@@ -43,6 +43,10 @@ def _cli(args, outdir, devices=1):
     # absolute round-off floor ~1e-9 on the (tiny) momentum fields --
     # dns.out stays digit-exact, fields compared at that floor
     ("case14_small3d.ini", True, 1e-8),
+    # [Filter] compact cadence through make_pencil_filter + a Helmholtz
+    # [PressureFilter] through the distributed pencil_helmholtz solve
+    # (reference opr_filter.f90:285 runs any type at any task count)
+    ("case_filter_small3d.ini", False, 0.0),
 ])
 def test_mesh_dns_matches_single_device(tmp_path, ini, comp, atol):
     """ini -> dns single-device and on the 4x2 CPU mesh: dns.out files

@@ -547,7 +547,22 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
         # staggered scheme's near-Nyquist pressure modes.  On the mesh
         # the x/z filter matrices apply on the gathered pencils.
         from tlab_tpu.ops.filter import apply_filter
-        if P.get("comm") is not None and not callable(pfil):
+        if isinstance(pfil, dict) and "helmholtz_alpha" in pfil:
+            # Type=helmholtz: one implicit elliptic solve per field,
+            # distributed under the mesh (pencil_helmholtz) -- the
+            # reference runs this path at any task count
+            # (opr_filter.f90:285 + opr_elliptic.f90 OPR_Helmholtz)
+            al = pfil["helmholtz_alpha"]
+            if P.get("comm") is not None:
+                from tlab_tpu.parallel import pencil
+
+                def _filt(arr):
+                    return pencil.pencil_helmholtz(
+                        P["ell"], al * arr, P["comm"], al).astype(arr.dtype)
+            else:
+                def _filt(arr):
+                    return elliptic.helmholtz(P["ell"], al * arr, al)
+        elif P.get("comm") is not None and not callable(pfil):
             from tlab_tpu.ops.derivative import apply_along
 
             def _filt(arr):

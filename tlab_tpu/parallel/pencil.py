@@ -82,11 +82,14 @@ def _kx_offset(nkx_pad, px, pz):
     return ix * (nkx_pad // px) + iz * (nkx_pad // (px * pz))
 
 
-def pencil_poisson(plan_dev, f, comm, bcs_b=None, bcs_t=None, d1y=None):
-    """Distributed Poisson on local blocks inside shard_map.
+def pencil_poisson(plan_dev, f, comm, bcs_b=None, bcs_t=None, d1y=None,
+                   alpha=0.0, singular_fix=True):
+    """Distributed Poisson/Helmholtz on local blocks inside shard_map.
 
     f: local (nxl, ny, nzl). plan_dev must carry 'lam_x_pad' (nkx_pad,),
     'lam_z' (nz,) full tables in addition to the eigen matrices.
+    alpha != 0 solves Lap u + alpha u = f (modal u'' - (lam - alpha) u,
+    same as ops.elliptic.solve_modal) with singular_fix=False.
     """
     px, pz = comm["px"], comm["pz"]
     nxl, ny, nzl = f.shape
@@ -122,7 +125,7 @@ def pencil_poisson(plan_dev, f, comm, bcs_b=None, bcs_t=None, d1y=None):
     chunk = nkx_pad // (px * pz)
     off = _kx_offset(nkx_pad, px, pz)
     lam_x = lax.dynamic_slice(plan_dev["lam_x_pad"], (off,), (chunk,))
-    lam = lam_x[:, None] + plan_dev["lam_z"][None, :]
+    lam = lam_x[:, None] + plan_dev["lam_z"][None, :] - alpha
 
     V, W, lam_eig = plan_dev["V"], plan_dev["W"], plan_dev["lam_eig"]
     shift = plan_dev["shift"]
@@ -134,7 +137,7 @@ def pencil_poisson(plan_dev, f, comm, bcs_b=None, bcs_t=None, d1y=None):
     G = G / denom.astype(fh.dtype)
     uh = jnp.einsum("ab,kbz->kaz", V.astype(fh.dtype), G, precision=prec)
 
-    S_sing = plan_dev.get("S_sing")
+    S_sing = plan_dev.get("S_sing") if singular_fix else None
     if S_sing is not None:
         f0 = fh[0, :, 0].at[0].set(0.0)
         u0 = S_sing.astype(fh.dtype) @ f0
@@ -162,6 +165,15 @@ def pencil_poisson(plan_dev, f, comm, bcs_b=None, bcs_t=None, d1y=None):
         from tlab_tpu.ops.derivative import der1
         return p, der1(d1y, p, 1)
     return p
+
+
+def pencil_helmholtz(plan_dev, f, comm, alpha, bcs_b=None, bcs_t=None):
+    """Distributed Helmholtz solve Lap a + alpha a = f on local blocks
+    inside shard_map -- the pencil analog of ops.elliptic.helmholtz
+    (reference OPR_Helmholtz at any task count, opr_elliptic.f90): the
+    [PressureFilter]/[Filter] Type=helmholtz backend under `--mesh`."""
+    return pencil_poisson(plan_dev, f, comm, bcs_b=bcs_b, bcs_t=bcs_t,
+                          alpha=alpha, singular_fix=False)
 
 
 def pencil_poisson_factorize(fac_dev, f, comm, bcs_b=None, bcs_t=None):
@@ -303,7 +315,8 @@ def pencil_plans(mesh, P, wire_dtype=None) -> dict:
     return Pp
 
 def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
-                     return_p: bool = False, aux_example=None):
+                     return_p: bool = False, aux_example=None,
+                     inner_steps: int = 1):
     """Wrap the dycore rk_step in shard_map over the ('x','z') mesh.
 
     Returns step(state, dtime) -> state (or (state, p) with return_p,
@@ -317,10 +330,28 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
     when given, the returned step takes (state, dtime, aux) with every
     aux leaf replicated -- x/z-extended tables inside it are sliced to
     the local block by the dycore (buffer.localize / localize_wavemaker).
+
+    inner_steps > 1 runs several FULL RK steps per dispatch inside a
+    lax.fori_loop with a fixed dt (the dns driver's dispatch-amortization
+    window on the single-device path, now available on the mesh too --
+    the reference syncs every step at TIME_COURANT, time.f90:365; this
+    is where the TPU build beats that, not ties it).  The aux pytree,
+    when present, is held fixed over the window (lagged CFL/ramp, same
+    as the single-device window semantics).
     """
     Pp = pencil_plans(mesh, P, wire_dtype)
     px = mesh.shape["x"]
     pz = mesh.shape["z"]
+
+    def _loop(state, dtime, aux=None):
+        """inner_steps full RK steps; returns (state, last p)."""
+        call = (lambda st: rk_step_fn(Pp, st, dtime, aux)) \
+            if aux is not None else (lambda st: rk_step_fn(Pp, st, dtime))
+        if inner_steps <= 1:
+            return call(state)
+        p0 = jnp.zeros_like(state.u)
+        return lax.fori_loop(0, inner_steps,
+                             lambda i, c: call(c[0]), (state, p0))
 
     fspec = PSpec("x", None, "z")
     sspec = PSpec(None, "x", None, "z")
@@ -340,7 +371,7 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
             out_specs=(state_spec, fspec),
             check_vma=False)
         def step_local_aux(state, dtime, aux):
-            return rk_step_fn(Pp, state, dtime, aux)
+            return _loop(state, dtime, aux)
 
         return _mesh_jit(mesh, step_local_aux)
 
@@ -351,7 +382,7 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
             out_specs=(state_spec, fspec),
             check_vma=False)
         def step_local_p(state, dtime):
-            return rk_step_fn(Pp, state, dtime)
+            return _loop(state, dtime)
 
         return _mesh_jit(mesh, step_local_p)
 
@@ -361,10 +392,56 @@ def make_pencil_step(mesh, P, rk_step_fn, wire_dtype=None,
         out_specs=state_spec,
         check_vma=False)
     def step_local(state, dtime):
-        new_state, _ = rk_step_fn(Pp, state, dtime)
+        new_state, _ = _loop(state, dtime)
         return new_state
 
     return _mesh_jit(mesh, step_local)
+
+
+def make_pencil_filter(mesh, P, mats=None, helmholtz_alpha=None,
+                       wire_dtype=None):
+    """Domain-filter application on the ('x','z') mesh through the SAME
+    pencil engine as the RK step (no GSPMD mixing): x/z line-filter
+    matrices apply on the all-to-all-gathered pencils, y locally; the
+    Type=helmholtz filter routes through pencil_helmholtz.  The analog
+    of the reference's OPR_FILTER at any task count
+    (opr_filter.f90:200-285).
+
+    Returns filt(state) -> state on sharded State arrays."""
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.ops.derivative import apply_along
+
+    Pp = pencil_plans(mesh, P, wire_dtype)
+
+    def _one(arr):
+        if helmholtz_alpha is not None:
+            al = helmholtz_alpha
+            return pencil_helmholtz(Pp["ell"], al * arr, Pp["comm"],
+                                    al).astype(arr.dtype)
+        for nm, ax in (("x", 0), ("y", 1), ("z", 2)):
+            M = mats.get(nm)
+            if M is not None:
+                arr = dyn._gathered_apply(
+                    Pp, nm, arr,
+                    lambda g, M=M, ax=ax: apply_along(M, g, ax))
+        return arr
+
+    fspec = PSpec("x", None, "z")
+    sspec = PSpec(None, "x", None, "z")
+    sfc_spec = PSpec(None, None, "x", "z") \
+        if P.get("surface_bc") is not None else None
+    state_spec = State(u=fspec, v=fspec, w=fspec, s=sspec, sfc=sfc_spec)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(state_spec,),
+                       out_specs=state_spec, check_vma=False)
+    def filt_local(state):
+        s = state.s
+        if s.shape[0]:
+            s = jnp.stack([_one(s[i]) for i in range(s.shape[0])])
+        return State(u=_one(state.u), v=_one(state.v), w=_one(state.w),
+                     s=s, sfc=state.sfc)
+
+    return _mesh_jit(mesh, filt_local)
 
 
 def make_pencil_step_particles(mesh, P, grid, pprops, wire_dtype=None):

@@ -650,8 +650,18 @@ class Simulation:
         P["ell_dd"] = ell_plans[BC.DD]
         pf = getattr(case, "pressure_filter", None)
         if pf is not None and pf.type != "none":
-            from tlab_tpu.ops.filter import build_filter_matrices
-            P["pfilter"] = build_filter_matrices(fdm, pf, dtype)
+            if pf.type == "helmholtz":
+                # marker dict: substep_rhs routes it through the eigen
+                # Helmholtz solve -- single-device ops.elliptic.helmholtz
+                # or the distributed pencil_helmholtz under P['comm']
+                # (the reference applies any [PressureFilter] type at any
+                # task count, opr_filter.f90:285)
+                width = pf.parameters[0] if pf.parameters else 2.0
+                P["pfilter"] = {
+                    "helmholtz_alpha": -24.0 / max(width, 1e-30) ** 2}
+            else:
+                from tlab_tpu.ops.filter import build_filter_matrices
+                P["pfilter"] = build_filter_matrices(fdm, pf, dtype)
         # EllipticOrder: the factorized formulation is the default (as the
         # reference): its D1-consistent integrals make the projection
         # remove the D1-measured divergence to round-off. The direct eigen

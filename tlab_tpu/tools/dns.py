@@ -304,7 +304,8 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
                 return dyn.rk_step(Pp, state, dtime, aux=aux)
 
             pstep = pcl.make_pencil_step(mesh, P, _rk_mesh_aux,
-                                         aux_example=aux_example)
+                                         aux_example=aux_example,
+                                         inner_steps=inner_steps)
         else:
             def _rk_mesh(Pp, state, dtime):
                 if implicit_diff:
@@ -312,7 +313,8 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
                     return impl.rk_step_implicit(Pp, state, dtime)
                 return dyn.rk_step(Pp, state, dtime)
 
-            pstep = pcl.make_pencil_step(mesh, P, _rk_mesh, return_p=True)
+            pstep = pcl.make_pencil_step(mesh, P, _rk_mesh, return_p=True,
+                                         inner_steps=inner_steps)
 
         @jax.jit
         def _mesh_diag(state):
@@ -679,12 +681,6 @@ def run(sim: Simulation, state: State, outdir: str = ".",
             raise ValueError(
                 f"mesh ({px},{pz}) incompatible with grid ({nx},{nz}): "
                 "needs nx%px==0, nz%pz==0, (nz/pz)%px==0, (nx/px)%pz==0")
-        if callable(sim.P.get("pfilter")):
-            raise NotImplementedError(
-                "[PressureFilter] Type=helmholtz is not routed through "
-                "the pencil engine; use a line-matrix filter type with "
-                "--mesh")
-        inner_steps = 1
     n_steps = n_steps if n_steps is not None else (case.it_end - itime)
     it_first = itime        # nitera_first for cadence offsets
     if inner_steps > 1 and (pstate is not None or case.flow_type == "spatial"
@@ -693,6 +689,10 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                                        "time_dependent", False)):
         inner_steps = 1                     # per-step host work required
     is_comp = getattr(sim, "comp", None) is not None
+    if is_comp:
+        # acoustic CFL re-evaluates every step (TIME_COURANT compressible
+        # branch); the compressible step functions take no inner window
+        inner_steps = 1
     # [Main] FileType=single writes f32 restarts (io_fields.f90:37-40);
     # read_field autodetects on reload
     restart_dtype = "<f4" if (getattr(case, "ini", None) is not None
@@ -819,8 +819,23 @@ def run(sim: Simulation, state: State, outdir: str = ".",
     filt = sim.filter_matrices() if not is_comp else None
     filt_step = getattr(getattr(case, "filter", None), "step", 0)
     if filt is not None and filt_step > 0:
-        from tlab_tpu.ops.filter import filter_state
-        filter_fn = jax.jit(lambda st: filter_state(filt, st))
+        if mesh is not None:
+            # route the cadence filter through the SAME pencil engine as
+            # the step (reference OPR_FILTER at any task count,
+            # opr_filter.f90:200-285) -- no GSPMD/pencil mixing
+            from tlab_tpu.parallel import pencil as pcl_f
+            spec_f = getattr(case, "filter", None)
+            if spec_f is not None and spec_f.type == "helmholtz":
+                wd = spec_f.parameters[0] if spec_f.parameters else 2.0
+                filter_fn = pcl_f.make_pencil_filter(
+                    mesh, sim.P,
+                    helmholtz_alpha=-24.0 / max(wd, 1e-30) ** 2)
+            else:
+                filter_fn = pcl_f.make_pencil_filter(mesh, sim.P,
+                                                     mats=filt)
+        else:
+            from tlab_tpu.ops.filter import filter_state
+            filter_fn = jax.jit(lambda st: filter_state(filt, st))
     else:
         filter_fn = None
 
