@@ -45,8 +45,9 @@ def _split_computations(hlo: str) -> dict:
     comps = {}
     cur = None
     for line in hlo.split("\n"):
-        m = re.match(r"(?:ENTRY\s+)?%?([\w.\-]+)\s+\([^)]*\)\s*->", line)
-        if m and line.rstrip().endswith("{"):
+        m = re.match(r"(?:ENTRY\s+)?%?([\w.\-]+)\s+\(.*\)\s*->.*\{\s*$",
+                     line)
+        if m:
             cur = m.group(1)
             comps[cur] = []
             if line.startswith("ENTRY"):
