@@ -383,3 +383,213 @@ MeanScalar2=0.3""")
     assert pb.shape == pa.shape
     assert np.max(np.abs(pa)) > 0.0, "droplet scalars never updated"
     assert np.max(np.abs(pa - pb)) < 1e-9 * max(1.0, np.max(np.abs(pa)))
+
+
+COMP_SPATIAL_3D = """
+[Main]
+Type=spatial
+Equations=compressible
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit3
+TimeCFL=0.5
+[Control]
+ScalLimit=no
+[Parameters]
+Reynolds=500
+Schmidt=1.0
+Mach=0.3
+Gamma=1.4
+Prandtl=0.7
+[Iteration]
+Start=0
+End=6
+Restart=6
+IteraLog=3
+Statistics=3
+[Flow]
+ProfileVelocityX=Tanh
+ThickVelocityX=0.1
+DeltaVelocityX=0.5
+[Scalar]
+ProfileScalar1=Tanh
+ThickScalar1=0.1
+DeltaScalar1=1.0
+[BoundaryConditions]
+VelocityJmin=freeslip
+VelocityJmax=freeslip
+Scalar1Jmin=neumann
+Scalar1Jmax=neumann
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=25
+scales_1=4.0
+[IniGridOy]
+periodic=no
+segments=1
+points_1=17
+scales_1=2.0
+opts_1=uniform
+[IniGridOz]
+periodic=yes
+segments=1
+points_1=9
+scales_1=1.0
+"""
+
+
+def test_mesh_comp_spatial_stats_match_single(tmp_path):
+    """Compressible Type=spatial with running MA_ statistics on the 2x2
+    mesh: the device-side one-jit reduction (make_comp_spatial_reducer)
+    runs GSPMD-sharded on the pencil-stepped state with NO full-field
+    gather; every register sum in st6.npz matches the single-device run
+    (reference avg_flow_zt_reduce.f90 reduces rank-local at any task
+    count)."""
+    from tlab_tpu.tools.initialize import compressible_initial_state
+    from tlab_tpu.stats.spatial import SpatialStats
+
+    results = {}
+    for tag, mesh in (("single", None), ("mesh", make_mesh(2, 2))):
+        sim = Simulation.from_case(load_case(Ini(text=COMP_SPATIAL_3D)))
+        U = compressible_initial_state(sim, seed=1)
+        out = str(tmp_path / tag)
+        run = dns_tool.run(sim, U, outdir=out, n_steps=6, mesh=mesh)
+        results[tag] = run
+    l1 = [ln for ln in results["single"].log.lines]
+    l8 = [ln for ln in results["mesh"].log.lines]
+    assert l1 == l8
+    a = SpatialStats.load(str(tmp_path / "single" / "st6.npz"))
+    b = SpatialStats.load(str(tmp_path / "mesh" / "st6.npz"))
+    assert a.n_samples == b.n_samples == 6
+    for attr in ("sums", "pair_sums", "grad_sums", "gradx_sums",
+                 "p_sums", "triple_sums", "comp_sums", "reg_sums"):
+        va, vb = getattr(a, attr), getattr(b, attr)
+        # absolute round-off floor: the mesh state itself differs from
+        # single-device only in the last bits, but tiny covariance sums
+        # (|max| ~ 1e-6 here) make a pure relative bound meaningless
+        scale = max(1.0, np.max(np.abs(va)))
+        assert np.max(np.abs(va - vb)) < 1e-13 * scale, attr
+
+
+ANELASTIC_CLOUD_3D = """
+[Main]
+Type=temporal
+Equations=incompressible
+TermAdvection=convective
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit4
+TimeCFL=1.2
+[Control]
+FlowLimit=no
+ScalLimit=no
+[Iteration]
+Start=0
+End=8
+Restart=8
+IteraLog=2
+[Parameters]
+Reynolds=1000
+Schmidt=1.0,1.0
+Froude=0.0254
+[Gravity]
+Type=explicit
+Vector=0.0,1.0,0.0
+[Flow]
+ProfileVelocityX=None
+VelocityX=0.0
+YMeanRelativePressure=0.75
+Pressure=0.940
+[Scalar]
+ProfileScalar1=Erf
+ThickScalar1=-0.05
+DeltaScalar1=0.026589
+YMeanRelativeScalar1=0.75
+MeanScalar1=0.9686705
+ProfileScalar2=Erf
+ThickScalar2=0.05
+DeltaScalar2=0.00750
+YMeanRelativeScalar2=0.75
+MeanScalar2=0.00525
+[Thermodynamics]
+Type=anelastic
+Mixture=AirWater
+SmoothFactor=0.00
+ScaleHeight=8700.
+[BoundaryConditions]
+VelocityJmin=freeslip
+VelocityJmax=freeslip
+Scalar1Jmin=dirichlet
+Scalar1Jmax=dirichlet
+Scalar2Jmin=dirichlet
+Scalar2Jmax=dirichlet
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=33
+scales_1=2.0
+[IniGridOy]
+periodic=no
+segments=1
+points_1=32
+scales_1=1.0
+opts_1=uniform
+[IniGridOz]
+periodic=yes
+segments=1
+points_1=17
+scales_1=1.0
+"""
+
+
+def test_mesh_anelastic_airwater_matches_single(tmp_path):
+    """Anelastic AirWater (Case15-class cloud-top) on the 2x2 mesh: the
+    rho_bar-weighted Burgers diffusion, buoyancy source and weighted
+    projection all run through the pencil engine -- log and final state
+    identical to single-device (the reference runs this family at any
+    task count)."""
+    def make_state(sim):
+        nx, ny, nz = sim.grid.shape
+        y = sim.grid.y.nodes
+        rng = np.random.default_rng(4)
+        s1 = sim.case.scal_profiles[0](y)
+        s2 = sim.case.scal_profiles[1](y)
+        pert = 1e-3 * rng.standard_normal((nx, ny, nz)) \
+            * np.sin(np.pi * (y - y[0]) / (y[-1] - y[0]))[None, :, None]
+        return State(
+            u=jnp.asarray(pert),
+            v=jnp.zeros((nx, ny, nz)), w=jnp.zeros((nx, ny, nz)),
+            s=jnp.stack([
+                jnp.asarray(np.broadcast_to(s1[None, :, None],
+                                            (nx, ny, nz))),
+                jnp.asarray(np.broadcast_to(s2[None, :, None],
+                                            (nx, ny, nz)))]))
+
+    results = {}
+    for tag, mesh in (("single", None), ("mesh", make_mesh(2, 2))):
+        sim = Simulation.from_case(load_case(Ini(text=ANELASTIC_CLOUD_3D)))
+        run = dns_tool.run(sim, make_state(sim), outdir=str(tmp_path / tag),
+                           n_steps=8, checkpoint=False, mesh=mesh)
+        results[tag] = run
+    # dns.out: every column exact except the NewtonRs residual (a max of
+    # a round-off-level saturation-adjustment error whose digits shuffle
+    # under sharded reduction order)
+    for l1, l8 in zip(results["single"].log.lines,
+                      results["mesh"].log.lines):
+        if l1 == l8:
+            continue
+        t1, t8 = l1.split(), l8.split()
+        assert t1[:-1] == t8[:-1], (l1, l8)
+        fa = float(t1[-1].replace("D", "E"))
+        fb = float(t8[-1].replace("D", "E"))
+        assert abs(fa) < 1e-9 and abs(fb) < 1e-9, (l1, l8)
+    for f in ("u", "v", "w", "s"):
+        a = np.asarray(getattr(results["single"].state, f))
+        b = np.asarray(getattr(results["mesh"].state, f))
+        scale = max(1.0, np.max(np.abs(a)))
+        # the equilibrium saturation adjustment iterates a Newton solve
+        # each substep: last-bit reduction-order differences are
+        # amplified a few orders over 8 steps (observed ~3e-11; the
+        # non-iterative mesh cases stay bit-identical)
+        assert np.max(np.abs(a - b)) < 1e-9 * scale, f
+    # buoyancy actually drove a flow
+    assert float(jnp.max(jnp.abs(results["mesh"].state.v))) > 1e-8

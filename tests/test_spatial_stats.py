@@ -478,3 +478,114 @@ def test_accumulate_device_matches_host():
         np.testing.assert_allclose(y, x, rtol=1e-12, atol=1e-13,
                                    err_msg=attr)
     assert a.n_samples == b.n_samples == 3
+
+
+def test_comp_spatial_device_reducer_matches_host():
+    """The one-jit device reduction (make_comp_spatial_reducer, VERDICT
+    r5 #3) must reproduce the host accumulate() path register-for-
+    register: same primitive decomposition, same gradients, same
+    products -- elementwise arithmetic is IEEE-identical, only the
+    z-mean reduction order may differ (tolerance 1e-14 rel)."""
+    from tlab_tpu.config import load_case, Ini
+    from tlab_tpu.runtime import Simulation
+    from tlab_tpu.tools.initialize import compressible_initial_state
+    from tlab_tpu.stats.spatial import (SpatialStats,
+                                        make_comp_spatial_reducer)
+    from tlab_tpu.stats import spatial_registers as sreg
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.dycore import compressible as comp_mod
+    from tlab_tpu.dycore.state import State as _St
+    import jax.numpy as jnp
+
+    ini = """
+[Main]
+Type=spatial
+Equations=compressible
+SpaceOrder=CompactJacobian6
+TimeOrder=RungeKuttaExplicit3
+TimeCFL=0.5
+[Parameters]
+Reynolds=500
+Schmidt=1.0
+Mach=0.3
+Gamma=1.4
+Prandtl=0.7
+[Flow]
+ProfileVelocityX=Tanh
+ThickVelocityX=0.1
+DeltaVelocityX=0.5
+[Scalar]
+ProfileScalar1=Tanh
+ThickScalar1=0.1
+DeltaScalar1=1.0
+[BoundaryConditions]
+VelocityJmin=freeslip
+VelocityJmax=freeslip
+Scalar1Jmin=neumann
+Scalar1Jmax=neumann
+[IniGridOx]
+periodic=yes
+segments=1
+points_1=17
+scales_1=4.0
+[IniGridOy]
+periodic=no
+segments=1
+points_1=13
+scales_1=2.0
+opts_1=uniform
+[IniGridOz]
+periodic=yes
+segments=1
+points_1=8
+scales_1=1.0
+"""
+    sim = Simulation.from_case(load_case(Ini(text=ini)))
+    U = compressible_initial_state(sim, seed=3)
+    nx, ny, _ = sim.grid.shape
+    names = ("u", "v", "w", "s1")
+
+    # --- device path
+    ss_dev = SpatialStats.create(nx, ny, names)
+    red = make_comp_spatial_reducer(sim, ss_dev)
+    ss_dev.accumulate_comp_stack(np.asarray(red(U)))
+
+    # --- host path (the pre-r5 accumulate() route, kept for validation)
+    ss_host = SpatialStats.create(nx, ny, names)
+    c = sim.comp
+    u_, v_, w_, T_, p_ = comp_mod.primitive_internal(
+        sim.P, U, c["gamma"], c["mach"]) if c["energy"] != "total" \
+        else comp_mod.primitive(sim.P, U, c["gamma"], c["mach"])
+    flds = {"u": u_, "v": v_, "w": w_, "s1": U.rhos[0] / U.rho}
+    grads_ = {}
+    for cn, comp_f in (("u", u_), ("v", v_), ("w", w_)):
+        for an, ax in (("x", 0), ("y", 1), ("z", 2)):
+            grads_[cn + an] = dyn._d1(sim.P, an, ax, comp_f)
+    sg = {}
+    for nm_, fld_ in (("r", U.rho), ("p", p_), ("T", T_)):
+        for an, ax in (("x", 0), ("y", 1), ("z", 2)):
+            sg[nm_ + an] = np.asarray(dyn._d1(sim.P, an, ax, fld_))
+    tkk_ = sum(np.asarray(dyn._d1(sim.P, an, ax, jnp.asarray(sg["T" + an])))
+               for an, ax in (("x", 0), ("y", 1), ("z", 2)))
+    base = sreg.build_base(
+        np.asarray(u_), np.asarray(v_), np.asarray(w_), np.asarray(p_),
+        np.asarray(U.rho), np.asarray(T_),
+        {k: np.asarray(v) for k, v in grads_.items()}, sg,
+        visc=sim.nsp.visc, z1=np.asarray(U.rhos[0] / U.rho), Tkk=tkk_)
+    for row, parts in (("tauxkk", ("tauxx", "tauxy", "tauxz")),
+                       ("tauykk", ("tauxy", "tauyy", "tauyz")),
+                       ("tauzkk", ("tauxz", "tauyz", "tauzz"))):
+        base[row] = sum(
+            np.asarray(dyn._d1(sim.P, an, ax, jnp.asarray(base[pp_])))
+            for (an, ax), pp_ in zip((("x", 0), ("y", 1), ("z", 2)), parts))
+    ss_host.accumulate(flds, grads=grads_, p=p_,
+                       comp_fields={"rho": U.rho, "T": T_, "vis": None},
+                       reg_base=base)
+
+    for attr in ("sums", "pair_sums", "grad_sums", "gradx_sums",
+                 "p_sums", "triple_sums", "comp_sums", "reg_sums"):
+        a = getattr(ss_dev, attr)
+        b = getattr(ss_host, attr)
+        scale = np.max(np.abs(b)) or 1.0
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-14 * scale,
+                                   err_msg=attr)

@@ -561,6 +561,170 @@ class SpatialStats:
                    sums=d["sums"], n_samples=int(d["n"]))
 
 
+def make_comp_spatial_reducer(sim, stats: "SpatialStats"):
+    """One jitted CompState -> (K, nx, ny) stacked z-mean reduction for
+    the COMPRESSIBLE spatial mode: primitive decomposition, the nine
+    velocity + nine scalar gradients, stress tensor, and EVERY running-
+    sum family (moments, pairs, grad/gradx, p, triples, the Favre
+    COMP_NAMES products, and the full 238-register MA_ set) computed on
+    device; only the stacked table comes to host via
+    stats.accumulate_comp_stack (the reference reduces rank-local with
+    no gather, avg_flow_zt_reduce.f90:1-60 + avg_spatial.f90:19-29)."""
+    import jax
+    import jax.numpy as jnp
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.dycore import compressible as comp_mod
+    from tlab_tpu.stats import spatial_registers as sreg
+
+    P = sim.P
+    c = sim.comp
+    visc = sim.nsp.visc
+    names = stats.names
+    pairs = stats.pairs
+    gnames = stats.GRAD_NAMES
+    gx_pairs = stats.GRADX_PAIRS
+    triples = stats.TRIPLES
+    comp_names = stats.COMP_NAMES
+
+    def d1(axis_name, ax, f):
+        return dyn._d1(P, axis_name, ax, f)
+
+    @jax.jit
+    def compute(U):
+        rho = U.rho
+        if c.get("aw") is not None:
+            u, v, w, T, p, _, _ = comp_mod.primitive_airwater(U, c["aw"])
+        else:
+            mix = c.get("mixture")
+            prim = comp_mod.primitive(P, U, c["gamma"], c["mach"],
+                                      mix=mix) \
+                if c["energy"] == "total" else \
+                comp_mod.primitive_internal(P, U, c["gamma"], c["mach"],
+                                            mix=mix)
+            u, v, w, T, p = prim
+        ns = U.rhos.shape[0] if U.rhos is not None else 0
+        za = {"u": u, "v": v, "w": w}
+        for i in range(ns):
+            za[f"s{i + 1}"] = U.rhos[i] / rho
+        vis = None
+        gas = c.get("gas")
+        if gas is not None and getattr(gas, "transport", "none") != "none":
+            from tlab_tpu.physics import eos
+            vis = eos.viscosity(gas, T)
+        g = {}
+        for cname, comp_f in (("u", u), ("v", v), ("w", w)):
+            for aname, ax in (("x", 0), ("y", 1), ("z", 2)):
+                g[cname + aname] = d1(aname, ax, comp_f)
+        sg = {}
+        for nm, fld in (("r", rho), ("p", p), ("T", T)):
+            for aname, ax in (("x", 0), ("y", 1), ("z", 2)):
+                sg[nm + aname] = d1(aname, ax, fld)
+        tkk = (d1("x", 0, sg["Tx"]) + d1("y", 1, sg["Ty"])
+               + d1("z", 2, sg["Tz"]))
+        base = sreg.build_base(u, v, w, p, rho, T, g, sg, vis=vis,
+                               visc=visc,
+                               z1=za.get("s1"), Tkk=tkk)
+        base["tauxkk"] = (d1("x", 0, base["tauxx"])
+                          + d1("y", 1, base["tauxy"])
+                          + d1("z", 2, base["tauxz"]))
+        base["tauykk"] = (d1("x", 0, base["tauxy"])
+                          + d1("y", 1, base["tauyy"])
+                          + d1("z", 2, base["tauyz"]))
+        base["tauzkk"] = (d1("x", 0, base["tauxz"])
+                          + d1("y", 1, base["tauyz"])
+                          + d1("z", 2, base["tauzz"]))
+
+        def zm(a):
+            return jnp.mean(a, axis=2)
+
+        outs = []
+        for n in names:                      # moments, host-accumulate order
+            a = za[n]
+            a2 = a * a
+            outs += [zm(a), zm(a2), zm(a2 * a), zm(a2 * a2)]
+        for na, nb in pairs:
+            outs.append(zm(za[na] * za[nb]))
+        gl = [g[n] for n in gnames]
+        for k in range(9):
+            outs += [zm(gl[k]), zm(gl[k] * gl[k])]
+        for ka, kb in gx_pairs:
+            outs.append(zm(gl[ka] * gl[kb]))
+        outs += [zm(p), zm(p * p)]
+        for n in ("u", "v", "w"):
+            outs.append(zm(p * za[n]))
+        for k in range(9):
+            outs.append(zm(p * gl[k]))
+        for na, nb, nc in triples:
+            outs.append(zm(za[na] * za[nb] * za[nc]))
+        vis_f = base["vis"]
+        uf, vf, wf = za["u"], za["v"], za["w"]
+        prods = {
+            "r": rho, "r2": rho * rho, "r3": rho ** 3, "r4": rho ** 4,
+            "T": T, "T2": T * T, "T3": T ** 3, "T4": T ** 4,
+            "vis": vis_f, "vis2": vis_f * vis_f,
+            "ru": rho * uf, "rv": rho * vf, "rw": rho * wf,
+            "rT": rho * T, "p": p, "p2": p * p,
+            "ruu": rho * uf * uf, "rvv": rho * vf * vf,
+            "rww": rho * wf * wf,
+            "ruv": rho * uf * vf, "ruw": rho * uf * wf,
+            "rvw": rho * vf * wf,
+            "rTT": rho * T * T,
+            "ruT": rho * uf * T, "rvT": rho * vf * T, "rwT": rho * wf * T,
+            "ruuv": rho * uf * uf * vf, "rvvv": rho * vf ** 3,
+            "rwwv": rho * wf * wf * vf, "ruvv": rho * uf * vf * vf,
+            "ruwv": rho * uf * wf * vf, "rvwv": rho * vf * wf * vf,
+        }
+        for nm in comp_names:
+            outs.append(zm(prods[nm]))
+        for name in sreg.NAMES:
+            acc = None
+            for addend in sreg.REGISTERS[name]:
+                prod = None
+                for key in addend:
+                    f = base[key]
+                    prod = f if prod is None else prod * f
+                acc = prod if acc is None else acc + prod
+            outs.append(zm(acc))
+        return jnp.stack(outs)
+
+    return compute
+
+
+def _accumulate_comp_stack(self, stacked: np.ndarray) -> None:
+    """Add one make_comp_spatial_reducer table (already on host) into
+    the running sums, in the same family order the host accumulate()
+    fills."""
+    from tlab_tpu.stats import spatial_registers as sreg
+    nxy = self.sums.shape[2:]
+    k = 0
+    nv = len(self.names)
+    self.sums += stacked[k:k + 4 * nv].reshape((nv, 4) + nxy)
+    k += 4 * nv
+    self.pair_sums += stacked[k:k + len(self.pairs)]
+    k += len(self.pairs)
+    self.grad_sums += stacked[k:k + 18].reshape((9, 2) + nxy)
+    k += 18
+    self.gradx_sums += stacked[k:k + len(self.GRADX_PAIRS)]
+    k += len(self.GRADX_PAIRS)
+    self.p_sums += stacked[k:k + 14]
+    k += 14
+    self.triple_sums += stacked[k:k + len(self.TRIPLES)]
+    k += len(self.TRIPLES)
+    if self.comp_sums is None:
+        self.comp_sums = np.zeros((len(self.COMP_NAMES),) + nxy)
+    self.comp_sums += stacked[k:k + len(self.COMP_NAMES)]
+    k += len(self.COMP_NAMES)
+    if self.reg_sums is None:
+        self.reg_sums = np.zeros((len(sreg.NAMES),) + nxy)
+    self.reg_sums += stacked[k:k + len(sreg.NAMES)]
+    k += len(sreg.NAMES)
+    assert k == stacked.shape[0], (k, stacked.shape)
+    self.n_samples += 1
+
+
+SpatialStats.accumulate_comp_stack = _accumulate_comp_stack
+
+
 def register_station_table(stats: "SpatialStats", stations) -> dict:
     """The full MA_* register table at the x-stations, keyed by station
     for write_station_budgets: {station: {MA_name: (ny,)}} -- the

@@ -1255,78 +1255,18 @@ def run(sim: Simulation, state: State, outdir: str = ".",
                 and (itime - it_first) % stats_spa == 0:
             from tlab_tpu.stats.spatial import state_fields
             if is_comp:
-                # density-weighted accumulation from the primitive
-                # decomposition (reference compressible MA_* map)
-                from tlab_tpu.dycore import compressible as comp_mod
-                from tlab_tpu.dycore.state import State as _St
-                import jax.numpy as _jnp
-                c = sim.comp
-                if c.get("aw") is not None:
-                    u_, v_, w_, T_, p_, _, _ = \
-                        comp_mod.primitive_airwater(state, c["aw"])
-                    prim = (u_, v_, w_, T_, p_)
-                else:
-                    prim = comp_mod.primitive(
-                        sim.P, state, c["gamma"], c["mach"],
-                        mix=c.get("mixture")) \
-                        if c["energy"] == "total" else \
-                        comp_mod.primitive_internal(
-                            sim.P, state, c["gamma"], c["mach"],
-                            mix=c.get("mixture"))
-                u_, v_, w_, T_, p_ = prim
-                ns_ = state.rhos.shape[0] if state.rhos is not None else 0
-                flds = {"u": u_, "v": v_, "w": w_}
-                for i_s in range(ns_):
-                    flds[f"s{i_s + 1}"] = state.rhos[i_s] / state.rho
-                vis_ = None
-                gas = c.get("gas")
-                if gas is not None and getattr(gas, "transport",
-                                               "none") != "none":
-                    from tlab_tpu.physics import eos
-                    vis_ = eos.viscosity(gas, T_)
-                gst = _St(u=u_, v=v_, w=w_,
-                          s=_jnp.zeros((0,) + u_.shape, u_.dtype))
-                grads_ = spatial_grads_fn(gst)
-                # full MA_* register base (avgij_map.h): scalar-field
-                # gradients, T Laplacian, stress divergences
-                from tlab_tpu.stats import spatial_registers as sreg
-                P_ = sim.P
-                sg = {}
-                for nm_, fld_ in (("r", state.rho), ("p", p_), ("T", T_)):
-                    for an_, ax_ in (("x", 0), ("y", 1), ("z", 2)):
-                        sg[nm_ + an_] = np.asarray(
-                            dyn._d1(P_, an_, ax_, fld_))
-                tkk_ = (np.asarray(dyn._d1(P_, "x", 0, jnp.asarray(sg["Tx"])))
-                        + np.asarray(dyn._d1(P_, "y", 1, jnp.asarray(sg["Ty"])))
-                        + np.asarray(dyn._d1(P_, "z", 2, jnp.asarray(sg["Tz"]))))
-                grads_np = {k: np.asarray(v_g) for k, v_g in grads_.items()}
-                base = sreg.build_base(
-                    np.asarray(u_), np.asarray(v_), np.asarray(w_),
-                    np.asarray(p_), np.asarray(state.rho), np.asarray(T_),
-                    grads_np, sg,
-                    vis=np.asarray(vis_) if vis_ is not None else None,
-                    visc=sim.nsp.visc,
-                    z1=np.asarray(state.rhos[0] / state.rho)
-                    if (state.rhos is not None and state.rhos.shape[0])
-                    else None,
-                    Tkk=tkk_)
-                # stress-row divergences with the production derivatives
-                base["tauxkk"] = (
-                    np.asarray(dyn._d1(P_, "x", 0, jnp.asarray(base["tauxx"])))
-                    + np.asarray(dyn._d1(P_, "y", 1, jnp.asarray(base["tauxy"])))
-                    + np.asarray(dyn._d1(P_, "z", 2, jnp.asarray(base["tauxz"]))))
-                base["tauykk"] = (
-                    np.asarray(dyn._d1(P_, "x", 0, jnp.asarray(base["tauxy"])))
-                    + np.asarray(dyn._d1(P_, "y", 1, jnp.asarray(base["tauyy"])))
-                    + np.asarray(dyn._d1(P_, "z", 2, jnp.asarray(base["tauyz"]))))
-                base["tauzkk"] = (
-                    np.asarray(dyn._d1(P_, "x", 0, jnp.asarray(base["tauxz"])))
-                    + np.asarray(dyn._d1(P_, "y", 1, jnp.asarray(base["tauyz"])))
-                    + np.asarray(dyn._d1(P_, "z", 2, jnp.asarray(base["tauzz"]))))
-                spatial_stats.accumulate(
-                    flds, grads=grads_, p=p_,
-                    comp_fields={"rho": state.rho, "T": T_, "vis": vis_},
-                    reg_base=base)
+                # density-weighted accumulation: primitive decomposition,
+                # gradients, stress tensor and ALL register products in
+                # ONE jitted device reduction; only the stacked
+                # (K, nx, ny) table comes to host (VERDICT r4 item 3 --
+                # the reference reduces rank-local with no gather,
+                # avg_flow_zt_reduce.f90:1-60)
+                from tlab_tpu.stats.spatial import make_comp_spatial_reducer
+                red = getattr(sim, "_comp_spatial_fn", None)
+                if red is None:
+                    red = make_comp_spatial_reducer(sim, spatial_stats)
+                    sim._comp_spatial_fn = red
+                spatial_stats.accumulate_comp_stack(np.asarray(red(state)))
             else:
                 # one jitted stacked reduction; only (K, nx, ny) comes
                 # to host (no full-field D2H per step)
