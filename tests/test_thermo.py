@@ -101,3 +101,45 @@ def test_vapor_table_and_reversal():
     assert 0.0 <= d["chi_star"] <= 1.0
     assert d["b_star"] <= d["b"][-1] + 1e-12
     assert np.isfinite(d["chi_s"])
+
+
+def test_cloud_cli_commands(tmp_path):
+    """state/smooth/saturation/reversal CLI commands (the reference's
+    shipped cloud executables, src/tools/CMakeLists.txt:135-143) write
+    their tables and agree with the library functions."""
+    from tlab_tpu.tools import cli
+    import os
+    out = str(tmp_path)
+    assert cli.main(["state", "--cpu", "--x64", "--ini", "/nonexistent",
+                     "--p", "1.0", "--h", "0.97", "--qt", "0.02",
+                     "--outdir", out]) == 0
+    row = np.loadtxt(os.path.join(out, "state.dat"))
+    # T, ql from the equilibrium solve; qv + ql == qt; rho = p/(R T)
+    assert abs(row[2] - 0.02) < 1e-12
+    assert abs((row[4] + row[5]) - row[2]) < 1e-12
+    assert abs(row[8] - row[0] / (row[7] * row[3])) < 1e-9
+
+    assert cli.main(["smooth", "--cpu", "--x64", "--ini", "/nonexistent",
+                     "--p", "1.0", "--h", "0.97", "--outdir", out,
+                     "--range", "0.0,0.05,51"]) == 0
+    tab = np.loadtxt(os.path.join(out, "vapor.dat"))
+    assert tab.shape == (51, 5)
+    # unsaturated rows: qv == qt; saturated rows: qv tracks qsat
+    sat = tab[:, 1] > 1e-10
+    assert sat.any() and (~sat).any()
+    np.testing.assert_allclose(tab[~sat, 2], tab[~sat, 0], atol=1e-12)
+    np.testing.assert_allclose(tab[sat, 2], tab[sat, 3], rtol=2e-2)
+
+    assert cli.main(["saturation", "--cpu", "--x64", "--ini",
+                     "/nonexistent", "--outdir", out]) == 0
+    sat_tab = np.loadtxt(os.path.join(out, "sat.dat"))
+    assert (np.diff(sat_tab[:, 1]) > 0).all()      # qsat rises with T
+
+    assert cli.main(["reversal", "--cpu", "--x64", "--ini",
+                     "/nonexistent", "--h", "0.94", "--qt", "0.022",
+                     "--h2", "1.02", "--qt2", "0.008",
+                     "--outdir", out]) == 0
+    rev = np.loadtxt(os.path.join(out, "reversal.dat"))
+    assert rev.shape[1] == 6 and np.isfinite(rev).all()
+    hdr = open(os.path.join(out, "reversal.dat")).readline()
+    assert "chi_star" in hdr and "b_star" in hdr

@@ -12,6 +12,90 @@ import os
 import sys
 
 
+def _cloud_tool(args) -> int:
+    """state/smooth/saturation/reversal: the reference cloud-state
+    executables (src/tools/cloud/{state,smooth,saturation,reversal}.f90,
+    shipped binaries per src/tools/CMakeLists.txt:135-143) with flags in
+    place of the interactive prompts.  [Thermodynamics] of --ini is
+    honored when the file exists; outputs go to --outdir."""
+    import numpy as np
+    from tlab_tpu.physics import thermo
+    from tlab_tpu.tools import cloudstate as cs
+
+    kw = {"mixture": "airwater"}
+    if os.path.exists(args.ini):
+        from tlab_tpu.config import load_case
+        tcfg = getattr(load_case(args.ini), "thermo", {}) or {}
+        sh = tcfg.get("scale_height", 0.0)
+        kw.update(scale_height_inv=(1.0 / sh if sh > 0 else 0.0),
+                  dsmooth=tcfg.get("smooth", 0.0),
+                  thermo_param=tuple(tcfg.get("parameters", ())),
+                  nondimensional=tcfg.get("nondimensional", True))
+    tp = thermo.ThermoParams(**kw)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    def sweep(default_lo, default_hi, n=None):
+        if args.sweep:
+            lo, hi, npts = args.sweep.split(",")
+            return np.linspace(float(lo), float(hi), int(npts))
+        return np.linspace(default_lo, default_hi, n or args.npts)
+
+    if args.command == "state":
+        if args.h is None or args.qt is None:
+            raise SystemExit("state: --h and --qt required (p-h case)")
+        import jax.numpy as jnp
+        T, ql = thermo.equilibrium_T_ql(
+            tp, jnp.full(1, args.h), jnp.full(1, args.qt),
+            jnp.full(1, args.p), jnp.zeros(1))
+        qs = float(tp.qsat(T, jnp.asarray(args.p))[0])
+        R = float(thermo.mixture_R(tp, jnp.full(1, args.qt), ql)[0])
+        rows = {"p": args.p, "h": args.h, "qt": args.qt,
+                "T": float(T[0]), "ql": float(ql[0]),
+                "qv": args.qt - float(ql[0]), "qsat": qs,
+                "R": R, "rho": args.p / (R * float(T[0]))}
+        path = os.path.join(args.outdir, "state.dat")
+        with open(path, "w") as fh:
+            fh.write("# " + " ".join(rows) + "\n")
+            fh.write(" ".join(f"{v:.10e}" for v in rows.values()) + "\n")
+        for k, v in rows.items():
+            print(f"{k:5s} = {v:.10e}")
+        return 0
+
+    if args.command == "smooth":
+        if args.h is None:
+            raise SystemExit("smooth: --h required (p-h sweep over qt)")
+        qt = sweep(0.0, 0.05)
+        cs.vapor_table(tp, args.p, args.h, qt,
+                       path=os.path.join(args.outdir, "vapor.dat"))
+        print(f"vapor.dat written ({qt.size} rows, p={args.p}, "
+              f"h={args.h})")
+        return 0
+
+    if args.command == "saturation":
+        T = sweep(0.85, 1.05)
+        qs = cs.saturation_curve(tp, T, args.p)
+        path = os.path.join(args.outdir, "sat.dat")
+        np.savetxt(path, np.column_stack([T, qs]),
+                   header=f"T qsat(p={args.p})")
+        print(f"sat.dat written ({T.size} rows)")
+        return 0
+
+    # reversal
+    if None in (args.h, args.qt, args.h2, args.qt2):
+        raise SystemExit("reversal: --h --qt --h2 --qt2 required")
+    d = cs.buoyancy_reversal(tp, args.h, args.qt, args.h2, args.qt2,
+                             args.p, n=args.npts)
+    path = os.path.join(args.outdir, "reversal.dat")
+    cols = ("chi", "h", "qt", "T", "ql", "b")
+    np.savetxt(path, np.column_stack([d[k] for k in cols]),
+               header=" ".join(cols)
+               + f"  chi_star={d['chi_star']:.6e}"
+                 f" b_star={d['b_star']:.6e} chi_s={d['chi_s']:.6e}")
+    print(f"reversal.dat written; chi_star={d['chi_star']:.6e} "
+          f"b_star={d['b_star']:.6e} chi_s={d['chi_s']:.6e}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tlab-tpu")
     ap.add_argument("command", choices=["inigrid", "inirand", "iniflow",
@@ -20,7 +104,9 @@ def main(argv=None):
                                         "visuals", "transfields",
                                         "transgrid", "apriori",
                                         "planes2nc", "tower2nc",
-                                        "stats2nc"])
+                                        "stats2nc",
+                                        "state", "smooth", "saturation",
+                                        "reversal"])
     ap.add_argument("--ini2", default="",
                     help="target-case ini for transfields remeshing")
     ap.add_argument("--nparticles", type=int, default=10000)
@@ -63,6 +149,23 @@ def main(argv=None):
     ap.add_argument("--gate-level", type=float, default=0.0)
     ap.add_argument("--refine", type=int, default=2,
                     help="transgrid: points multiplier per direction")
+    # cloud-state tools (reference state.x/smooth.x/saturation.x/
+    # reversal.x, src/tools/cloud) -- flags replace the interactive
+    # prompts; [Thermodynamics] of --ini is honored when present
+    ap.add_argument("--p", type=float, default=1.0,
+                    help="cloud tools: pressure (nondimensional)")
+    ap.add_argument("--h", type=float, default=None,
+                    help="cloud tools: static enthalpy")
+    ap.add_argument("--qt", type=float, default=None,
+                    help="cloud tools: total-water specific humidity")
+    ap.add_argument("--h2", type=float, default=None,
+                    help="reversal: enthalpy of the second parcel")
+    ap.add_argument("--qt2", type=float, default=None,
+                    help="reversal: qt of the second parcel")
+    ap.add_argument("--range", dest="sweep", default="",
+                    help="smooth/saturation: sweep 'start,stop,n'")
+    ap.add_argument("--npts", type=int, default=201,
+                    help="cloud tools: points along the mixing line")
     ap.add_argument("--grid-in", default="grid")
     ap.add_argument("--grid-out", default="grid.ref")
     args = ap.parse_args(argv)
@@ -102,6 +205,9 @@ def main(argv=None):
         print(f"transgrid done -> {args.grid_out}")
         return 0
 
+
+    if args.command in ("state", "smooth", "saturation", "reversal"):
+        return _cloud_tool(args)
 
     case = load_case(args.ini)
     ini0 = getattr(case, "ini", None)
