@@ -297,6 +297,21 @@ def _apply_wall_rows(h, rows):
 # ---------------------------------------------------------------------------
 
 
+def _fused_burgers_ok(P, axis_name: str, axis: int, fields_t) -> bool:
+    """Gate for the fused Pallas Burgers kernels: TPU backend, f32/bf16,
+    lane-aligned shapes, no banded long-line plan for this direction,
+    TLAB_TPU_FUSED_BURGERS not disabled (default ON on TPU)."""
+    import os
+    if os.environ.get("TLAB_TPU_FUSED_BURGERS", "1") == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if P.get(f"d1{axis_name}_banded") is not None:
+        return False
+    from tlab_tpu.ops import pallas_burgers as pb
+    return pb.usable(fields_t.shape, axis, fields_t.dtype)
+
+
 def _d12_apply(P, axis_name: str, axis: int, arr, pref, prec):
     """(d1 arr, d2 arr) along axis+1 of a 4-D stack: the partitioned
     circulant plans when present (periodic long lines -- 2(L+2b) instead
@@ -403,6 +418,26 @@ def _burgers_all(P, axis_name: str, axis: int, fields, conv, nu):
             res = pencil.cast_on_wire(pencil.SCATTER[axis_name], res, 1,
                                       wire)
         return res
+    dea_on = bool(P.get("dealias")) and \
+        P["dealias"].get(axis_name) is not None
+    if (P.get("anelastic") is None and not dea_on
+            and _fused_burgers_ok(P, axis_name, axis, fields_t)):
+        # fused Pallas path: the [D1;D2] product never leaves VMEM --
+        # ~2F+1 HBM passes instead of ~6F+1 (ops/pallas_burgers.py);
+        # numerically the same 3-pass-bf16 HIGH contraction as the
+        # einsum (reordered accumulation only)
+        from tlab_tpu.ops import pallas_burgers as pb
+        import os as _os
+        pname = _os.environ.get("TLAB_TPU_MATMUL_PRECISION",
+                                "high").lower()
+        res = pb.fused_burgers(P[f"d12{axis_name}"], fields_t, conv_t,
+                               nu.reshape(-1), axis,
+                               pname if pname in ("default", "high",
+                                                  "highest") else "high")
+        if comm is not None:
+            res = pencil.cast_on_wire(pencil.SCATTER[axis_name], res, 1,
+                                      wire)
+        return res
     da, d2a = _d12_apply(P, axis_name, axis, fields_t, pref,
                          op_precision(fields.dtype))
     ane = P.get("anelastic")
@@ -471,9 +506,37 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
         hs = jnp.stack([bufmod.relax(buf, f"s{i}", s[i], hs[i])
                         for i in range(s.shape[0])]) if s.shape[0] else hs
 
-    # pressure projection (reference :177-360); anelastic weights the
-    # forcing by rho_bar and the gradient by 1/rho_bar
-    # (reference rhs_global_incompressible_1.f90:212-218, 330-334)
+    dpdx, dpdy_v, dpdz, p = _solve_pressure(P, u, v, w, h1, h2, h3, dte,
+                                            aux)
+    ane = P.get("anelastic")
+    if ane is not None:
+        ri = ane["rho_inv"][None, :, None]
+        h1 = h1 - ri * dpdx
+        h2 = h2 - ri * dpdy_v
+        h3 = h3 - ri * dpdz
+    else:
+        h1 = h1 - dpdx
+        h2 = h2 - dpdy_v
+        h3 = h3 - dpdz
+
+    # wall rows of the tendencies
+    rows = P["bc_rows"]
+    h1 = _apply_wall_rows(h1, rows["u"])
+    h2 = _apply_wall_rows(h2, rows["v"])
+    h3 = _apply_wall_rows(h3, rows["w"])
+    hs = jnp.stack([_apply_wall_rows(hs[i], rows["s"][i])
+                    for i in range(hs.shape[0])]) if hs.shape[0] else hs
+
+    return (h1, h2, h3), hs, p
+
+
+def _solve_pressure(P, u, v, w, h1, h2, h3, dte, aux=None):
+    """Pressure projection (reference rhs_global_incompressible_1.f90:
+    177-360): assemble the forcing divergence, solve the Poisson
+    problem, filter, and return the pressure-gradient components on the
+    velocity nodes -> (dpdx, dpdy_v, dpdz, p).  Anelastic weights the
+    forcing by rho_bar (the 1/rho_bar gradient weighting is the
+    caller's, :330-334)."""
     ane = P.get("anelastic")
     if P.get("remove_divergence", True):
         # default: the forcing carries q/dte so the projection removes
@@ -588,25 +651,93 @@ def substep_rhs(P, state: State, hq, hs, dte, aux=None):
         dpdx = _d1(P, "x", 0, p)
         dpdy_v = dpdy
         dpdz = _d1(P, "z", 2, p)
+    return dpdx, dpdy_v, dpdz, p
+
+
+def _apply_wall_rows_stacked(H, i, rows):
+    """Wall-row imposition directly on the stacked tendency H at field
+    index i (dynamic-update-slice of the rows only -- no per-component
+    field copies; same arithmetic as _apply_wall_rows)."""
+    if rows is None:
+        H = H.at[i, :, 0, :].set(0.0)
+        H = H.at[i, :, -1, :].set(0.0)
+        return H
+    nb, nt = rows["nb"], rows["nt"]
+    if nb is not None:
+        H = H.at[i, :, 0, :].set(jnp.einsum("b,ibk->ik", nb, H[i]))
+    else:
+        H = H.at[i, :, 0, :].set(0.0)
+    if nt is not None:
+        H = H.at[i, :, -1, :].set(jnp.einsum("b,ibk->ik", nt, H[i]))
+    else:
+        H = H.at[i, :, -1, :].set(0.0)
+    return H
+
+
+def substep_rhs_stacked(P, Q, H, dte, aux=None):
+    """substep_rhs on a STACKED carry: Q, H are (3+ns, nx, ny, nz) with
+    rows u, v, w, s1..  The per-substep concatenate of the advected
+    fields disappears (Q IS the Burgers stack) and the tendency
+    accumulates as one fused array op -- ~1 GB/substep less HBM traffic
+    at the benchmark size (r5 roofline study).  Arithmetic is
+    elementwise-identical to substep_rhs; rk_step selects this path
+    when no component-structured hook (IBM, interactive surface BC)
+    requires the tuple form.  Returns (H_new, p)."""
+    u, v, w, s = Q[0], Q[1], Q[2], Q[3:]
+    visc = P["visc"]
+
+    nu = jnp.asarray((visc,) * 3 + tuple(P["diff"]),
+                     Q.dtype)[:, None, None, None]
+    if aux is not None and "visc_scale" in aux:
+        nu = nu * aux["visc_scale"]
+    H = H + (_burgers_all(P, "x", 0, Q, u, nu)
+             + _burgers_all(P, "y", 1, Q, v, nu)
+             + _burgers_all(P, "z", 2, Q, w, nu))
+
+    if P["bodyforce"] is not None or P.get("buffer") is not None:
+        # component-structured hooks: bridge through views and restack
+        # (the concat cost returns only when sources/buffers are active,
+        # exactly what the tuple path always paid)
+        state = State(u=u, v=v, w=w, s=s)
+        h1, h2, h3, hs = H[0], H[1], H[2], H[3:]
+        if P["bodyforce"] is not None:
+            h1, h2, h3, hs = P["bodyforce"](P, state, h1, h2, h3, hs,
+                                            aux=aux)
+        buf = P.get("buffer")
+        if buf is not None and aux is not None and "refs_x" in aux:
+            buf = dict(buf)
+            buf["refs_x"] = aux["refs_x"]
+        if buf is not None:
+            from tlab_tpu.dycore import buffer as bufmod
+            buf = bufmod.localize(buf, P.get("comm"))
+            h1 = bufmod.relax(buf, "u", u, h1)
+            h2 = bufmod.relax(buf, "v", v, h2)
+            h3 = bufmod.relax(buf, "w", w, h3)
+            hs = jnp.stack([bufmod.relax(buf, f"s{i}", s[i], hs[i])
+                            for i in range(s.shape[0])]) \
+                if s.shape[0] else hs
+        H = jnp.concatenate([h1[None], h2[None], h3[None], hs], axis=0)
+
+    dpdx, dpdy_v, dpdz, p = _solve_pressure(P, u, v, w, H[0], H[1], H[2],
+                                            dte, aux)
+    ane = P.get("anelastic")
     if ane is not None:
         ri = ane["rho_inv"][None, :, None]
-        h1 = h1 - ri * dpdx
-        h2 = h2 - ri * dpdy_v
-        h3 = h3 - ri * dpdz
+        H = H.at[0].add(-ri * dpdx)
+        H = H.at[1].add(-ri * dpdy_v)
+        H = H.at[2].add(-ri * dpdz)
     else:
-        h1 = h1 - dpdx
-        h2 = h2 - dpdy_v
-        h3 = h3 - dpdz
+        H = H.at[0].add(-dpdx)
+        H = H.at[1].add(-dpdy_v)
+        H = H.at[2].add(-dpdz)
 
-    # wall rows of the tendencies
     rows = P["bc_rows"]
-    h1 = _apply_wall_rows(h1, rows["u"])
-    h2 = _apply_wall_rows(h2, rows["v"])
-    h3 = _apply_wall_rows(h3, rows["w"])
-    hs = jnp.stack([_apply_wall_rows(hs[i], rows["s"][i])
-                    for i in range(hs.shape[0])]) if hs.shape[0] else hs
-
-    return (h1, h2, h3), hs, p
+    H = _apply_wall_rows_stacked(H, 0, rows["u"])
+    H = _apply_wall_rows_stacked(H, 1, rows["v"])
+    H = _apply_wall_rows_stacked(H, 2, rows["w"])
+    for i in range(s.shape[0]):
+        H = _apply_wall_rows_stacked(H, 3 + i, rows["s"][i])
+    return H, p
 
 
 def surface_bc_step(P, s_pre, s_new, sfc, dte):
@@ -725,6 +856,13 @@ def rk_step(P, state: State, dtime, aux=None, unroll: bool = False):
         ns_, nx_, _, nz_ = state.s.shape
         state = state._replace(sfc=jnp.zeros((2, ns_, nx_, nz_),
                                              state.s.dtype))
+    # stacked-carry fast path: the prognostic fields and tendencies ride
+    # as single (3+ns, ...) arrays through the substeps (no per-substep
+    # field concatenate); component-structured hooks that need the tuple
+    # form (IBM direct forcing, interactive surface BC) keep the
+    # original path -- arithmetic is elementwise-identical either way
+    if P.get("ibm") is None and P.get("surface_bc") is None:
+        return _rk_step_stacked(P, state, dtime, kdt, kco, aux, unroll)
     z = jnp.zeros_like(state.u)
     hq = (z, z, z)
     hs = jnp.zeros_like(state.s)
@@ -750,6 +888,46 @@ def rk_step(P, state: State, dtime, aux=None, unroll: bool = False):
     (state, hq, hs, p), _ = jax.lax.scan(body, (state, hq, hs, p0),
                                          (kdt_a, kco_a))
     return state, p
+
+
+def _rk_step_stacked(P, state: State, dtime, kdt, kco, aux, unroll):
+    """rk_step body on the stacked carry (substep_rhs_stacked)."""
+    Q = jnp.concatenate([state.u[None], state.v[None], state.w[None],
+                         state.s], axis=0)
+    H0 = jnp.zeros_like(Q)
+    bounds = P.get("scal_bounds")
+
+    def one(Q, H, dte, kco_i):
+        H, p = substep_rhs_stacked(P, Q, H, dte, aux=aux)
+        Q = Q + dte * H
+        if bounds is not None and Q.shape[0] > 3:
+            # per-substep scalar clipping (reference DNS_BOUNDS_LIMIT,
+            # dns_local.f90:67-90)
+            mins, maxs = bounds
+            lo = jnp.asarray(mins, Q.dtype)[:, None, None, None]
+            hi = jnp.asarray(maxs, Q.dtype)[:, None, None, None]
+            Q = Q.at[3:].set(jnp.clip(Q[3:], lo, hi))
+        return Q, kco_i * H, p
+
+    if unroll:
+        H = H0
+        p = None
+        for i, k in enumerate(kdt):
+            kco_i = kco[i] if i < len(kdt) - 1 else 0.0
+            Q, H, p = one(Q, H, dtime * k, kco_i)
+    else:
+        kdt_a = jnp.asarray(kdt, Q.dtype)
+        kco_a = jnp.asarray(tuple(kco) + (0.0,), Q.dtype)[: len(kdt)]
+
+        def body(carry, ks):
+            Q, H, _ = carry
+            k, kco_i = ks
+            Q, H, p = one(Q, H, dtime * k, kco_i)
+            return (Q, H, p), None
+
+        p0 = jnp.zeros_like(Q[0])
+        (Q, H, p), _ = jax.lax.scan(body, (Q, H0, p0), (kdt_a, kco_a))
+    return State(u=Q[0], v=Q[1], w=Q[2], s=Q[3:], sfc=state.sfc), p
 
 
 # ---------------------------------------------------------------------------

