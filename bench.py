@@ -57,7 +57,22 @@ def main():
 
     n_steps = 5
 
-    # ---- candidate projection paths, most accurate/fastest first ----------
+    # ---- candidate step variants, fastest first --------------------------
+    # r5: the stacked-carry rk_step with UNROLLED substeps and the fused
+    # Pallas Burgers kernels is the production-fastest combination
+    # (46.2 vs 50.6 ms/substep measured).  A failed pallas compile would
+    # wedge the axon client for the whole process (CLAUDE.md), so the
+    # fused+unroll variant is probed in a SUBPROCESS first; on probe
+    # failure the main process never attempts it.
+    import os
+    import subprocess
+    fused_ok = os.environ.get("TLAB_TPU_BENCH_PROBE", "1") == "0" \
+        or _probe_fused_unroll()
+    if not fused_ok:
+        os.environ["TLAB_TPU_FUSED_BURGERS"] = "0"
+        print("bench: fused+unroll probe failed; einsum/scan fallback",
+              file=sys.stderr)
+
     from tlab_tpu.ops import elliptic_factorize as fac
     candidates = []
     try:
@@ -65,26 +80,30 @@ def main():
         P_fac["ell_fac"] = fac.device_factorize_plan(
             fac.build_factorize_plan(fdm), dtype)
         tables = fac.materialize_tables(P_fac["ell_fac"])
+        if tables is not None and fused_ok:
+            candidates.append(("factorize+tables+fused+unroll",
+                               P_fac, tables, True))
         if tables is not None:
-            candidates.append(("factorize+tables", P_fac, tables))
-        candidates.append(("factorize-inline", P_fac, None))
+            candidates.append(("factorize+tables", P_fac, tables, False))
+        candidates.append(("factorize-inline", P_fac, None, False))
     except Exception as e:                      # plan build itself failed
         print(f"bench: factorize plan unavailable: {e!r}", file=sys.stderr)
-    candidates.append(("direct", P, None))
+    candidates.append(("direct", P, None, False))
 
-    def make_step(Pv):
+    def make_step(Pv, unroll):
         def step_n(st, tb):
             aux = None if tb is None else {"fac_tables": tb}
             return jax.lax.fori_loop(
                 0, n_steps,
-                lambda i, s: dyn.rk_step(Pv, s, 5e-4, aux=aux)[0], st)
+                lambda i, s: dyn.rk_step(Pv, s, 5e-4, aux=aux,
+                                         unroll=unroll)[0], st)
         return jax.jit(step_n)
 
     step_n = state = tables = None
     chosen = None
-    for name, Pv, tb in candidates:
+    for name, Pv, tb, unroll in candidates:
         try:
-            fn = make_step(Pv)
+            fn = make_step(Pv, unroll)
             out = fn(state0, tb)                # compile + warmup execute
             jax.block_until_ready(out)
             val = float(jnp.sum(out.u))         # true D2H fetch
@@ -97,6 +116,7 @@ def main():
         except Exception as e:
             print(f"bench: path '{name}' failed pre-flight: "
                   f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            os.environ["TLAB_TPU_FUSED_BURGERS"] = "0"
     if step_n is None:
         raise SystemExit("bench: every projection path failed pre-flight")
     print(f"bench: timing path '{chosen}'", file=sys.stderr)
@@ -132,8 +152,10 @@ def main():
     if os.environ.get("TLAB_TPU_BENCH_EXTRAS", "1") != "0":
         _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline)
 
-    # ---- MFU / roofline statement (VERDICT r4 item 7) -------------------
-    # dense-step matmul flop model per substep (convective form, F = 4
+    # ---- the ONE roofline accounting (VERDICT r4 items 1+2): both the
+    # flops side and the bytes side of the measured substep, emitted
+    # only from here (PARITY.md defers to this output) -----------------
+    # flops: dense-step matmul model per substep (convective form, F = 4
     # prognostic fields; 2 flops per MAC):
     F = 3 + 1
     m_adv = 2 * sum(2 * n * n * F * (npts // n) for n in (nx, ny, nz))
@@ -152,10 +174,27 @@ def main():
     # passes on the MXU; v5e bf16 peak 197 TFLOP/s
     mxu_eq = 3.0 * achieved
     peak = 197e12
-    print(f"bench-mfu: dense step ~{fl_pt:.0f} matmul flops/pt/substep; "
-          f"achieved {achieved/1e12:.2f} TFLOP/s logical fp32 "
-          f"(~{mxu_eq/1e12:.1f} TFLOP/s bf16-pass equivalent at HIGH = "
-          f"{100*mxu_eq/peak:.0f}% of v5e bf16 peak)", file=sys.stderr)
+    # bytes: XLA cost-model "bytes accessed" of this exact step variant,
+    # counted offline by AOT-compiling for a v5e target at this size
+    # (python -m tlab_tpu.tools.roofline_check; unrolled stacked step,
+    # r5): fused pallas Burgers 2.343e10 B/substep, einsum 3.415e10.
+    # The XLA count matched the measured time to ~3% on the einsum
+    # variant (34.15 GB / 48.2 ms = 708 GB/s of the 819 GB/s peak), so
+    # it is a validated traffic model, not a guess.
+    bytes_sub = 2.343e10 if "fused" in chosen else 3.415e10
+    if (nx, ny, nz) != (512, 256, 256):
+        bytes_sub = 0.0                 # counted only at the bench size
+    hbm_peak = 819e9
+    line = (f"bench-mfu: ~{fl_pt:.0f} matmul flops/pt/substep; achieved "
+            f"{achieved/1e12:.2f} TFLOP/s logical fp32 "
+            f"(~{mxu_eq/1e12:.1f} TFLOP/s bf16-pass equivalent at HIGH "
+            f"= {100*mxu_eq/peak:.0f}% of v5e bf16 peak)")
+    if bytes_sub:
+        gbs = bytes_sub / (dt_wall / n_sub)
+        line += (f"; HBM {bytes_sub/npts:.0f} B/pt/substep "
+                 f"(XLA-counted) -> {gbs/1e9:.0f} GB/s = "
+                 f"{100*gbs/hbm_peak:.0f}% of the 819 GB/s v5e peak")
+    print(line, file=sys.stderr)
 
     print(json.dumps({
         "metric": "grid-points/s/chip per RK substep (512x256x256 shear layer, fp32, RK4-5)",
@@ -308,16 +347,18 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
         print(f"bench-extra: stats-table timing failed: {e!r}",
               file=sys.stderr)
 
-    # long-line FULL-STEP crossover (VERDICT r4 item 2): nx=2048 so the
-    # partitioned circulant banded path engages in the production RK step
-    # (TLAB_TPU_PARTITION_MIN_N default 2048); same step with the banded
-    # path disabled gives the dense datapoint.  fp32, 2048x256x128
-    # (~1.3 GB stack, fits v5e HBM).
+    # long-line FULL-STEP crossover at N=4096 (VERDICT r4 item "prove
+    # the banded crossover end-to-end"): nx=4096 engages the partitioned
+    # circulant banded path in the production RK step (thresholds 2304);
+    # the same step with the banded path disabled gives the dense
+    # datapoint.  fp32, 4096x192x64 (~800 MB stack).  r4 already showed
+    # parity at nx=2048 (403 vs 407 M pts/s), so with this point the
+    # 2304 default sits between two FULL-STEP measurements.
     try:
         import os as _os
         from tlab_tpu.grid import uniform_grid as _ug2
-        nxl, nyl, nzl = 2048, 256, 128
-        gl = _ug2(nxl, nyl, nzl, 8.0 * np.pi, 1.0, np.pi)
+        nxl, nyl, nzl = 4096, 192, 64
+        gl = _ug2(nxl, nyl, nzl, 16.0 * np.pi, 1.0, np.pi)
         key = jax.random.PRNGKey(2)
         y1 = jnp.asarray(gl.y.nodes, dtype)[None, :, None]
         prof = 0.5 * jnp.tanh(-0.5 * (y1 - 0.5) / 0.05)
@@ -334,7 +375,7 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
         from tlab_tpu.ops import elliptic_factorize as fac2
         npts_l = nxl * nyl * nzl
         n_steps_l = 2
-        for name, minn in (("banded-partitioned", "2048"),
+        for name, minn in (("banded-partitioned", "2304"),
                            ("dense", "99999999")):
             _os.environ["TLAB_TPU_PARTITION_MIN_N"] = minn
             _os.environ["TLAB_TPU_THOMAS_MIN_N"] = minn
@@ -358,13 +399,51 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
                 float(jnp.sum(out.u))       # fetch inside timed region
                 best = min(best, time.perf_counter() - t0)
             rate = npts_l / (best / n_steps_l / 5)
-            print(f"bench-extra: long-line 2048x256x128 {name} full step: "
+            print(f"bench-extra: long-line 4096x192x64 {name} full step: "
                   f"{rate:.3e} pts/s/chip/substep "
                   f"({rate / baseline:.0f}x baseline)", file=sys.stderr)
         _os.environ.pop("TLAB_TPU_PARTITION_MIN_N", None)
         _os.environ.pop("TLAB_TPU_THOMAS_MIN_N", None)
     except Exception as e:
         print(f"bench-extra: long-line setup failed: {e!r}", file=sys.stderr)
+
+    # inner_steps dispatch-amortization on the PENCIL path (VERDICT r4
+    # item 5): the same production shard_map step on a 1x1 mesh, timed
+    # per STEP including the host dispatch, window 1 vs 4.  The
+    # reference syncs every step (TIME_COURANT, time.f90:365); the
+    # window is where the TPU build beats that.
+    try:
+        from tlab_tpu.parallel.mesh import make_mesh
+        from tlab_tpu.parallel import pencil as pcl
+        from tlab_tpu.ops import elliptic_factorize as fac3
+        mesh1 = make_mesh(1, 1)
+        P1 = dyn.build_device_plans(build_fdm_plan(grid), nsp, bcs,
+                                    dtype=dtype)
+        P1["ell_fac"] = fac3.device_factorize_plan(
+            fac3.build_factorize_plan(build_fdm_plan(grid)), dtype)
+        n_disp = 3
+        for inner in (1, 4):
+            pstep = pcl.make_pencil_step(mesh1, P1, dyn.rk_step,
+                                         return_p=True,
+                                         inner_steps=inner)
+            st1, _ = pstep(state0, 5e-4)
+            jax.block_until_ready(st1)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                st_ = state0
+                for _i in range(n_disp):
+                    st_, _p = pstep(st_, 5e-4)
+                float(jnp.sum(st_.u))       # fetch inside timed region
+                best = min(best, time.perf_counter() - t0)
+            per_step = best / (n_disp * inner)
+            rate = npts / (per_step / 5)
+            print(f"bench-extra: pencil 1x1 inner_steps={inner}: "
+                  f"{per_step*1e3:.1f} ms/step incl. dispatch "
+                  f"({rate:.3e} pts/s/chip/substep)", file=sys.stderr)
+    except Exception as e:
+        print(f"bench-extra: inner-steps pencil failed: {e!r}",
+              file=sys.stderr)
 
     # stretched y grid + SMR91 semi-implicit diffusion.  Smaller than the
     # headline: the implicit Helmholtz plans embed per-mode tables as HLO
@@ -417,6 +496,59 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
     except Exception as e:
         print(f"bench-extra: semi-implicit setup failed: {e!r}",
               file=sys.stderr)
+
+
+_PROBE_SRC = r"""
+import sys
+sys.path.insert(0, %r)
+import numpy as np, jax, jax.numpy as jnp
+from tlab_tpu.dycore import incompressible as dyn
+from tlab_tpu.dycore.state import State
+from tlab_tpu.fdm.plan import build_fdm_plan
+from tlab_tpu.grid import uniform_grid
+from tlab_tpu.ops import elliptic_factorize as fac
+from tlab_tpu.physics.params import NSParams
+nx, ny, nz = 512, 256, 256
+grid = uniform_grid(nx, ny, nz, 2.0*np.pi, 1.0, np.pi)
+fdm = build_fdm_plan(grid)
+nsp = NSParams(reynolds=5000.0, schmidt=(1.0,))
+bcs = dyn.WallBCs.from_velocity_kind("freeslip", "freeslip",
+                                     scalar_bcs=(("neumann", "neumann"),))
+P = dyn.build_device_plans(fdm, nsp, bcs, dtype=jnp.float32)
+P["ell_fac"] = fac.device_factorize_plan(fac.build_factorize_plan(fdm),
+                                         jnp.float32)
+tb = fac.materialize_tables(P["ell_fac"])
+z = jnp.zeros((nx, ny, nz), jnp.float32)
+st = State(u=z + 0.01, v=z, w=z, s=z[None])
+out, _ = jax.jit(lambda s, t: dyn.rk_step(
+    P, s, 5e-4, aux={"fac_tables": t}, unroll=True))(st, tb)
+print(float(jnp.sum(out.u)))
+"""
+
+
+def _probe_fused_unroll(timeout_s: float = 900.0) -> bool:
+    """Compile+run the fused+unrolled step in a SUBPROCESS: a failed
+    pallas compile wedges the axon client for its process, so the main
+    bench process must never attempt a variant that has not already
+    succeeded somewhere (CLAUDE.md axon notes)."""
+    import os
+    import subprocess
+    env = dict(os.environ)
+    env["TLAB_TPU_FUSED_BURGERS"] = "1"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             _PROBE_SRC % os.path.dirname(os.path.abspath(__file__))],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        ok = r.returncode == 0
+        if not ok:
+            print(f"bench: fused probe stderr: {r.stderr[-400:]}",
+                  file=sys.stderr)
+        return ok
+    except subprocess.TimeoutExpired:
+        print("bench: fused probe timed out", file=sys.stderr)
+        return False
 
 
 def wait_for_backend(max_wait_s: float = 600.0, probe_timeout: float = 90.0):

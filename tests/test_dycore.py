@@ -148,3 +148,35 @@ def test_wall_value_enforcement():
     # no-penetration exact; no-slip u/w rows collapse to their plane mean
     assert float(jnp.max(jnp.abs(st1.v[:, 0, :]))) < 1e-15
     assert float(jnp.std(np.asarray(st1.u[:, 0, :]))) < 1e-15
+
+
+def test_rk_step_unroll_matches_scan():
+    """The unrolled substep loop (what bench.py times on TPU) is the
+    same arithmetic as the lax.scan body.  XLA fuses/forms FMAs
+    differently across the inlined substeps, so agreement is to a few
+    ulp (measured 7e-17 on f64), not bitwise."""
+    import jax.numpy as jnp
+    from tlab_tpu.dycore import incompressible as dyn
+    from tlab_tpu.dycore.state import State
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.physics.params import NSParams
+
+    grid = uniform_grid(32, 24, 16, 2.0, 1.0, 1.0)
+    fdm = build_fdm_plan(grid)
+    nsp = NSParams(reynolds=500.0, schmidt=(1.0,))
+    bcs = dyn.WallBCs.from_velocity_kind(
+        "freeslip", "freeslip", scalar_bcs=(("neumann", "neumann"),))
+    P = dyn.build_device_plans(fdm, nsp, bcs, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    st = State(u=jnp.asarray(rng.standard_normal(grid.shape)) * 0.01,
+               v=jnp.asarray(rng.standard_normal(grid.shape)) * 0.01,
+               w=jnp.asarray(rng.standard_normal(grid.shape)) * 0.01,
+               s=jnp.asarray(rng.standard_normal((1,) + grid.shape)))
+    a, pa = dyn.rk_step(P, st, 1e-3)
+    b, pb_ = dyn.rk_step(P, st, 1e-3, unroll=True)
+    for f in ("u", "v", "w", "s"):
+        d = np.max(np.abs(np.asarray(getattr(a, f))
+                          - np.asarray(getattr(b, f))))
+        assert d < 1e-14, (f, d)
+    assert np.max(np.abs(np.asarray(pa) - np.asarray(pb_))) < 1e-12

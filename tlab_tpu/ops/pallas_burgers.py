@@ -170,6 +170,9 @@ def usable(x_shape, axis: int, dtype) -> bool:
     if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
         return False
     F, nx, ny, nz = x_shape
+    n = (nx, ny, nz)[axis]
+    if 2 * n * n * 4 > 4 * 1024 * 1024:
+        return False            # [D1;D2] block must stay small in VMEM
     if axis == 0:
         return nx % 8 == 0 and ny % 8 == 0 and nz % 128 == 0
     if axis == 1:
