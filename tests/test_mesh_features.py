@@ -593,3 +593,30 @@ def test_mesh_anelastic_airwater_matches_single(tmp_path):
         assert np.max(np.abs(a - b)) < 1e-9 * scale, f
     # buoyancy actually drove a flow
     assert float(jnp.max(jnp.abs(results["mesh"].state.v))) > 1e-8
+
+
+def test_mesh_inner_steps_window_matches_single(tmp_path):
+    """--inner-steps 2 on the mesh (lax.fori_loop inside the shard_map
+    step, r5): same dns.out and final state as the single-device
+    inner-window run -- the window semantics (fixed dt, CFL refreshed
+    per window) are identical on both paths."""
+    import os
+    src = open(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data",
+        "case01_small3d.ini")).read()
+    results = {}
+    for tag, mesh in (("single", None), ("mesh", make_mesh(2, 2))):
+        sim = Simulation.from_case(load_case(Ini(text=src)))
+        from tlab_tpu.tools.initialize import initial_state
+        st = initial_state(sim, seed=7)
+        run = dns_tool.run(sim, st, outdir=str(tmp_path / tag),
+                           n_steps=8, checkpoint=False, mesh=mesh,
+                           inner_steps=2)
+        results[tag] = run
+    assert results["single"].log.lines == results["mesh"].log.lines
+    assert results["mesh"].itime == results["single"].itime == 8
+    for f in ("u", "v", "w", "s"):
+        a = np.asarray(getattr(results["single"].state, f))
+        b = np.asarray(getattr(results["mesh"].state, f))
+        scale = max(1.0, np.max(np.abs(a)))
+        assert np.max(np.abs(a - b)) < 1e-12 * scale, f
