@@ -212,3 +212,62 @@ def test_pencil_poisson_matmul_dft():
             os.environ["TLAB_TPU_POISSON_TRANSFORM"] = old
     scale = np.abs(outs["fft"]).max()
     assert np.abs(outs["matmul"] - outs["fft"]).max() < 3e-5 * max(scale, 1)
+
+
+def test_pencil_factorize_matmul_dft():
+    """The distributed FACTORIZE Poisson with matmul-DFT transforms
+    (r5: the same policy as the single-device path -- XLA's TPU FFT is
+    ~bf16-accurate and 2x slower for f32) matches the jnp.fft path to
+    f32 accuracy on the 8-device mesh, for both p and dpdy."""
+    import os
+    import functools
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+    from tlab_tpu.fdm.plan import build_fdm_plan
+    from tlab_tpu.grid import uniform_grid
+    from tlab_tpu.ops import elliptic_factorize as fac
+    from tlab_tpu.parallel import make_mesh, pencil
+
+    px, pz = 4, 2
+    mesh = make_mesh(px, pz)
+    grid = uniform_grid(32, 17, 16, 2 * np.pi, 1.0, np.pi)
+    fdm = build_fdm_plan(grid)
+    plan = fac.build_factorize_plan(fdm)
+    rng = np.random.default_rng(1)
+    f = jnp.asarray(rng.standard_normal((32, 17, 16)), jnp.float32)
+    outs = {}
+    old = os.environ.get("TLAB_TPU_POISSON_TRANSFORM")
+    try:
+        for mode in ("fft", "matmul"):
+            os.environ["TLAB_TPU_POISSON_TRANSFORM"] = mode
+            dev = fac.device_factorize_plan(plan, jnp.float32)
+            assert (dev.get("dft") is not None) == (mode == "matmul")
+            kapt = np.asarray(dev["kappa"])
+            nkx = kapt.shape[0]
+            nkx_pad = -(-nkx // (px * pz)) * (px * pz)
+            dev = dict(dev)
+            dev["kappa_pad"] = jnp.asarray(np.concatenate(
+                [kapt, np.full((nkx_pad - nkx, kapt.shape[1]), 1e3,
+                               kapt.dtype)]))
+            dev["nkx_pad"] = nkx_pad
+            comm = {"px": px, "pz": pz, "wire": None}
+            sh = NamedSharding(mesh, PSpec("x", None, "z"))
+            fd = jax.device_put(f, sh)
+
+            @functools.partial(shard_map, mesh=mesh,
+                               in_specs=(PSpec("x", None, "z"),),
+                               out_specs=(PSpec("x", None, "z"),) * 2,
+                               check_vma=False)
+            def solve(fl):
+                return pencil.pencil_poisson_factorize(dev, fl, comm)
+
+            p, dpdy = jax.jit(solve)(fd)
+            outs[mode] = (np.asarray(p), np.asarray(dpdy))
+    finally:
+        if old is None:
+            os.environ.pop("TLAB_TPU_POISSON_TRANSFORM", None)
+        else:
+            os.environ["TLAB_TPU_POISSON_TRANSFORM"] = old
+    for a, b in zip(outs["fft"], outs["matmul"]):
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(a - b).max() < 3e-5 * scale

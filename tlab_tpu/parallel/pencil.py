@@ -196,15 +196,32 @@ def pencil_poisson_factorize(fac_dev, f, comm, bcs_b=None, bcs_t=None):
     f = f.at[:, 0, :].set(0.0 if bcs_b is None else bcs_b)
     f = f.at[:, -1, :].set(0.0 if bcs_t is None else bcs_t)
 
-    fg = gather_x(f)                              # (nx, ny, nzl/px)
-    fh = jnp.fft.rfft(fg, axis=0)                 # (nkx, ny, nzl/px)
+    # DFT-as-matmul transforms when the plan carries them (f32 TPU:
+    # 2x faster than XLA's TPU FFT and f32-accurate where the FFT is
+    # ~bf16-accurate) -- the same policy as the single-device
+    # poisson_factorize and pencil_poisson
+    dft = fac_dev.get("dft")
     nkx = nx // 2 + 1
+    use_dft = dft is not None and nx == dft["Cx"].shape[1]
+
+    fg = gather_x(f)                              # (nx, ny, nzl/px)
+    if use_dft:
+        from tlab_tpu.ops import rdft
+        fre, fim = rdft.forward_x_parts(dft, fg)
+        fh = fre + 1j * fim
+    else:
+        fh = jnp.fft.rfft(fg, axis=0)             # (nkx, ny, nzl/px)
     nkx_pad = fac_dev["nkx_pad"]
     fh = jnp.pad(fh, ((0, nkx_pad - nkx), (0, 0), (0, 0)))
     fh = scatter_x(fh)                            # (nkx_pad/px, ny, nzl)
     fh = gather_z(fh)                             # (nkx_pad/(px pz), ny, nz)
     if nz > 1:
-        fh = jnp.fft.fft(fh, axis=2)
+        if use_dft and "Cz" in dft:
+            from tlab_tpu.ops import rdft
+            zr, zi = rdft.fft_z_parts(dft, jnp.real(fh), jnp.imag(fh))
+            fh = zr + 1j * zi
+        else:
+            fh = jnp.fft.fft(fh, axis=2)
 
     chunk = nkx_pad // (px * pz)
     off = _kx_offset(nkx_pad, px, pz)
@@ -238,11 +255,21 @@ def pencil_poisson_factorize(fac_dev, f, comm, bcs_b=None, bcs_t=None):
 
     def backward(ah):
         if nz > 1:
-            ah = jnp.fft.ifft(ah, axis=2)
+            if use_dft and "Cz" in dft:
+                from tlab_tpu.ops import rdft
+                zr, zi = rdft.ifft_z_parts(dft, jnp.real(ah),
+                                           jnp.imag(ah))
+                ah = zr + 1j * zi
+            else:
+                ah = jnp.fft.ifft(ah, axis=2)
         ah = scatter_z(ah)                        # (nkx_pad/px, ny, nzl)
         ah = gather_x(ah)                         # (nkx_pad, ny, nzl/px)
         ah = ah[:nkx]
-        ag = jnp.fft.irfft(ah, n=nx, axis=0)      # (nx, ny, nzl/px)
+        if use_dft:
+            from tlab_tpu.ops import rdft
+            ag = rdft.backward_x_parts(dft, jnp.real(ah), jnp.imag(ah))
+        else:
+            ag = jnp.fft.irfft(ah, n=nx, axis=0)  # (nx, ny, nzl/px)
         return scatter_x(ag).astype(f.dtype)      # (nxl, ny, nzl)
 
     return backward(uh), backward(vh)
