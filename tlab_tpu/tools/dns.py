@@ -284,11 +284,16 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
     # which is what licenses dropping the diffusion-number dt limit
     implicit_diff = "diffusion" in sim.case.time_order.lower()
 
+    # unrolled substeps on TPU: XLA drops the scan-carry relayout copies
+    # (+4% measured at bench size, r5); CPU keeps the scan (5x smaller
+    # HLO, faster test compiles, bit-path of the golden suite)
+    unroll_tpu = jax.default_backend() == "tpu"
+
     def _rk(state, dtime, aux=None):
         if implicit_diff:
             from tlab_tpu.dycore import implicit as impl
             return impl.rk_step_implicit(P, state, dtime, aux=aux)
-        return dyn.rk_step(P, state, dtime, aux=aux)
+        return dyn.rk_step(P, state, dtime, aux=aux, unroll=unroll_tpu)
 
     if mesh is not None and particles is None:
         # production pencil path: unsteady inflow, time-dependent forcing
