@@ -93,6 +93,11 @@ def main():
     def make_step(Pv, unroll):
         def step_n(st, tb):
             aux = None if tb is None else {"fac_tables": tb}
+            if unroll:
+                # stacked outer loop: State<->stack conversion once per
+                # dispatch instead of once per step
+                return dyn.rk_loop_stacked(Pv, st, 5e-4, n_steps,
+                                           aux=aux, unroll=True)[0]
             return jax.lax.fori_loop(
                 0, n_steps,
                 lambda i, s: dyn.rk_step(Pv, s, 5e-4, aux=aux,
@@ -176,12 +181,13 @@ def main():
     peak = 197e12
     # bytes: XLA cost-model "bytes accessed" of this exact step variant,
     # counted offline by AOT-compiling for a v5e target at this size
-    # (python -m tlab_tpu.tools.roofline_check; unrolled stacked step,
-    # r5): fused pallas Burgers 2.343e10 B/substep, einsum 3.415e10.
-    # The XLA count matched the measured time to ~3% on the einsum
-    # variant (34.15 GB / 48.2 ms = 708 GB/s of the 819 GB/s peak), so
-    # it is a validated traffic model, not a guess.
-    bytes_sub = 2.343e10 if "fused" in chosen else 3.415e10
+    # (python -m tlab_tpu.tools.roofline_check; rk_loop_stacked with
+    # unrolled substeps + fused pallas Burgers, r5): 2.394e10 B/substep
+    # incl. the amortized per-dispatch conversion; einsum/scan variant
+    # 3.415e10.  The XLA count matched the measured time to ~3% on the
+    # einsum variant (34.15 GB / 48.2 ms = 708 GB/s of the 819 GB/s
+    # peak), so it is a validated traffic model, not a guess.
+    bytes_sub = 2.394e10 if "fused" in chosen else 3.415e10
     if (nx, ny, nz) != (512, 256, 256):
         bytes_sub = 0.0                 # counted only at the bench size
     hbm_peak = 819e9
@@ -543,8 +549,8 @@ P["ell_fac"] = fac.device_factorize_plan(fac.build_factorize_plan(fdm),
 tb = fac.materialize_tables(P["ell_fac"])
 z = jnp.zeros((nx, ny, nz), jnp.float32)
 st = State(u=z + 0.01, v=z, w=z, s=z[None])
-out, _ = jax.jit(lambda s, t: dyn.rk_step(
-    P, s, 5e-4, aux={"fac_tables": t}, unroll=True))(st, tb)
+out, _ = jax.jit(lambda s, t: dyn.rk_loop_stacked(
+    P, s, 5e-4, 1, aux={"fac_tables": t}, unroll=True))(st, tb)
 print(float(jnp.sum(out.u)))
 """
 

@@ -890,10 +890,44 @@ def rk_step(P, state: State, dtime, aux=None, unroll: bool = False):
     return state, p
 
 
+def rk_loop_stacked(P, state: State, dtime, n_steps: int, aux=None,
+                    unroll: bool = True):
+    """n_steps full RK steps with the State<->stacked conversion done
+    ONCE per dispatch (the per-step concatenate/split otherwise costs
+    ~0.65 GB/substep at the bench size).  Same eligibility as the
+    rk_step stacked path; falls back to per-step rk_step otherwise.
+    Returns (state, last p)."""
+    if not (P.get("ibm") is None and P.get("surface_bc") is None):
+        def body(i, c):
+            st, _ = c
+            return rk_step(P, st, dtime, aux=aux, unroll=unroll)
+        return jax.lax.fori_loop(0, n_steps, body,
+                                 (state, jnp.zeros_like(state.u)))
+    state = _enforce_wall_values(P, state)
+    Q0 = jnp.concatenate([state.u[None], state.v[None], state.w[None],
+                          state.s], axis=0)
+    kdt = P["rk"]["kdt"]
+    kco = P["rk"]["kco"]
+
+    def body(i, c):
+        Q, _ = c
+        Q, p = _rk_core_stacked(P, Q, dtime, kdt, kco, aux, unroll)
+        return Q, p
+
+    Q, p = jax.lax.fori_loop(0, n_steps, body,
+                             (Q0, jnp.zeros_like(Q0[0])))
+    return State(u=Q[0], v=Q[1], w=Q[2], s=Q[3:], sfc=state.sfc), p
+
+
 def _rk_step_stacked(P, state: State, dtime, kdt, kco, aux, unroll):
     """rk_step body on the stacked carry (substep_rhs_stacked)."""
     Q = jnp.concatenate([state.u[None], state.v[None], state.w[None],
                          state.s], axis=0)
+    Q, p = _rk_core_stacked(P, Q, dtime, kdt, kco, aux, unroll)
+    return State(u=Q[0], v=Q[1], w=Q[2], s=Q[3:], sfc=state.sfc), p
+
+
+def _rk_core_stacked(P, Q, dtime, kdt, kco, aux, unroll):
     H0 = jnp.zeros_like(Q)
     bounds = P.get("scal_bounds")
 
@@ -927,7 +961,7 @@ def _rk_step_stacked(P, state: State, dtime, kdt, kco, aux, unroll):
 
         p0 = jnp.zeros_like(Q[0])
         (Q, H, p), _ = jax.lax.scan(body, (Q, H0, p0), (kdt_a, kco_a))
-    return State(u=Q[0], v=Q[1], w=Q[2], s=Q[3:], sfc=state.sfc), p
+    return Q, p
 
 
 # ---------------------------------------------------------------------------

@@ -372,10 +372,17 @@ def make_step_functions(sim: Simulation, particles=None, inner_steps: int = 1,
         @jax.jit
         def _step(state, dtime, aux):
             if inner_steps > 1:
-                new_state, p = jax.lax.fori_loop(
-                    0, inner_steps,
-                    lambda i, c: _rk(c[0], dtime, aux=aux),
-                    (state, jnp.zeros_like(state.u)))
+                if not implicit_diff:
+                    # stacked outer loop: one State<->stack conversion
+                    # per dispatch window (r5)
+                    new_state, p = dyn.rk_loop_stacked(
+                        P, state, dtime, inner_steps, aux=aux,
+                        unroll=unroll_tpu)
+                else:
+                    new_state, p = jax.lax.fori_loop(
+                        0, inner_steps,
+                        lambda i, c: _rk(c[0], dtime, aux=aux),
+                        (state, jnp.zeros_like(state.u)))
             else:
                 new_state, p = _rk(state, dtime, aux=aux)
             cfl = dyn.cfl_advective_max(P, new_state)
