@@ -68,11 +68,13 @@ def _kern_x(n, TJ, prec, nu_ref, d_ref, x_ref, c_ref, o_ref):
                              - c_ref[:, j, :] * h[:n]).astype(o_ref.dtype)
 
 
-def _kern_y(ny, TK, prec, nu_ref, d_ref, x_ref, c_ref, o_ref):
+def _kern_y(ny, TI, TK, prec, nu_ref, d_ref, x_ref, c_ref, o_ref):
     f = pl.program_id(2)
-    h = _dot(d_ref[:], x_ref[0, 0], prec)
     nu_f = nu_ref[f, 0]
-    o_ref[0, 0] = (nu_f * h[ny:] - c_ref[0] * h[:ny]).astype(o_ref.dtype)
+    for i in range(TI):                      # static unroll over x rows
+        h = _dot(d_ref[:], x_ref[0, i], prec)
+        o_ref[0, i] = (nu_f * h[ny:]
+                       - c_ref[i] * h[:ny]).astype(o_ref.dtype)
 
 
 def _kern_z(nz, TJ, prec, nu_ref, dt_ref, x_ref, c_ref, o_ref):
@@ -83,7 +85,6 @@ def _kern_z(nz, TJ, prec, nu_ref, dt_ref, x_ref, c_ref, o_ref):
                    ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
 def fused_burgers(d12, x, conv, nu, axis: int, prec_name: str = "high"):
     """res = nu * D2(x) - conv * D1(x) along spatial axis `axis` (0..2)
     of the stacked fields x (F, nx, ny, nz).
@@ -122,21 +123,29 @@ def fused_burgers(d12, x, conv, nu, axis: int, prec_name: str = "high"):
         )(nu2, d12, x, conv)
         return out
     if axis == 1:
+        import os
         TK = _pick_tile(nz, (256, 128))
+        # 4 x-rows per grid step (in-kernel unrolled dots): fewer grid
+        # steps amortize the pipeline; measured 42.6 -> 42.2 ms/substep
+        # at the bench size (r5 sweep over 1/2/4)
+        TI = int(os.environ.get("TLAB_TPU_PB_TI", "4"))
+        if nx % TI:
+            TI = 1
         return pl.pallas_call(
-            functools.partial(_kern_y, ny, TK, prec),
-            grid=(nx, nz // TK, F),
+            functools.partial(_kern_y, ny, TI, TK, prec),
+            grid=(nx // TI, nz // TK, F),
             in_specs=[
                 pl.BlockSpec((F, 1), lambda i, k, f: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((2 * ny, ny), lambda i, k, f: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, ny, TK), lambda i, k, f: (f, i, 0, k),
+                pl.BlockSpec((1, TI, ny, TK),
+                             lambda i, k, f: (f, i, 0, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ny, TK), lambda i, k, f: (i, 0, k),
+                pl.BlockSpec((TI, ny, TK), lambda i, k, f: (i, 0, k),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, ny, TK),
+            out_specs=pl.BlockSpec((1, TI, ny, TK),
                                    lambda i, k, f: (f, i, 0, k),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((F, nx, ny, nz), x.dtype),
